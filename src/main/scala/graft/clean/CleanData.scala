@@ -1,0 +1,183 @@
+package graft.clean
+
+import graft.core.{CategoryInfo, GraftFrame, Sanitize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-cleaning stage: the Spark-native re-expression of the reference's
+  * `clean_data` pipeline (`/root/reference/src/tasks.py:243–272`):
+  * convert_dtypes → _replace_na → _column_wrangler → _obj_wrangler →
+  * _factor_wrangler → _check_model_assumptions.
+  *
+  * Unlike the reference (six eager full-frame passes), every step here is a
+  * lazy DataFrame transform; only `convertDtypes` and the dummy/category
+  * detection in `factorWrangler` run one aggregate job each to learn
+  * data-dependent facts (integer-valuedness, distinct value sets) — a single
+  * `agg` per stage, not per column (SURVEY.md §4).
+  */
+object CleanData {
+
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** pandas `convert_dtypes` equivalent (tasks.py:261): tighten
+    * integer-valued float columns to LongType. Runs ONE aggregate job over
+    * all double columns. Columns with any fractional or out-of-long-range
+    * value stay double; all-null double columns stay double.
+    */
+  def convertDtypes(df: DataFrame): DataFrame = {
+    val doubleCols = df.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toIndexedSeq
+    if (doubleCols.isEmpty) return df
+    // integer-valued & in-range & has at least one value
+    val checks = doubleCols.flatMap { c =>
+      Seq(
+        max(when(col(c) =!= floor(col(c)) || abs(col(c)) > lit(9.007199254740992e15), lit(1)).otherwise(lit(0)))
+          .as(s"frac_$c"),
+        count(col(c)).as(s"cnt_$c")
+      )
+    }
+    val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    val toLong = doubleCols.filter { c =>
+      val frac = Option(row.getAs[Any](s"frac_$c")).fold(0)(_.toString.toInt)
+      val cnt  = row.getAs[Long](s"cnt_$c")
+      frac == 0 && cnt > 0
+    }.toSet
+    if (toLong.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (toLong(c)) col(c).cast(LongType).as(c) else col(c)
+    }: _*)
+  }
+
+  /** `_replace_na` (tasks.py:100–108): frame-wide, any cell whose value is in
+    * `naValues` becomes null. Applied per column with an isin predicate;
+    * Catalyst folds this into the scan projection.
+    */
+  def replaceNa(df: DataFrame, naValues: Seq[Any]): DataFrame =
+    if (naValues == null || naValues.isEmpty) df
+    else
+      df.select(df.columns.toIndexedSeq.map { c =>
+        when(col(c).isin(naValues: _*), lit(null)).otherwise(col(c)).as(c)
+      }: _*)
+
+  /** `_obj_wrangler` (tasks.py:124–131): object→string cast. Spark columns
+    * are already typed, so this is an identity stage kept for parity.
+    */
+  def objWrangler(df: DataFrame): DataFrame = df
+
+  /** `_check_model_assumptions` (tasks.py:235–240): documented identity
+    * extension point.
+    */
+  def checkModelAssumptions(df: DataFrame): DataFrame = df
+
+  /** `_factor_wrangler` (tasks.py:134–232). Categorical typing:
+    *  (a) `strToCat`: every string column becomes a categorical whose
+    *      default category set is its distinct values in alphanumeric order
+    *      (tasks.py:160–163, 188–192);
+    *  (b) `dummyToBool`: numeric columns whose distinct non-null values sum
+    *      to 1 become boolean (tasks.py:193–208) — the reference heuristic is
+    *      sum-based, not set-based: {0,1}, {0.0,1.0}, {1}, and even {2,−1}
+    *      all convert; we preserve that quirk;
+    *  (c) `catCols` forced categorical; (d) explicit `categories` lists pin
+    *      the category set and order, values outside the list become null
+    *      (tasks.py:217–223); (e) `orderedCols` marks ordered.
+    *
+    * Distinct-value discovery for (a)+(b) runs as ONE aggregate job
+    * (`collect_set` per relevant column), not one job per column.
+    */
+  def factorWrangler(
+      gf: GraftFrame,
+      catCols: Seq[String] = Nil,
+      orderedCols: Seq[String] = Nil,
+      categories: Map[String, Seq[String]] = Map.empty,
+      strToCat: Boolean = true,
+      dummyToBool: Boolean = true): GraftFrame = {
+    val df     = gf.df
+    val fields = df.schema.fields.toIndexedSeq
+
+    val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
+    val stringCols  = fields.filter(_.dataType == StringType).map(_.name)
+
+    // Columns whose distinct sets we need: numeric (dummy detect) + the
+    // future categorical columns without an explicit category list.
+    val wantCat: Seq[String] =
+      ((if (strToCat) stringCols else IndexedSeq.empty[String]) ++ catCols).distinct
+    val needSets: Seq[String] =
+      ((if (dummyToBool) numericCols else IndexedSeq.empty[String]) ++
+        wantCat.filterNot(categories.contains)).distinct
+
+    val sets: Map[String, Seq[Any]] =
+      if (needSets.isEmpty) Map.empty
+      else {
+        val aggs = needSets.map(c => collect_set(col(c)).as(c))
+        val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        needSets.map(c => c -> row.getSeq[Any](row.fieldIndex(c)).toIndexedSeq).toMap
+      }
+
+    // (b) dummy→bool: nansum of distinct values == 1 (tasks.py:195–204)
+    val boolCols: Set[String] =
+      if (!dummyToBool) Set.empty
+      else
+        numericCols.filter { c =>
+          val vs = sets.getOrElse(c, Nil).map {
+            case n: java.lang.Number => n.doubleValue()
+            case _                   => Double.NaN
+          }
+          vs.nonEmpty && vs.sum == 1.0
+        }.toSet
+
+    var out = df.select(fields.map { f =>
+      if (boolCols(f.name)) col(f.name).cast(BooleanType).as(f.name)
+      else col(f.name)
+    }: _*)
+
+    // (a)+(c)+(d): assemble category metadata
+    var cats = gf.cats
+    wantCat.foreach { c =>
+      val declared = categories.get(c)
+      val values: Seq[String] = declared.getOrElse {
+        sets.getOrElse(c, Nil).map(String.valueOf).sorted // alphanumeric default order
+      }
+      cats = cats + (c -> CategoryInfo(values, ordered = false))
+      declared.foreach { cs =>
+        // values outside the declared list become null (tasks.py:217–223)
+        out = out.withColumn(c, when(col(c).isin(cs: _*), col(c)).otherwise(lit(null).cast(StringType)))
+      }
+    }
+    // (e) ordered
+    orderedCols.foreach { c =>
+      cats.get(c).foreach(info => cats = cats + (c -> info.copy(ordered = true)))
+    }
+    GraftFrame(out, cats)
+  }
+
+  /** `clean_data` (tasks.py:243–272): the full fixed pipeline. */
+  def apply(
+      df: DataFrame,
+      naValues: Seq[Any] = Nil,
+      catCols: Seq[String] = Nil,
+      orderedCols: Seq[String] = Nil,
+      categories: Map[String, Seq[String]] = Map.empty,
+      strToCat: Boolean = true,
+      dummyToBool: Boolean = true): GraftFrame = {
+    val sanitize = (s: Seq[String]) => Sanitize.sanitizeColNames(s).getOrElse(Nil)
+    val staged = checkModelAssumptions(
+      objWrangler(
+        Sanitize.columnWrangler(
+          replaceNa(convertDtypes(df), naValues))))
+    factorWrangler(
+      GraftFrame(staged),
+      sanitize(catCols),
+      sanitize(orderedCols),
+      categories.map { case (k, v) => Sanitize.cleanText(k) -> v },
+      strToCat,
+      dummyToBool)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lazy accessors for the driver testdata star schema (TESTDATA.md).
+  * Parquet is self-describing; scans pick up pushed filters/pruned columns
+  * from whatever plan is built on top — never cache here.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 has no
+    * native type for — read nanos as long and truncate to a microsecond
+    * timestamp (integer division; double math would lose precision above
+    * 2^53 ns). DuckDB applies the same ns→us truncation when casting
+    * TIMESTAMP_NS to TIMESTAMP, keeping the oracle aligned.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** One place to build a correctly-configured session for CLIs/tests. */
+object GraftSession {
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

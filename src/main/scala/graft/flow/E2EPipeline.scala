@@ -1,0 +1,83 @@
+package graft.flow
+
+import graft.clean.CleanData
+import graft.core.{GraftFrame, Sanitize}
+import graft.encode.EncodeData
+import graft.model.{RegressionResult, RunModel}
+import graft.na.WrangleNa
+import graft.transform.{GelmanStandardize, TransformData}
+import graft.viz.ConfIntChart
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end pipeline — reference `e2e_pipeline` flow
+  * (`/root/reference/src/flow.py:19–52`): retrieve → clean → encode →
+  * wrangle_na → transform → standardize → OLS → CI chart spec. Parameter
+  * names and defaults mirror flow.py:22–30; user-supplied column lists are
+  * sanitized exactly like headers so `' cOLUmn  4 '` matches `column_4`
+  * (flow.py:33–36).
+  *
+  * Where the reference materializes the full frame between every Prefect
+  * task, every stage here is a lazy DataFrame transform: the whole
+  * preprocessing chain collapses into one Catalyst plan with a handful of
+  * aggregate jobs for data-dependent statistics (SURVEY.md §3).
+  */
+final case class PipelineConfig(
+    url: String,
+    sep: String = ",",
+    nrows: Option[Int] = None,
+    catCols: Seq[String] = Nil,
+    orderedCols: Seq[String] = Nil,
+    categories: Map[String, Seq[String]] = Map.empty,
+    naValues: Seq[Any] = Nil,
+    naStrategy: String = "cc",
+    transfCols: Seq[String] = Nil,
+    transfFunc: String = "arcsinh",
+    endog: String,
+    exog: Seq[String])
+
+final case class PipelineResult(
+    data: DataFrame,
+    model: RegressionResult,
+    chartSpec: String)
+
+object E2EPipeline {
+
+  /** `retrieve_data` (tasks.py:61–97): CSV with header + schema inference,
+    * optional row limit, drop pandas-style `Unnamed` index columns. The
+    * reference's 3×/10s retry wrapper guards a network fetch; for local
+    * paths a read failure is not retryable, so errors propagate.
+    */
+  def retrieveData(spark: SparkSession, url: String, sep: String = ",", nrows: Option[Int] = None): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("inferSchema", "true")
+      .csv(url)
+    val limited = nrows.fold(df)(df.limit)
+    val unnamed = limited.columns.filter(c => c.contains("Unnamed") || c.startsWith("_c"))
+    limited.drop(unnamed.toIndexedSeq: _*)
+  }
+
+  def run(spark: SparkSession, cfg: PipelineConfig): PipelineResult = {
+    val san = (s: Seq[String]) => Sanitize.sanitizeColNames(s).getOrElse(Nil)
+
+    val raw = retrieveData(spark, cfg.url, cfg.sep, cfg.nrows)
+    val cleaned = CleanData(
+      raw,
+      naValues = cfg.naValues,
+      catCols = cfg.catCols,
+      orderedCols = cfg.orderedCols,
+      categories = cfg.categories)
+    // order per flow.py:38–52: encode BEFORE wrangle_na — imputation runs on
+    // the dummy-encoded frame
+    val encoded  = EncodeData(cleaned)
+    val wrangled = WrangleNa(encoded, cfg.naStrategy)
+    val transformed =
+      if (cfg.transfCols.isEmpty) wrangled
+      else TransformData(wrangled, san(cfg.transfCols), cfg.transfFunc)
+    val standardized = GelmanStandardize(transformed)
+
+    val model = RunModel(standardized.df, Sanitize.cleanText(cfg.endog), san(cfg.exog))
+    PipelineResult(standardized.df, model, ConfIntChart.vegaLiteSpec(model))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.core.Tables
+import graft.queries.Declared
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY.md §2B north star).
+  *
+  * `q19` is the exact brute-force cosine top-k: norms are precomputed ONCE
+  * per side before the join (never inside the O(n²) pair loop), the dot
+  * product is a codegen'd `aggregate(zip_with(...))` over doubles, and
+  * ranking happens on the ROUNDED similarity with a vec_id tie-break so the
+  * result is hash-deterministic across engines.
+  *
+  * Scale path: brute force is the correctness oracle at test SF; at 100 TB
+  * the same dot-product expression runs inside an LSH/IVF-bucketed join
+  * (bucket id from random hyperplane signs) so each vector only meets its
+  * bucket — see [[AnnBuckets]].
+  */
+object SimilarityQueries {
+
+  private val dot = (a: String, b: String) =>
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** Exact cosine top-5 neighbours per vector. */
+  val q19SimilarityTopk: Declared = Declared.sql(
+    "q19_similarity_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+      |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT a_id, b_id, cos_sim,
+      |             row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn
+      |      FROM p)
+      |SELECT a_id, b_id, CAST(rn AS INTEGER) AS rn, cos_sim
+      |FROM r WHERE rn <= 5
+      |ORDER BY a_id, rn""".stripMargin) { (spark, dir) =>
+    val e = t(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot("emb", "emb")))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
+    a.crossJoin(b)
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("cos_sim", round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("a_id", "b_id", "rn", "cos_sim")
+      .orderBy("a_id", "rn")
+  }
+
+  /** Label-centroid similarity: mean embedding per label, then each vector's
+    * cosine to its own label centroid — the exact aggregation pattern of
+    * embedding-cluster quality checks. `zip_with`-free formulation: explode
+    * positions once, aggregate per (label, pos).
+    */
+  val q20LabelCentroidSim: Declared = Declared.sql(
+    "q20_label_centroid_sim",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT vec_id, label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e),
+      |c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY label, pos),
+      |d AS (SELECT x.vec_id, x.label,
+      |             sum(x.v * c.cv) AS dp, sqrt(sum(x.v * x.v)) AS nv, sqrt(sum(c.cv * c.cv)) AS nc
+      |      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      |      GROUP BY x.vec_id, x.label)
+      |SELECT label, round(avg(dp / (nv * nc)), 6) AS avg_centroid_sim, count(*) AS n
+      |FROM d GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    val e = t(spark, dir).embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"), col("v"))
+    val c = e.groupBy("label", "pos").agg(avg("v").as("cv"))
+    val d = e
+      .join(c, Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(col("v") * col("cv")).as("dp"),
+        sqrt(sum(col("v") * col("v"))).as("nv"),
+        sqrt(sum(col("cv") * col("cv"))).as("nc"))
+    d.groupBy("label")
+      .agg(round(avg(col("dp") / (col("nv") * col("nc"))), 6).as("avg_centroid_sim"), count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  val all: Seq[Declared] = Seq(q19SimilarityTopk, q20LabelCentroidSim)
+}

@@ -1,0 +1,114 @@
+package graft.model
+
+import org.apache.commons.math3.distribution.TDistribution
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fitted no-intercept OLS — the distributed re-expression of the
+  * reference's `run_model` (`/root/reference/src/tasks.py:561–580`):
+  * `sm.OLS(y, X)` with NO constant added, where the regressor set is every
+  * column ≠ y whose name CONTAINS any requested exog name as a substring
+  * (tasks.py:576–577 — intended to pick up `cat_A`-style dummy expansions;
+  * the `x1` ⊇ `x12` quirk is preserved).
+  *
+  * Implementation: exact normal equations. ONE aggregate job computes the
+  * Gram matrix X'X, the moment vector X'y, y'y and n (k(k+3)/2 + 2 sums —
+  * all map-side partial-aggregated, no shuffle of rows, O(k²) driver
+  * state); the k×k solve, standard errors σ²(X'X)⁻¹ and Student-t 95% CIs
+  * are O(k³) driver-side. This is deterministic and scale-free: the single
+  * pass holds at any row count (SURVEY.md §2 A18).
+  */
+final case class RegressionResult(
+    regressors: Seq[String],
+    coef: Array[Double],
+    stderr: Array[Double],
+    tstat: Array[Double],
+    ciLower: Array[Double],
+    ciUpper: Array[Double],
+    n: Long,
+    df: Long) {
+
+  /** Tidy (regressor, interval, estimate) frame — the reference's
+    * `conf_int()` stacking (tasks.py:593–600).
+    */
+  def confIntTidy(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    regressors.indices
+      .flatMap(i =>
+        Seq((regressors(i), "lower", ciLower(i)), (regressors(i), "upper", ciUpper(i))))
+      .toDF("regressor", "interval", "estimate")
+  }
+
+  def summaryDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    regressors.indices
+      .map(i => (regressors(i), coef(i), stderr(i), tstat(i), ciLower(i), ciUpper(i)))
+      .toDF("regressor", "coef", "stderr", "tstat", "ci_lower", "ci_upper")
+  }
+}
+
+object RunModel {
+
+  /** Substring-match regressor selection (tasks.py:576–577). */
+  def selectRegressors(allCols: Seq[String], endog: String, exog: Seq[String]): Seq[String] =
+    allCols.filter(c => c != endog && exog.exists(x => c.contains(x)))
+
+  def apply(df: DataFrame, endog: String, exog: Seq[String], alpha: Double = 0.05): RegressionResult = {
+    val xs = selectRegressors(df.columns.toIndexedSeq, endog, exog)
+    require(xs.nonEmpty, s"run_model: no regressors match $exog")
+    val k = xs.size
+
+    def d(c: String): Column = col(c).cast(DoubleType)
+    val y = d(endog)
+
+    // One aggregate: upper triangle of X'X, X'y, y'y, n
+    val aggs: Seq[Column] =
+      (for { i <- 0 until k; j <- i until k }
+        yield sum(d(xs(i)) * d(xs(j))).as(s"xx_${i}_$j")) ++
+        (0 until k).map(i => sum(d(xs(i)) * y).as(s"xy_$i")) ++
+        Seq(sum(y * y).as("yy"), count(y).as("n"))
+
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val xtx = Array.tabulate(k, k) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      row.getAs[Double](s"xx_${a}_$b")
+    }
+    val xty = Array.tabulate(k)(i => row.getAs[Double](s"xy_$i"))
+    val yy  = row.getAs[Double]("yy")
+    val n   = row.getAs[Long]("n")
+
+    val xtxInv = invertSpd(xtx)
+    val beta   = Array.tabulate(k)(i => (0 until k).map(j => xtxInv(i)(j) * xty(j)).sum)
+
+    val dof    = n - k
+    val rss    = math.max(0.0, yy - (0 until k).map(i => beta(i) * xty(i)).sum)
+    val sigma2 = rss / dof
+    val se     = Array.tabulate(k)(i => math.sqrt(sigma2 * xtxInv(i)(i)))
+    val t      = Array.tabulate(k)(i => beta(i) / se(i))
+
+    val tq = new TDistribution(dof.toDouble).inverseCumulativeProbability(1.0 - alpha / 2.0)
+    val lo = Array.tabulate(k)(i => beta(i) - tq * se(i))
+    val hi = Array.tabulate(k)(i => beta(i) + tq * se(i))
+
+    RegressionResult(xs, beta, se, t, lo, hi, n, dof)
+  }
+
+  /** Gauss-Jordan inverse with partial pivoting (k is tiny — driver-side). */
+  private def invertSpd(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val k   = m.length
+    val a   = Array.tabulate(k, 2 * k)((i, j) => if (j < k) m(i)(j) else if (j - k == i) 1.0 else 0.0)
+    for (colI <- 0 until k) {
+      val pivot = (colI until k).maxBy(r => math.abs(a(r)(colI)))
+      require(math.abs(a(pivot)(colI)) > 1e-12, "run_model: X'X is singular")
+      val tmp = a(colI); a(colI) = a(pivot); a(pivot) = tmp
+      val pv  = a(colI)(colI)
+      for (j <- 0 until 2 * k) a(colI)(j) /= pv
+      for (r <- 0 until k if r != colI) {
+        val f = a(r)(colI)
+        if (f != 0.0) for (j <- 0 until 2 * k) a(r)(j) -= f * a(colI)(j)
+      }
+    }
+    Array.tabulate(k, k)((i, j) => a(i)(j + k))
+  }
+}

@@ -1,0 +1,174 @@
+package graft.na
+
+import graft.core.GraftFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Missing-value handling — reference `wrangle_na`
+  * (`/root/reference/src/tasks.py:313–472`). Strategies:
+  *
+  *  - `cc` complete-case: drop any row containing a null (tasks.py:381–383).
+  *  - `fi` fill-in: float columns ← mean, integer columns ← exact median,
+  *    boolean/categorical columns ← deterministic mode where ties break to
+  *    the SMALLEST value in sort order — pandas `DataFrame.mode().loc[0]`
+  *    (tasks.py:398–421). If the frame has no nulls at all the input is
+  *    returned unchanged (tasks.py:372–379).
+  *  - `fii` fill-in + indicators: `fi` plus one boolean dummy per observed
+  *    null-pattern bitstring over the columns in column order, named
+  *    `na_<bits>`, all-zeros pattern omitted (tasks.py:385–396). Indicators
+  *    reflect PRE-imputation nulls appended to the imputed frame.
+  *  - `gm` grand-model: `fii` plus feature × indicator interaction columns
+  *    (tasks.py:423–441); see [[Interactions]].
+  *
+  * Scale design: all fill statistics for every column come from ONE
+  * aggregate job (means + exact percentiles + null counts); modes come from
+  * one melted groupBy job over only the mode-typed columns. The fill itself
+  * is a pure projection (`coalesce`), so the imputation composes lazily with
+  * the surrounding plan. Exact `percentile` is used here (oracle mode);
+  * `percentile_approx` is the documented switch for the 100 TB path
+  * (SURVEY.md §7.4.5).
+  */
+object WrangleNa {
+
+  private def isIntegral(dt: DataType) = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+  private def isFloat(dt: DataType) = dt == DoubleType || dt == FloatType
+
+  /** Complete-case drop. Row identity: callers that need pandas-style
+    * surviving row labels should carry an explicit `row_id` column from
+    * ingest (SURVEY.md §7.4.2) — the drop preserves it like any other column.
+    */
+  def cc(gf: GraftFrame, cols: Seq[String] = Nil): GraftFrame =
+    gf.mapDf(df => if (cols.isEmpty) df.na.drop() else df.na.drop(cols))
+
+  /** Computed fill values for `fi`: one agg job + one melted mode job. */
+  private def fillValues(gf: GraftFrame): (Map[String, Any], Boolean) = {
+    val df     = gf.df
+    val fields = df.schema.fields.toIndexedSeq
+
+    val floatCols = fields.filter(f => isFloat(f.dataType) && !gf.cats.contains(f.name)).map(_.name)
+    val intCols   = fields.filter(f => isIntegral(f.dataType) && !gf.cats.contains(f.name)).map(_.name)
+    val modeCols = fields
+      .filter(f => f.dataType == BooleanType || gf.cats.contains(f.name))
+      .map(_.name)
+
+    val statAggs: Seq[Column] =
+      fields.map(f => sum(col(f.name).isNull.cast(LongType)).as(s"nulls_${f.name}")) ++
+        floatCols.map(c => avg(col(c)).as(s"mean_$c")) ++
+        intCols.map(c => expr(s"percentile(`$c`, 0.5)").as(s"med_$c"))
+
+    val row      = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val anyNulls = fields.exists(f => row.getAs[Long](s"nulls_${f.name}") > 0)
+    if (!anyNulls) return (Map.empty, false)
+
+    val means = floatCols.flatMap { c =>
+      Option(row.getAs[Any](s"mean_$c")).map(v => c -> v)
+    }
+    val medians = intCols.flatMap { c =>
+      Option(row.getAs[Any](s"med_$c")).map(v => c -> v)
+    }
+
+    // Deterministic mode per mode-typed column: melt to (col, value) then a
+    // single groupBy + per-column argmax with the count-desc, value-asc
+    // tie-break (SURVEY.md §2 A12).
+    val modes: Seq[(String, Any)] =
+      if (modeCols.isEmpty) Nil
+      else {
+        val melted = df
+          .select(explode(array(modeCols.map(c =>
+            struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+          .select(col("kv.c").as("c"), col("kv.v").as("v"))
+          .where(col("v").isNotNull)
+          .groupBy("c", "v")
+          .count()
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c").orderBy(col("count").desc, col("v").asc)
+        melted
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .collect()
+          .map(r => r.getString(0) -> (r.getString(1): Any))
+          .toIndexedSeq
+      }
+    ((means ++ medians ++ modes).toMap, true)
+  }
+
+  /** Fill-in imputation. Integer columns whose median is fractional are
+    * promoted to double (pandas fills Int64 with a float → Float64,
+    * tasks.py:357–360 post-condition).
+    */
+  def fi(gf: GraftFrame): GraftFrame = {
+    val (fills, anyNulls) = fillValues(gf)
+    if (!anyNulls) return gf
+    gf.mapDf(applyFill(_, gf, fills))
+  }
+
+  private def applyFill(df: DataFrame, gf: GraftFrame, fills: Map[String, Any]): DataFrame =
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      fills.get(f.name) match {
+        case None => col(f.name)
+        case Some(v) =>
+          val fillLit = (f.dataType, v) match {
+            case (BooleanType, s: String) => lit(s.toBoolean)
+            case (dt, s: String) if gf.cats.contains(f.name) && !isNumericString(dt) => lit(s)
+            case (dt, s: String) => lit(s).cast(dt)
+            case (dt, n) if isIntegral(f.dataType) =>
+              val d = n.asInstanceOf[Number].doubleValue()
+              if (d == math.floor(d)) lit(d.toLong).cast(f.dataType) else lit(d)
+            case _ => lit(v)
+          }
+          coalesce(col(f.name).cast(promoted(f.dataType, v)), fillLit.cast(promoted(f.dataType, v))).as(f.name)
+      }
+    }: _*)
+
+  private def isNumericString(dt: DataType) = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Int column + fractional median ⇒ DoubleType; otherwise keep the type. */
+  private def promoted(dt: DataType, fill: Any): DataType = (dt, fill) match {
+    case (t, n: Number) if isIntegral(t) && n.doubleValue() != math.floor(n.doubleValue()) => DoubleType
+    case (t, _) => t
+  }
+
+  /** Null-pattern bitstring over all columns in column order. */
+  private def patternCol(df: DataFrame): Column =
+    concat(df.columns.toIndexedSeq.map(c => when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Fill-in + per-pattern indicator dummies (`fii`). */
+  def fii(gf: GraftFrame): GraftFrame = {
+    val df       = gf.df
+    val pat      = patternCol(df).as("__na_pattern")
+    val withPat  = df.withColumn("__na_pattern", pat)
+    val zeros    = "0" * df.columns.length
+    val patterns = withPat
+      .select("__na_pattern").distinct().collect().map(_.getString(0))
+      .filter(_ != zeros).sorted.toIndexedSeq
+    val imputed = fi(gf.copy(df = withPat)).df
+    val withDummies = patterns.foldLeft(imputed) { (d, p) =>
+      d.withColumn(s"na_$p", col("__na_pattern") === lit(p))
+    }
+    gf.copy(df = withDummies.drop("__na_pattern"))
+  }
+
+  /** Grand model: `fii` + feature×indicator interactions. */
+  def gm(gf: GraftFrame): GraftFrame = {
+    val before  = gf.df.columns.toIndexedSeq
+    val filled  = fii(gf)
+    val indCols = filled.df.columns.toIndexedSeq.filter(_.startsWith("na_"))
+    Interactions.grandModel(filled, before, indCols)
+  }
+
+  def apply(gf: GraftFrame, strategy: String, cols: Seq[String] = Nil): GraftFrame =
+    strategy match {
+      case "cc"  => cc(gf, cols)
+      case "fi"  => fi(gf)
+      case "fii" => fii(gf)
+      case "gm"  => gm(gf)
+      case other => throw new IllegalArgumentException(s"unknown na strategy: $other")
+    }
+}

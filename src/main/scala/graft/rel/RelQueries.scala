@@ -1,0 +1,225 @@
+package graft.rel
+
+import graft.core.Tables
+import graft.queries.Declared
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Part B relational query library over the star schema (SURVEY.md §2B):
+  * filtered group aggregation, multi-way joins (broadcast for dims), semi/
+  * anti joins, window top-k, total-order top-k, set ops, rollup, date
+  * buckets. Each query is declarative DataFrame API — Catalyst pushes
+  * filters/projections into the parquet scans and picks join strategies;
+  * dimension sides are explicitly `broadcast()` where they stay small at any
+  * scale factor (region/nation) and left to AQE otherwise.
+  */
+object RelQueries {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  /** TPC-H Q1-style pricing summary: filter → group → multi-agg. */
+  val q01PricingSummary: Declared = Declared.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** 3-way join + agg (customer ⋈ orders ⋈ lineitem per market segment). */
+  val q02MktsegmentRevenue: Declared = Declared.sql(
+    "q02_mktsegment_revenue",
+    """SELECT c_mktsegment,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.customer
+      .join(tt.orders, col("c_custkey") === col("o_custkey"))
+      .join(tt.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("o_orderkey").as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Window top-k per group (top-2 orders per customer by price). */
+  val q03Top2OrdersPerCust: Declared = Declared.sql(
+    "q03_top2_orders_per_cust",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Anti join: customers with no order above a threshold. */
+  val q04CustWithoutBigOrders: Declared = Declared.sql(
+    "q04_cust_without_big_orders",
+    """SELECT c_nationkey, count(*) AS n_cust
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.where(col("o_totalprice") > 420000),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Semi join: customers with at least one order in status P, per nation. */
+  val q05CustWithOpenOrders: Declared = Declared.sql(
+    "q05_cust_with_open_orders",
+    """SELECT c_nationkey, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.customer
+      .join(
+        tt.orders.where(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  /** 4-way star join with broadcast dimensions (region, nation). */
+  val q06RegionSales: Declared = Declared.sql(
+    "q06_region_sales",
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_sales
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.orders
+      .join(tt.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tt.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tt.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_sales"))
+      .orderBy("r_name")
+  }
+
+  /** Total-order top-k → Catalyst TakeOrderedAndProject, no full sort. */
+  val q07PartTopk: Declared = Declared.sql(
+    "q07_part_topk",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part
+      |ORDER BY p_retailprice DESC, p_partkey ASC
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    t(spark, dir).part
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(10)
+  }
+
+  /** Set op: nations having both rich customers and rich suppliers. */
+  val q08NationIntersect: Declared = Declared.sql(
+    "q08_nation_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    tt.customer
+      .where(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(tt.supplier.where(col("s_acctbal") > 9000).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  /** Rollup with subtotal + grand-total rows. */
+  val q09RollupSales: Declared = Declared.sql(
+    "q09_rollup_sales",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"),
+        col("n"))
+      .orderBy("flag", "status")
+  }
+
+  /** Date-part bucketing (year × priority). */
+  val q10OrdersByYear: Declared = Declared.sql(
+    "q10_orders_by_year",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY o_year, o_orderpriority
+      |ORDER BY o_year, o_orderpriority""".stripMargin) { (spark, dir) =>
+    t(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_year", "o_orderpriority")
+  }
+
+  val all: Seq[Declared] = Seq(
+    q01PricingSummary,
+    q02MktsegmentRevenue,
+    q03Top2OrdersPerCust,
+    q04CustWithoutBigOrders,
+    q05CustWithOpenOrders,
+    q06RegionSales,
+    q07PartTopk,
+    q08NationIntersect,
+    q09RollupSales,
+    q10OrdersByYear)
+}

@@ -1,0 +1,106 @@
+package graft.stream
+
+import graft.core.Tables
+import graft.queries.Declared
+import graft.rel.AsOfJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators in their batch-checkable form (SURVEY.md §2B
+  * streaming): tumbling windows via `window()`, session windows via
+  * `session_window()`, JSON prop extraction, as-of enrichment. The same
+  * `groupBy(window(...))` plans run unchanged under `readStream` (see
+  * [[StreamingOps]] for the watermarked streaming variants).
+  */
+object EventQueries {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  /** Tumbling 1 h window aggregation over the event stream. */
+  val q11EventsTumbling1h: Declared = Declared.sql(
+    "q11_events_tumbling_1h",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin) { (spark, dir) =>
+    t(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Session windows (30 min inactivity gap) per user. */
+  val q12EventsSessions: Declared = Declared.sql(
+    "q12_events_sessions",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                      + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    t(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** JSON property extraction from the `props` column. Regexp-based so the
+    * oracle needs no DuckDB JSON extension; `from_json` is the schema-full
+    * alternative exposed in the library.
+    */
+  val q13EventsJsonK: Declared = Declared.sql(
+    "q13_events_json_k",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val k = regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1).cast("long")
+    t(spark, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), round(avg(k), 4).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** As-of enrichment: each event joined to the user's latest order at or
+    * before the event time (right side deduplicated per (key, time) for
+    * determinism). Oracle uses DuckDB's native ASOF JOIN.
+    */
+  val q14EventsAsofOrder: Declared = Declared.sql(
+    "q14_events_asof_order",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                                 ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    val w  = Window.partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+    val o = tt.orders
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val e = tt.events.select("event_id", "user_id", "ts")
+    AsOfJoin(e, "user_id", "ts", o, "o_custkey", "o_orderdate")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Declared] = Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder)
+}
