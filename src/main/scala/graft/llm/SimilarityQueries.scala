@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
 
   private val dot = (a: String, b: String) =>
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.GraftFunctions.dot(col(a), col(b))
 
   /** Exact cosine top-5 neighbours per vector. */
   val q19SimilarityTopk: Declared = Declared.sql(
