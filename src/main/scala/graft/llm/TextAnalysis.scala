@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2B north
+  * star): token counting (whitespace + BPE-ish regex), type-token ratio /
+  * quality scoring, stopword-profile language ID, SimHash, and rolling-hash
+  * document fingerprints. Everything is built from codegen'd expressions —
+  * no UDFs — so each op is a pure projection or one shuffled aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (the usual pre-tokenizer regex shape).
+    */
+  def nBpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Type-token ratio (lexical diversity), 0 for empty text. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** Heuristic quality score in [0,1]: length band + lexical diversity +
+    * alpha ratio. The exact formula is declared (deterministic), mirroring
+    * the length/punct/stopword-ratio scoring used in LLM data pipelines.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenScore   = least(nChars.cast("double") / 500.0, lit(1.0))
+    val diversity  = typeTokenRatio(text)
+    val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double"))
+    round(lenScore * 0.4 + diversity * 0.3 + alphaRatio * 0.3, 6)
+  }
+
+  /** Stopword profiles for the five corpus languages. Tiny by design — the
+    * operator shape (per-language profile score → argmax) is what matters;
+    * swap in real profiles for production.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "que"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
+
+  /** Per-language stopword-hit ratio. */
+  def langScore(text: Column, lang: String): Column = {
+    val toks = split(lower(text), " ")
+    size(array_intersect(toks, array(stopwords(lang).map(lit): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Predicted language: argmax of profile scores, ties to the
+    * alphabetically-first language; "und" (undetermined) when no profile
+    * matches at all.
+    */
+  def langId(text: Column): Column = {
+    val langs  = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => (l, langScore(text, l)))
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang), greatest(s, bestScore))
+    }
+    when(best._2 > 0.0, best._1).otherwise(lit("und"))
+  }
+
+  /** 16-bit SimHash from md5 nibble votes: for bit b, tokens vote ±1 by the
+    * high bit of hex digit b of their md5; the bit is 1 when the vote sum is
+    * positive. String-only math → portable across engines (oracle-able).
+    */
+  def simhashVotes(tokMd5: Column, bit: Int): Column =
+    when(substring(tokMd5, bit + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+      .otherwise(-1)
+
+  /** Polynomial rolling-hash fingerprint over the token sequence:
+    * h = (h·31 + murmur3(tok)) mod (2³¹−1) — one `aggregate` pass,
+    * order-sensitive (a reordered document fingerprints differently,
+    * unlike a bag-of-words hash). Modular form keeps the accumulator well
+    * inside long range under ANSI arithmetic.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      split(text, " "),
+      lit(0L),
+      (acc, tok) => pmod(acc * lit(31L) + hash(tok).cast("long"), lit(2147483647L)))
+}

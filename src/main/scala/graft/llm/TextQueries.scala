@@ -111,5 +111,172 @@ object TextQueries {
       .orderBy("lang", "rn")
   }
 
-  val all: Seq[Declared] = Seq(q15TextLangStats, q16DedupExact, q17MinhashSignatures, q18TopTokensPerLang)
+  /** Per-document quality metrics: token counts, type-token ratio, and the
+    * declared composite quality score (length band + diversity + alpha
+    * ratio) — all one codegen'd projection, no shuffle.
+    */
+  val q32TextQuality: Declared = Declared.sql(
+    "q32_text_quality",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS ttr,
+      |  round(least(n_chars / 500.0, 1.0) * 0.4
+      |        + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' '))) * 0.3
+      |        + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |           / greatest(length(text), 1)) * 0.3, 6) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    t(spark, dir).documents
+      .select(
+        col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        round(TextAnalysis.typeTokenRatio(col("text")), 4).as("ttr"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** 16-bit SimHash per document (md5-nibble vote family — string-only
+    * math, portable to the oracle engine). Near-dup candidates = equal
+    * simhash or small Hamming distance on the 16-char signature.
+    */
+  val q33Simhash: Declared = {
+    val hexHigh   = "('8','9','a','b','c','d','e','f')"
+    val voteCols  = (0 until 16)
+      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n      |            ")
+    val bitConcat = (0 until 16)
+      .map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
+      .mkString(", ")
+    Declared.sql(
+      "q33_simhash",
+      s"""WITH t AS (SELECT doc_id, md5(tok) AS h
+         |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |                 FROM documents)),
+         |v AS (SELECT doc_id,
+         |            $voteCols
+         |      FROM t GROUP BY doc_id)
+         |SELECT doc_id, concat($bitConcat) AS simhash
+         |FROM v ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = t(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+      val votes = toks
+        .groupBy("doc_id")
+        .agg(
+          sum(TextAnalysis.simhashVotes(col("h"), 0)).as("v0"),
+          (1 until 16).map(b => sum(TextAnalysis.simhashVotes(col("h"), b)).as(s"v$b")): _*)
+      votes
+        .select(
+          col("doc_id"),
+          concat((0 until 16).map(b =>
+            when(col(s"v$b") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup: top-5 most similar document
+    * pairs. Shingle sets stay distinct per doc; the pair join runs on the
+    * exploded shingle table (inverted index), never on raw text — the
+    * standard scalable shape for n-gram dedup.
+    */
+  val q34NgramJaccard: Declared = Declared.sql(
+    "q34_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id,
+      |       round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+      |FROM common
+      |JOIN cnt ca ON ca.doc_id = a_id
+      |JOIN cnt cb ON cb.doc_id = b_id
+      |ORDER BY jaccard DESC, a_id, b_id
+      |LIMIT 5""".stripMargin) { (spark, dir) =>
+    val toks = t(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 3)
+    val sh = toks
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(expr(
+            "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+          .as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a   = sh.toDF("a_id", "s")
+    val b   = sh.toDF("b_id", "s")
+    val common = a
+      .join(b, Seq("s"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.toDF("a_id", "na"), Seq("a_id"))
+      .join(cnt.toDF("b_id", "nb"), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(5)
+  }
+
+  /** Whitespace vs BPE-ish tokenizer counts per language. */
+  val q35TokenCounts: Declared = Declared.sql(
+    "q35_token_counts",
+    """SELECT lang,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+      |    AS n_bpe_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    t(spark, dir).documents
+      .groupBy("lang")
+      .agg(
+        sum(TextAnalysis.nTokens(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(TextAnalysis.nBpeTokens(col("text")).cast("long")).as("n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Language-ID distribution (predicted × actual). Rows-only: the argmax
+    * ladder is library logic; accuracy itself is asserted in LangIdSpec on
+    * real-language samples.
+    */
+  val q37LangidDist: Declared = Declared.rowsOnly("q37_langid_dist") { (spark, dir) =>
+    t(spark, dir).documents
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Order-sensitive rolling-hash fingerprints (murmur3-based — engine-
+    * specific hash, so rows-only; determinism is asserted in tests).
+    */
+  val q38Fingerprints: Declared = Declared.rowsOnly("q38_fingerprints") { (spark, dir) =>
+    t(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Declared] = Seq(
+    q15TextLangStats,
+    q16DedupExact,
+    q17MinhashSignatures,
+    q18TopTokensPerLang,
+    q32TextQuality,
+    q33Simhash,
+    q34NgramJaccard,
+    q35TokenCounts,
+    q37LangidDist,
+    q38Fingerprints)
 }

@@ -211,6 +211,115 @@ object RelQueries {
       .orderBy("o_year", "o_orderpriority")
   }
 
+  /** Cube: all grouping combinations incl. per-status and grand total. */
+  val q27CubeSales: Declared = Declared.sql(
+    "q27_cube_sales",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price"),
+        col("n"))
+      .orderBy("flag", "status")
+  }
+
+  /** Exact percentiles (the oracle-mode A12 statistics; percentile_approx
+    * is the documented 100 TB switch).
+    */
+  val q28Percentiles: Declared = Declared.sql(
+    "q28_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(avg(l_extendedprice), 4) AS mean
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(avg("l_extendedprice"), 4).as("mean"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Set difference: 1995 customers who placed no 2001 order. */
+  val q29ExceptCustkeys: Declared = Declared.sql(
+    "q29_except_custkeys",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir).orders
+    o.where(year(col("o_orderdate")) === 1995)
+      .select("o_custkey")
+      .except(o.where(year(col("o_orderdate")) === 2001).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Window frames: running revenue + delta to previous order per customer.
+    * The running sum accumulates in the partition's total order, so it is
+    * deterministic on both engines.
+    */
+  val q30WindowRunning: Declared = Declared.sql(
+    "q30_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+      |  round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(
+          sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          2).as("running_total"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2).as("delta_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Equi + range (theta) join: pairs of orders by the same customer within
+    * 30 days — Catalyst plans the equi key as the join key and applies the
+    * range predicate as a post-condition, so there is no cross-product.
+    */
+  val q31OrdersRangeJoin: Declared = Declared.sql(
+    "q31_orders_range_join",
+    """SELECT a.o_custkey, count(*) AS n_pairs
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND b.o_orderdate > a.o_orderdate
+      | AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+      |GROUP BY a.o_custkey
+      |ORDER BY a.o_custkey""".stripMargin) { (spark, dir) =>
+    val o = t(spark, dir).orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    val a = o.toDF("o_custkey", "a_orderkey", "a_date")
+    val b = o.toDF("b_custkey", "b_orderkey", "b_date")
+    a.join(
+        b,
+        col("o_custkey") === col("b_custkey") &&
+          col("b_date") > col("a_date") &&
+          col("b_date") <= col("a_date") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[Declared] = Seq(
     q01PricingSummary,
     q02MktsegmentRevenue,
@@ -221,5 +330,10 @@ object RelQueries {
     q07PartTopk,
     q08NationIntersect,
     q09RollupSales,
-    q10OrdersByYear)
+    q10OrdersByYear,
+    q27CubeSales,
+    q28Percentiles,
+    q29ExceptCustkeys,
+    q30WindowRunning,
+    q31OrdersRangeJoin)
 }
