@@ -20,6 +20,7 @@ object SparkEntry {
       graft.stream.EventQueries.all ++
       graft.llm.TextQueries.all ++
       graft.llm.SimilarityQueries.all ++
+      graft.multimodal.MultimodalQueries.all ++
       graft.prep.PrepQueries.all
 
   /** Flagship: the reference's end-to-end semantics on testdata — Gelman-

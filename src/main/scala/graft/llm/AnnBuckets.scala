@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.functions.GraftFunctions.dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbours via random-hyperplane LSH (SURVEY.md §2B
+  * north star, the 100 TB path next to the exact brute-force oracle in
+  * [[SimilarityQueries]]).
+  *
+  * `nBits` seeded Gaussian hyperplanes give each vector a sign-bit bucket
+  * id; candidate pairs only form INSIDE a bucket, so the O(n²) cross join
+  * becomes Σ_b |bucket_b|² — with 8 bits and roughly uniform buckets,
+  * ~1/256 of the pairs. At cluster scale the bucket id is the shuffle key:
+  * each bucket's candidates co-locate on one executor, no global
+  * cross-product ever materializes. Recall is tunable by `nBits` (fewer
+  * bits → bigger buckets → higher recall) and by multi-table union
+  * (`nTables`); AnnSpec measures recall against the exact oracle.
+  */
+object AnnBuckets {
+
+  /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
+    * literals; no RNG at executor time).
+    */
+  private def planes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Adds `bucket` (int) to an embedding frame: sign bits of the plane dot
+    * products.
+    */
+  def withBucket(emb: DataFrame, embCol: String, nBits: Int = 8, dims: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(nBits, dims, seed)
+    val bucket: Column = ps.zipWithIndex
+      .map { case (p, b) =>
+        when(dot(col(embCol), typedLit(p.toSeq)) > 0, lit(1 << b)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** Approximate cosine top-k: candidates restricted to same-bucket pairs,
+    * unioned over `nTables` independent hash tables, then ranked exactly on
+    * the surviving candidate set.
+    */
+  def approxTopK(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 5,
+      nBits: Int = 8,
+      dims: Int = 64,
+      nTables: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val e = emb
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+    val candidates = (0 until nTables)
+      .map { t =>
+        val bucketed = withBucket(e, "emb", nBits, dims, seed + t)
+        val a = bucketed.select(
+          col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = bucketed.select(
+          col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm"))
+      }
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_id", "b_id")
+
+    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
+    candidates
+      .withColumn("cos_sim", round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("rn"), col("cos_sim"))
+  }
+}

@@ -87,5 +87,15 @@ object SimilarityQueries {
 
   private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
 
-  val all: Seq[Declared] = Seq(q19SimilarityTopk, q20LabelCentroidSim)
+  /** LSH-bucketed approximate top-k — the scale path next to the exact
+    * brute force of q19. Rows-only (approximation has no SQL oracle);
+    * AnnSpec measures recall against the exact result.
+    */
+  val q41AnnTopk: Declared = Declared.rowsOnly("q41_ann_topk") { (spark, dir) =>
+    AnnBuckets
+      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 4)
+      .orderBy("a_id", "rn")
+  }
+
+  val all: Seq[Declared] = Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk)
 }

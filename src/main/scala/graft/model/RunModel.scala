@@ -54,6 +54,38 @@ object RunModel {
   def selectRegressors(allCols: Seq[String], endog: String, exog: Seq[String]): Seq[String] =
     allCols.filter(c => c != endog && exog.exists(x => c.contains(x)))
 
+  /** One-pass normal-equations fit used by both `run_model` and the MICE
+    * column models: ONE aggregate computes X'X (upper triangle), X'y, y'y,
+    * n; the k×k solve happens driver-side. `ridge` adds ε to the diagonal
+    * for near-collinear MICE designs (0 for exact `run_model` parity).
+    * Returns (beta, sigma², n).
+    */
+  private[graft] def gramFit(
+      df: DataFrame,
+      y: Column,
+      xs: Seq[Column],
+      ridge: Double = 0.0): (Array[Double], Double, Long) = {
+    val k = xs.size
+    val aggs: Seq[Column] =
+      (for { i <- 0 until k; j <- i until k }
+        yield sum(xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
+        (0 until k).map(i => sum(xs(i) * y).as(s"xy_$i")) ++
+        Seq(sum(y * y).as("yy"), count(y).as("n"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val xtx = Array.tabulate(k, k) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      row.getAs[Double](s"xx_${a}_$b") + (if (i == j) ridge else 0.0)
+    }
+    val xty    = Array.tabulate(k)(i => row.getAs[Double](s"xy_$i"))
+    val yy     = row.getAs[Double]("yy")
+    val n      = row.getAs[Long]("n")
+    val xtxInv = invertSpd(xtx)
+    val beta   = Array.tabulate(k)(i => (0 until k).map(j => xtxInv(i)(j) * xty(j)).sum)
+    val dof    = math.max(1L, n - k)
+    val rss    = math.max(0.0, yy - (0 until k).map(i => beta(i) * xty(i)).sum)
+    (beta, rss / dof, n)
+  }
+
   def apply(df: DataFrame, endog: String, exog: Seq[String], alpha: Double = 0.05): RegressionResult = {
     val xs = selectRegressors(df.columns.toIndexedSeq, endog, exog)
     require(xs.nonEmpty, s"run_model: no regressors match $exog")

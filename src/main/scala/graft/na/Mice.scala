@@ -1,0 +1,98 @@
+package graft.na
+
+import graft.core.GraftFrame
+import graft.model.RunModel
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MICE — multiple imputation by chained equations; reference
+  * `wrangle_na(strategy="mice")` (`/root/reference/src/tasks.py:443–472`):
+  * burn-in `nBurnin` sweeps, then `nImputations` saved datasets separated
+  * by `nSpread` sweeps each; output = the saved datasets stacked with an
+  * `iter` column (the Spark form of the reference's MultiIndex(iter,index))
+  * → cardinality = nImputations × input rows. Integer targets coerce to
+  * double (post-condition tasks.py:357–360).
+  *
+  * The reference drives statsmodels `MICEData`; cross-RNG bit-exactness is
+  * impossible, so the contract is the SURVEY.md §5 distribution-level one:
+  * no nulls in output, correct cardinality, imputed-column moments near the
+  * observed ones — asserted in MiceSpec. OUR runs are deterministic: each
+  * sweep fits a Bayesian-flavored linear model per target column via the
+  * one-pass Gram aggregate (`RunModel.gramFit`, one job per column per
+  * sweep — no per-row driver work), and the posterior noise is a
+  * hash-seeded probit draw keyed by (row, column, sweep, seed), so the same
+  * input always yields the same imputations.
+  *
+  * Scale notes: state between sweeps is one DataFrame; `localCheckpoint`
+  * truncates the growing lineage each sweep. All per-row math is codegen'd
+  * projections; the only driver-side state is k×k Gram matrices.
+  */
+object Mice {
+
+  def apply(
+      gf: GraftFrame,
+      rowId: String,
+      nBurnin: Int = 20,
+      nImputations: Int = 10,
+      nSpread: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    val df = gf.df
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] && f.name != rowId => f.name
+    }.toIndexedSeq
+    require(numericCols.size >= 2, "mice: needs at least two numeric columns")
+
+    // null counts in one job; targets = numeric cols with any missing value
+    val nullCounts = df
+      .agg(
+        sum(col(numericCols.head).isNull.cast("long")).as(numericCols.head),
+        numericCols.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+      .collect()(0)
+    val targets = numericCols.filter(c => nullCounts.getAs[Long](c) > 0)
+    if (targets.isEmpty) return df
+
+    val probit = udf { (u: Double) => new NormalDistribution(0.0, 1.0).inverseCumulativeProbability(u) }
+
+    // working frame: doubles + observed flags; start from mean-fill
+    val means = df
+      .agg(
+        avg(col(numericCols.head)).as(numericCols.head),
+        numericCols.tail.map(c => avg(col(c)).as(c)): _*)
+      .collect()(0)
+    var work = df.select(
+      (col(rowId) +:
+        numericCols.map(c => coalesce(col(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c))) ++
+        targets.map(c => col(c).isNotNull.as(s"__obs_$c")): _*)
+    work = work.localCheckpoint(true)
+
+    val totalSweeps = nBurnin + nImputations * nSpread
+    val saveAt      = (1 to nImputations).map(i => nBurnin + i * nSpread).toSet
+    var snapshots   = List.empty[DataFrame]
+
+    for (sweep <- 1 to totalSweeps) {
+      for (target <- targets) {
+        val predictors: Seq[Column] =
+          lit(1.0) +: numericCols.filterNot(_ == target).map(col(_).cast(DoubleType))
+        val observed = work.where(col(s"__obs_$target"))
+        val (beta, sigma2, _) =
+          RunModel.gramFit(observed, col(target).cast(DoubleType), predictors, ridge = 1e-8)
+        val sigma = math.sqrt(math.max(sigma2, 0.0))
+        val pred = predictors.zip(beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
+        // deterministic posterior draw keyed by (row, col, sweep, seed)
+        val u = (pmod(
+          hash(col(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
+          lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
+        val draw = pred + lit(sigma) * probit(u)
+        work = work.withColumn(target, when(col(s"__obs_$target"), col(target)).otherwise(draw))
+      }
+      work = work.localCheckpoint(true)
+      if (saveAt.contains(sweep)) {
+        val iterIdx = (sweep - nBurnin) / nSpread - 1
+        snapshots ::= work.select(lit(iterIdx).as("iter") +: col(rowId) +: numericCols.map(col): _*)
+      }
+    }
+    snapshots.reverse.reduce(_ unionByName _)
+  }
+}

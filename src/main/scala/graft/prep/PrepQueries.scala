@@ -168,11 +168,36 @@ object PrepQueries {
         round(col("tstat"), 4).as("tstat"))
   }
 
+  /** `wrangle_na("mice")` (reference tasks.py:443–472): chained-equations
+    * multiple imputation, stacked datasets with an `iter` column. Rows-only
+    * (stochastic-model semantics have no SQL oracle; invariants are
+    * asserted in MiceSpec) — shortened sweep schedule for the per-round
+    * gate, full reference schedule available via parameters.
+    */
+  val q39Mice: Declared = Declared.rowsOnly("q39_mice") { (spark, dir) =>
+    val li = t(spark, dir).lineitem.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("row_id"),
+      when(col("l_orderkey") % 17 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity")).as("quantity"),
+      when(col("l_orderkey") % 23 === 0, lit(null).cast("double"))
+        .otherwise(col("l_discount")).as("discount"),
+      col("l_extendedprice").as("price"),
+      col("l_tax").as("tax"))
+    graft.na.Mice(graft.core.GraftFrame(li), "row_id", nBurnin = 2, nImputations = 3, nSpread = 1)
+      .groupBy("iter")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("quantity"), 4).as("avg_q_imputed"),
+        round(avg("discount"), 4).as("avg_d_imputed"))
+      .orderBy("iter")
+  }
+
   val all: Seq[Declared] = Seq(
     q21ImputeMean,
     q22ModeQuantity,
     q23GelmanStandardize,
     q24TransformAsinhLog,
     q25EncodeOnehot,
-    q26OlsSlope)
+    q26OlsSlope,
+    q39Mice)
 }

@@ -320,6 +320,21 @@ object RelQueries {
       .orderBy("o_custkey")
   }
 
+  /** HLL approximate distinct (the 100 TB-mode counterpart of the exact
+    * countDistinct used in oracle queries). Rows-only: HLL sketches differ
+    * across engines; ApproxSpec asserts the relative-error envelope against
+    * the exact counts instead.
+    */
+  val q36ApproxDistinct: Declared = Declared.rowsOnly("q36_approx_distinct") { (spark, dir) =>
+    t(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Declared] = Seq(
     q01PricingSummary,
     q02MktsegmentRevenue,
@@ -335,5 +350,6 @@ object RelQueries {
     q28Percentiles,
     q29ExceptCustkeys,
     q30WindowRunning,
-    q31OrdersRangeJoin)
+    q31OrdersRangeJoin,
+    q36ApproxDistinct)
 }

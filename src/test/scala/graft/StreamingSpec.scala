@@ -1,0 +1,74 @@
+package graft
+
+import graft.stream.StreamingOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ops vs their batch equivalents on the same event data —
+  * `format("memory")` + `processAllAvailable` drives the parquet through a
+  * real streaming query synchronously.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** FileStreamSource requires a directory — stage the single parquet file
+    * into a temp dir once per suite.
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling window agg matches the batch plan") {
+    val stream = StreamingOps.tumblingCounts(StreamingOps.readEventStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("tumbling_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+      val want = graft.core.Tables(spark, dir).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
+  test("streaming dedup-within-watermark passes distinct events through") {
+    val stream = StreamingOps.dedupedEvents(StreamingOps.readEventStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got  = spark.table("dedup_out").count()
+      val want = graft.core.Tables(spark, dir).events.select("event_id").distinct().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running user counts cover every event") {
+    val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("state_out")
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got  = spark.table("state_out").agg(sum("n_events")).collect()(0).getLong(0)
+      val want = graft.core.Tables(spark, dir).events.count()
+      assert(got == want)
+    } finally q.stop()
+  }
+}
