@@ -58,6 +58,9 @@ object AnnBuckets {
       .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
+    // cosine is computed INSIDE each table's bucket join so only
+    // (a_id, b_id, cos_sim) crosses the union/dedup shuffle — never the
+    // embedding arrays (at 64 dims that's a ~30× smaller shuffle).
     val candidates = (0 until nTables)
       .map { t =>
         val bucketed = withBucket(e, "emb", nBits, dims, seed + t)
@@ -66,14 +69,16 @@ object AnnBuckets {
         val b = bucketed.select(
           col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
         a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"), col("a_nrm"), col("b_nrm"))
+          .select(
+            col("a_id"),
+            col("b_id"),
+            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
       }
       .reduce(_ unionByName _)
       .dropDuplicates("a_id", "b_id")
 
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     candidates
-      .withColumn("cos_sim", round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("rn"), col("cos_sim"))

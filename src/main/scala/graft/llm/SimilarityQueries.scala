@@ -93,7 +93,7 @@ object SimilarityQueries {
     */
   val q41AnnTopk: Declared = Declared.rowsOnly("q41_ann_topk") { (spark, dir) =>
     AnnBuckets
-      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 4)
+      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2)
       .orderBy("a_id", "rn")
   }
 

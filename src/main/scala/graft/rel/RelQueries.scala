@@ -335,6 +335,110 @@ object RelQueries {
       .orderBy("l_returnflag")
   }
 
+  /** GROUPING SETS beyond rollup/cube — via the SQL surface (the DataFrame
+    * API exposes only rollup/cube; spark.sql shares the same Catalyst
+    * plan).
+    */
+  val q42GroupingSets: Declared = Declared.sql(
+    "q42_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem.createOrReplaceTempView("graft_li")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM graft_li
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** LIKE / regexp predicates + IN / BETWEEN, pushed into the scan. */
+  val q43LikeFilters: Declared = Declared.sql(
+    "q43_like_filters",
+    """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total
+      |FROM part
+      |WHERE p_name LIKE '%red%'
+      |  AND regexp_matches(p_type, '^(ECONOMY|SMALL)')
+      |  AND p_size BETWEEN 1 AND 40
+      |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    t(spark, dir).part
+      .where(
+        col("p_name").like("%red%") &&
+          col("p_type").rlike("^(ECONOMY|SMALL)") &&
+          col("p_size").between(1, 40) &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("total"))
+      .orderBy("p_brand")
+  }
+
+  /** Sample stats beyond mean: stddev/variance (ddof=1 — the A17 contract),
+    * correlation and covariance.
+    */
+  val q44Stats: Declared = Declared.sql(
+    "q44_stats",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(var_samp("l_quantity"), 4).as("var_qty"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** collect_set + sort_array (order-stable via array_join to a string —
+    * the A7 dummy-detection primitive surfaced as a query).
+    */
+  val q45CollectSet: Declared = Declared.sql(
+    "q45_collect_set",
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+      |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        array_join(sort_array(collect_set("l_linestatus")), ",").as("statuses"),
+        countDistinct("l_linestatus").as("n_statuses"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Date/time scalar functions: hour buckets + epoch seconds range. */
+  val q46DateParts: Declared = Declared.sql(
+    "q46_date_parts",
+    """SELECT CAST(hour(ts) AS INTEGER) AS h, event_type, count(*) AS n,
+      |  CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_epoch,
+      |  CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS max_epoch
+      |FROM events
+      |GROUP BY h, event_type
+      |ORDER BY h, event_type""".stripMargin) { (spark, dir) =>
+    t(spark, dir).events
+      .groupBy(hour(col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(unix_timestamp(col("ts"))).as("min_epoch"),
+        max(unix_timestamp(col("ts"))).as("max_epoch"))
+      .orderBy("h", "event_type")
+  }
+
   val all: Seq[Declared] = Seq(
     q01PricingSummary,
     q02MktsegmentRevenue,
@@ -351,5 +455,10 @@ object RelQueries {
     q29ExceptCustkeys,
     q30WindowRunning,
     q31OrdersRangeJoin,
-    q36ApproxDistinct)
+    q36ApproxDistinct,
+    q42GroupingSets,
+    q43LikeFilters,
+    q44Stats,
+    q45CollectSet,
+    q46DateParts)
 }
