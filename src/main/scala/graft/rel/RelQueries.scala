@@ -439,6 +439,76 @@ object RelQueries {
       .orderBy("h", "event_type")
   }
 
+  /** rank / dense_rank / lead + a time-RANGE frame (orders in the trailing
+    * 30 days), completing the window-function surface next to q03/q30.
+    */
+  val q47RankWindows: Declared = Declared.sql(
+    "q47_rank_windows",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+      |  next_price, CAST(n_30d AS BIGINT) AS n_30d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+      |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+      |    lead(o_totalprice) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_totalprice DESC, o_orderkey) AS next_price,
+      |    count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+      |                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+      |  FROM orders) x
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (spark, dir) =>
+    val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val byPriceTie =
+      Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val trailing30d = Window
+      .partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-2592000L, 0L)
+    t(spark, dir).orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        lead("o_totalprice", 1).over(byPriceTie).as("next_price"),
+        count(lit(1)).over(trailing30d).as("n_30d"))
+      .where(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** UNION ALL of two filtered projections + schema-full JSON parsing
+    * (`from_json`, vs the regexp path in q13).
+    */
+  val q48UnionJson: Declared = Declared.sql(
+    "q48_union_json",
+    """WITH u AS (
+      |  SELECT event_type, 'high_value' AS reason,
+      |         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events WHERE value > 90
+      |  UNION ALL
+      |  SELECT event_type, 'error_type' AS reason,
+      |         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events WHERE event_type = 'error')
+      |SELECT reason, event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM u GROUP BY reason, event_type
+      |ORDER BY reason, event_type""".stripMargin) { (spark, dir) =>
+    val ev = t(spark, dir).events
+      .withColumn(
+        "k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+    val high = ev.where(col("value") > 90)
+      .select(col("event_type"), lit("high_value").as("reason"), col("k"))
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_type"), lit("error_type").as("reason"), col("k"))
+    high
+      .unionAll(errs)
+      .groupBy("reason", "event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("reason", "event_type")
+  }
+
   val all: Seq[Declared] = Seq(
     q01PricingSummary,
     q02MktsegmentRevenue,
@@ -460,5 +530,7 @@ object RelQueries {
     q43LikeFilters,
     q44Stats,
     q45CollectSet,
-    q46DateParts)
+    q46DateParts,
+    q47RankWindows,
+    q48UnionJson)
 }
