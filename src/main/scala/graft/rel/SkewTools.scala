@@ -1,0 +1,65 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale tooling for skewed and repeated joins (SURVEY.md §2B, build-rule
+  * "Partitioning & shuffle").
+  *
+  * AQE's skew-join handling covers sort-merge joins automatically; explicit
+  * salting remains the tool when one hot key dominates a shuffled hash join
+  * or an aggregation. Bucketing pre-shuffles a table ONCE at write time so
+  * every subsequent equi-join/agg on the bucket key runs shuffle-free —
+  * the right trade at 100 TB for dimension↔fact joins repeated per query.
+  */
+object SkewTools {
+
+  /** Salted inner equi-join: the build side is replicated `salts` ways, the
+    * probe side gets a deterministic salt from its key hash, and the join
+    * key becomes (key, salt) — a hot key now spreads over `salts`
+    * partitions instead of one straggler task.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      salts: Int = 8): DataFrame = {
+    val salted     = probe.withColumn("__salt", pmod(hash(col(key)), lit(salts)))
+    val replicated = build
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Write both sides bucketed+sorted on the join key; joins between the
+    * returned tables are planned WITHOUT an Exchange (verified in
+    * SkewToolsSpec). `buckets` should match the cluster's target partition
+    * count for the table's size at scale.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 8): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a previously-crashed write can leave an orphan managed location that
+    // DROP TABLE no longer knows about — clear it
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc       = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+}
