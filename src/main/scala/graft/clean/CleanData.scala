@@ -1,6 +1,6 @@
 package graft.clean
 
-import graft.core.{CategoryInfo, GraftFrame, Sanitize}
+import graft.core.{CategoryInfo, Cols, GraftFrame, Sanitize}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,6 +26,40 @@ object CleanData {
     case _              => false
   }
 
+  /** Parse string columns whose non-null values are all numeric (→ double)
+    * or all boolean (→ boolean). pandas gets this for free because
+    * `read_csv` recognises NA sentinels at parse time and types the rest;
+    * Spark's CSV reader knows only one nullValue, so after frame-wide
+    * sentinel replacement ([[replaceNa]]) this pass restores the types the
+    * reference's reader would have produced. ONE aggregate job (try_cast
+    * counts per column); numeric wins over boolean ("0"/"1" strings stay
+    * numeric so the dummy-detect heuristic decides, as in pandas).
+    */
+  def parseStrings(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toIndexedSeq
+    if (stringCols.isEmpty) return df
+    val checks = stringCols.flatMap { c =>
+      Seq(
+        count(Cols.q(c)).as(s"cnt_$c"),
+        count(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"dbl_$c"),
+        count(when(lower(Cols.q(c)).isin("true", "false"), lit(1))).as(s"bool_$c"))
+    }
+    val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    val (toDouble, toBool) = stringCols.foldLeft((Set.empty[String], Set.empty[String])) {
+      case ((ds, bs), c) =>
+        val cnt = row.getAs[Long](s"cnt_$c")
+        if (cnt > 0 && row.getAs[Long](s"dbl_$c") == cnt) (ds + c, bs)
+        else if (cnt > 0 && row.getAs[Long](s"bool_$c") == cnt) (ds, bs + c)
+        else (ds, bs)
+    }
+    if (toDouble.isEmpty && toBool.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      if (toDouble(c)) Cols.q(c).cast(DoubleType).as(c)
+      else if (toBool(c)) Cols.q(c).cast(BooleanType).as(c)
+      else Cols.q(c)
+    }: _*)
+  }
+
   /** pandas `convert_dtypes` equivalent (tasks.py:261): tighten
     * integer-valued float columns to LongType. Runs ONE aggregate job over
     * all double columns. Columns with any fractional or out-of-long-range
@@ -39,9 +73,9 @@ object CleanData {
     // integer-valued & in-range & has at least one value
     val checks = doubleCols.flatMap { c =>
       Seq(
-        max(when(col(c) =!= floor(col(c)) || abs(col(c)) > lit(9.007199254740992e15), lit(1)).otherwise(lit(0)))
+        max(when(Cols.q(c) =!= floor(Cols.q(c)) || abs(Cols.q(c)) > lit(9.007199254740992e15), lit(1)).otherwise(lit(0)))
           .as(s"frac_$c"),
-        count(col(c)).as(s"cnt_$c")
+        count(Cols.q(c)).as(s"cnt_$c")
       )
     }
     val row = df.agg(checks.head, checks.tail: _*).collect()(0)
@@ -52,7 +86,7 @@ object CleanData {
     }.toSet
     if (toLong.isEmpty) df
     else df.select(df.columns.toIndexedSeq.map { c =>
-      if (toLong(c)) col(c).cast(LongType).as(c) else col(c)
+      if (toLong(c)) Cols.q(c).cast(LongType).as(c) else Cols.q(c)
     }: _*)
   }
 
@@ -64,7 +98,7 @@ object CleanData {
     if (naValues == null || naValues.isEmpty) df
     else
       df.select(df.columns.toIndexedSeq.map { c =>
-        when(col(c).isin(naValues: _*), lit(null)).otherwise(col(c)).as(c)
+        when(Cols.q(c).isin(naValues: _*), lit(null)).otherwise(Cols.q(c)).as(c)
       }: _*)
 
   /** `_obj_wrangler` (tasks.py:124–131): object→string cast. Spark columns
@@ -116,7 +150,7 @@ object CleanData {
     val sets: Map[String, Seq[Any]] =
       if (needSets.isEmpty) Map.empty
       else {
-        val aggs = needSets.map(c => collect_set(col(c)).as(c))
+        val aggs = needSets.map(c => collect_set(Cols.q(c)).as(c))
         val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         needSets.map(c => c -> row.getSeq[Any](row.fieldIndex(c)).toIndexedSeq).toMap
       }
@@ -134,8 +168,8 @@ object CleanData {
         }.toSet
 
     var out = df.select(fields.map { f =>
-      if (boolCols(f.name)) col(f.name).cast(BooleanType).as(f.name)
-      else col(f.name)
+      if (boolCols(f.name)) Cols.q(f.name).cast(BooleanType).as(f.name)
+      else Cols.q(f.name)
     }: _*)
 
     // (a)+(c)+(d): assemble category metadata
@@ -148,7 +182,7 @@ object CleanData {
       cats = cats + (c -> CategoryInfo(values, ordered = false))
       declared.foreach { cs =>
         // values outside the declared list become null (tasks.py:217–223)
-        out = out.withColumn(c, when(col(c).isin(cs: _*), col(c)).otherwise(lit(null).cast(StringType)))
+        out = out.withColumn(c, when(Cols.q(c).isin(cs: _*), Cols.q(c)).otherwise(lit(null).cast(StringType)))
       }
     }
     // (e) ordered
@@ -168,10 +202,12 @@ object CleanData {
       strToCat: Boolean = true,
       dummyToBool: Boolean = true): GraftFrame = {
     val sanitize = (s: Seq[String]) => Sanitize.sanitizeColNames(s).getOrElse(Nil)
+    // NA sentinels must be nulled BEFORE type parsing (pandas' reader does
+    // both at parse time; tasks.py:261 then re-infers with convert_dtypes)
     val staged = checkModelAssumptions(
       objWrangler(
         Sanitize.columnWrangler(
-          replaceNa(convertDtypes(df), naValues))))
+          convertDtypes(parseStrings(replaceNa(df, naValues))))))
     factorWrangler(
       GraftFrame(staged),
       sanitize(catCols),

@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * strip surrounding whitespace, collapse runs of ' ' (spaces only, not all
   * whitespace classes) to a single '_', lowercase.
   */
+/** Column references for data-driven names: always backtick-quoted so
+  * names containing dots (`Solar.R`, `state.abb` in the reference
+  * fixtures) resolve as single identifiers, not struct paths.
+  */
+object Cols {
+  def q(name: String): Column = col("`" + name.replace("`", "``") + "`")
+}
+
 object Sanitize {
 
   /** `clean_text` (tasks.py:40–47). */

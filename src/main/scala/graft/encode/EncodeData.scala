@@ -1,6 +1,6 @@
 package graft.encode
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,19 +33,19 @@ object EncodeData {
     val codeCols: Map[String, Column] = ordered.map { c =>
       val cats = gf.cats(c).categories
       val ladder = cats.zipWithIndex.foldLeft(lit(-1): Column) { case (acc, (v, i)) =>
-        when(col(c) === lit(v), lit(i)).otherwise(acc)
+        when(Cols.q(c) === lit(v), lit(i)).otherwise(acc)
       }
-      c -> when(col(c).isNull, lit(-1)).otherwise(ladder).cast(ByteType).as(c)
+      c -> when(Cols.q(c).isNull, lit(-1)).otherwise(ladder).cast(ByteType).as(c)
     }.toMap
 
     val kept: Seq[Column] = gf.df.columns.toIndexedSeq.collect {
-      case c if !unordered.contains(c) => codeCols.getOrElse(c, col(c))
+      case c if !unordered.contains(c) => codeCols.getOrElse(c, Cols.q(c))
     }
 
     // unordered → boolean dummies appended on the right, category order
     val dummies: Seq[Column] = unordered.flatMap { c =>
       gf.cats(c).categories.map { v =>
-        when(col(c) === lit(v), lit(true)).otherwise(lit(false)).as(s"${c}_$v")
+        when(Cols.q(c) === lit(v), lit(true)).otherwise(lit(false)).as(s"${c}_$v")
       }
     }
 

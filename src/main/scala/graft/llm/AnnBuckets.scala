@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Cols
 import graft.functions.GraftFunctions.dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -35,7 +36,7 @@ object AnnBuckets {
     val ps = planes(nBits, dims, seed)
     val bucket: Column = ps.zipWithIndex
       .map { case (p, b) =>
-        when(dot(col(embCol), typedLit(p.toSeq)) > 0, lit(1 << b)).otherwise(lit(0))
+        when(dot(Cols.q(embCol), typedLit(p.toSeq)) > 0, lit(1 << b)).otherwise(lit(0))
       }
       .reduce(_ + _)
     emb.withColumn("bucket", bucket)
@@ -55,7 +56,7 @@ object AnnBuckets {
       nTables: Int = 2,
       seed: Long = 42L): DataFrame = {
     val e = emb
-      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+      .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
     // cosine is computed INSIDE each table's bucket join so only

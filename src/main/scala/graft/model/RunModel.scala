@@ -91,7 +91,7 @@ object RunModel {
     require(xs.nonEmpty, s"run_model: no regressors match $exog")
     val k = xs.size
 
-    def d(c: String): Column = col(c).cast(DoubleType)
+    def d(c: String): Column = graft.core.Cols.q(c).cast(DoubleType)
     val y = d(endog)
 
     // One aggregate: upper triangle of X'X, X'y, y'y, n

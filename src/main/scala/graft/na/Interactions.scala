@@ -1,6 +1,6 @@
 package graft.na
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -40,20 +40,20 @@ object Interactions {
     val firstCatFeature = featureCols.find(c => kind(c) != "num")
 
     def indicatorLevels(i: String): Seq[(String, Column)] = {
-      val iv = col(i).cast(DoubleType)
+      val iv = Cols.q(i).cast(DoubleType)
       if (firstInd.contains(i)) Seq(("[False]", lit(1.0) - iv), ("[True]", iv))
       else Seq(("[T.True]", iv))
     }
 
     def featureLevels(f: String): Seq[(String, Column)] = kind(f) match {
-      case "num" => Seq(("", col(f).cast(DoubleType)))
+      case "num" => Seq(("", Cols.q(f).cast(DoubleType)))
       case "bool" =>
-        val bv = col(f).cast(DoubleType)
+        val bv = Cols.q(f).cast(DoubleType)
         if (firstCatFeature.contains(f)) Seq(("[False]", lit(1.0) - bv), ("[True]", bv))
         else Seq(("[T.True]", bv))
       case "cat" =>
         val levels = filled.cats.get(f).map(_.categories).getOrElse(Nil)
-        val lv     = (l: String) => (col(f) === lit(l)).cast(DoubleType)
+        val lv     = (l: String) => (Cols.q(f) === lit(l)).cast(DoubleType)
         if (firstCatFeature.contains(f)) levels.map(l => (s"[$l]", lv(l)))
         else levels.drop(1).map(l => (s"[T.$l]", lv(l)))
     }

@@ -1,6 +1,6 @@
 package graft.na
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import graft.model.RunModel
 import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.{Column, DataFrame}
@@ -48,7 +48,7 @@ object Mice {
     val nullCounts = df
       .agg(
         sum(col(numericCols.head).isNull.cast("long")).as(numericCols.head),
-        numericCols.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+        numericCols.tail.map(c => sum(Cols.q(c).isNull.cast("long")).as(c)): _*)
       .collect()(0)
     val targets = numericCols.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
@@ -59,12 +59,12 @@ object Mice {
     val means = df
       .agg(
         avg(col(numericCols.head)).as(numericCols.head),
-        numericCols.tail.map(c => avg(col(c)).as(c)): _*)
+        numericCols.tail.map(c => avg(Cols.q(c)).as(c)): _*)
       .collect()(0)
     var work = df.select(
-      (col(rowId) +:
-        numericCols.map(c => coalesce(col(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c))) ++
-        targets.map(c => col(c).isNotNull.as(s"__obs_$c")): _*)
+      (Cols.q(rowId) +:
+        numericCols.map(c => coalesce(Cols.q(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c))) ++
+        targets.map(c => Cols.q(c).isNotNull.as(s"__obs_$c")): _*)
     work = work.localCheckpoint(true)
 
     val totalSweeps = nBurnin + nImputations * nSpread
@@ -77,20 +77,20 @@ object Mice {
           lit(1.0) +: numericCols.filterNot(_ == target).map(col(_).cast(DoubleType))
         val observed = work.where(col(s"__obs_$target"))
         val (beta, sigma2, _) =
-          RunModel.gramFit(observed, col(target).cast(DoubleType), predictors, ridge = 1e-8)
+          RunModel.gramFit(observed, Cols.q(target).cast(DoubleType), predictors, ridge = 1e-8)
         val sigma = math.sqrt(math.max(sigma2, 0.0))
         val pred = predictors.zip(beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
         // deterministic posterior draw keyed by (row, col, sweep, seed)
         val u = (pmod(
-          hash(col(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
+          hash(Cols.q(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
           lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
         val draw = pred + lit(sigma) * probit(u)
-        work = work.withColumn(target, when(col(s"__obs_$target"), col(target)).otherwise(draw))
+        work = work.withColumn(target, when(col(s"__obs_$target"), Cols.q(target)).otherwise(draw))
       }
       work = work.localCheckpoint(true)
       if (saveAt.contains(sweep)) {
         val iterIdx = (sweep - nBurnin) / nSpread - 1
-        snapshots ::= work.select(lit(iterIdx).as("iter") +: col(rowId) +: numericCols.map(col): _*)
+        snapshots ::= work.select(lit(iterIdx).as("iter") +: Cols.q(rowId) +: numericCols.map(col): _*)
       }
     }
     snapshots.reverse.reduce(_ unionByName _)

@@ -1,6 +1,6 @@
 package graft.na
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -56,8 +56,8 @@ object WrangleNa {
       .map(_.name)
 
     val statAggs: Seq[Column] =
-      fields.map(f => sum(col(f.name).isNull.cast(LongType)).as(s"nulls_${f.name}")) ++
-        floatCols.map(c => avg(col(c)).as(s"mean_$c")) ++
+      fields.map(f => sum(Cols.q(f.name).isNull.cast(LongType)).as(s"nulls_${f.name}")) ++
+        floatCols.map(c => avg(Cols.q(c)).as(s"mean_$c")) ++
         intCols.map(c => expr(s"percentile(`$c`, 0.5)").as(s"med_$c"))
 
     val row      = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
@@ -79,7 +79,7 @@ object WrangleNa {
       else {
         val melted = df
           .select(explode(array(modeCols.map(c =>
-            struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("kv"))
+            struct(lit(c).as("c"), Cols.q(c).cast(StringType).as("v"))): _*)).as("kv"))
           .select(col("kv.c").as("c"), col("kv.v").as("v"))
           .where(col("v").isNotNull)
           .groupBy("c", "v")
@@ -109,7 +109,7 @@ object WrangleNa {
   private def applyFill(df: DataFrame, gf: GraftFrame, fills: Map[String, Any]): DataFrame =
     df.select(df.schema.fields.toIndexedSeq.map { f =>
       fills.get(f.name) match {
-        case None => col(f.name)
+        case None => Cols.q(f.name)
         case Some(v) =>
           val fillLit = (f.dataType, v) match {
             case (BooleanType, s: String) => lit(s.toBoolean)
@@ -120,7 +120,7 @@ object WrangleNa {
               if (d == math.floor(d)) lit(d.toLong).cast(f.dataType) else lit(d)
             case _ => lit(v)
           }
-          coalesce(col(f.name).cast(promoted(f.dataType, v)), fillLit.cast(promoted(f.dataType, v))).as(f.name)
+          coalesce(Cols.q(f.name).cast(promoted(f.dataType, v)), fillLit.cast(promoted(f.dataType, v))).as(f.name)
       }
     }: _*)
 
@@ -137,7 +137,7 @@ object WrangleNa {
 
   /** Null-pattern bitstring over all columns in column order. */
   private def patternCol(df: DataFrame): Column =
-    concat(df.columns.toIndexedSeq.map(c => when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    concat(df.columns.toIndexedSeq.map(c => when(Cols.q(c).isNull, lit("1")).otherwise(lit("0"))): _*)
 
   /** Fill-in + per-pattern indicator dummies (`fii`). */
   def fii(gf: GraftFrame): GraftFrame = {

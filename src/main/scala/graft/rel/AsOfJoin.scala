@@ -1,5 +1,6 @@
 package graft.rel
 
+import graft.core.Cols
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,15 +42,15 @@ object AsOfJoin {
     val rType   = right.select(rStruct.as("r")).schema("r").dataType
 
     val taggedRight = right.select(
-      col(rightKey).as("__k"),
-      col(rightTime).cast("timestamp").as("__t"),
+      Cols.q(rightKey).as("__k"),
+      Cols.q(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__tag"),
       lit(null).cast(left.select(struct(leftCols.map(left(_)): _*).as("l")).schema("l").dataType).as("__l"),
       rStruct.as("__r"))
 
     val taggedLeft = left.select(
-      col(leftKey).as("__k"),
-      col(leftTime).cast("timestamp").as("__t"),
+      Cols.q(leftKey).as("__k"),
+      Cols.q(leftTime).cast("timestamp").as("__t"),
       lit(1).as("__tag"),
       struct(leftCols.map(left(_)): _*).as("__l"),
       lit(null).cast(rType).as("__r"))

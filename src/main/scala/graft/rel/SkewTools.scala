@@ -1,5 +1,6 @@
 package graft.rel
 
+import graft.core.Cols
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,7 +25,7 @@ object SkewTools {
       build: DataFrame,
       key: String,
       salts: Int = 8): DataFrame = {
-    val salted     = probe.withColumn("__salt", pmod(hash(col(key)), lit(salts)))
+    val salted     = probe.withColumn("__salt", pmod(hash(Cols.q(key)), lit(salts)))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

@@ -1,6 +1,6 @@
 package graft.transform
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,8 +33,8 @@ object GelmanStandardize {
 
     val aggs: Seq[Column] =
       numericCols.flatMap(c =>
-        Seq(avg(col(c)).as(s"mean_$c"), stddev_samp(col(c)).as(s"sd_$c"))) ++
-        boolCols.map(c => avg(col(c).cast(DoubleType)).as(s"mean_$c"))
+        Seq(avg(Cols.q(c)).as(s"mean_$c"), stddev_samp(Cols.q(c)).as(s"sd_$c"))) ++
+        boolCols.map(c => avg(Cols.q(c).cast(DoubleType)).as(s"mean_$c"))
 
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def stat(n: String): Option[Double] =
@@ -44,16 +44,16 @@ object GelmanStandardize {
       if (numericCols.contains(c)) {
         (stat(s"mean_$c"), stat(s"sd_$c")) match {
           case (Some(m), Some(sd)) if sd != 0.0 =>
-            ((col(c).cast(DoubleType) - lit(m)) / lit(2.0 * sd)).as(c)
-          case (Some(m), _) => (col(c).cast(DoubleType) - lit(m)).as(c)
-          case _            => col(c).cast(DoubleType).as(c)
+            ((Cols.q(c).cast(DoubleType) - lit(m)) / lit(2.0 * sd)).as(c)
+          case (Some(m), _) => (Cols.q(c).cast(DoubleType) - lit(m)).as(c)
+          case _            => Cols.q(c).cast(DoubleType).as(c)
         }
       } else if (boolCols.contains(c)) {
         stat(s"mean_$c") match {
-          case Some(m) => (col(c).cast(DoubleType) - lit(m)).as(c)
-          case None    => col(c).cast(DoubleType).as(c)
+          case Some(m) => (Cols.q(c).cast(DoubleType) - lit(m)).as(c)
+          case None    => Cols.q(c).cast(DoubleType).as(c)
         }
-      } else col(c)
+      } else Cols.q(c)
     }: _*))
   }
 }

@@ -1,6 +1,6 @@
 package graft.transform
 
-import graft.core.GraftFrame
+import graft.core.{Cols, GraftFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,7 +28,7 @@ object TransformData {
     }
     if (func == "log") {
       val anyZero = gf.df
-        .where(cols.map(c => col(c) === lit(0)).reduce(_ || _))
+        .where(cols.map(c => Cols.q(c) === lit(0)).reduce(_ || _))
         .limit(1)
         .count() > 0
       if (anyZero)
@@ -37,7 +37,7 @@ object TransformData {
     }
     gf.mapDf(df =>
       df.select(df.columns.toIndexedSeq.map { c =>
-        if (cols.contains(c)) f(col(c).cast(DoubleType)).as(c) else col(c)
+        if (cols.contains(c)) f(Cols.q(c).cast(DoubleType)).as(c) else Cols.q(c)
       }: _*))
   }
 }
