@@ -44,8 +44,14 @@ object WrangleNa {
   def cc(gf: GraftFrame, cols: Seq[String] = Nil): GraftFrame =
     gf.mapDf(df => if (cols.isEmpty) df.na.drop() else df.na.drop(cols))
 
-  /** Computed fill values for `fi`: one agg job + one melted mode job. */
-  private def fillValues(gf: GraftFrame): (Map[String, Any], Boolean) = {
+  /** Computed fill values for `fi`: one agg job + one melted mode job.
+    * `mode` flips the integer-median statistic between exact `percentile`
+    * (oracle runs) and `percentile_approx` (the 100 TB path,
+    * SURVEY.md §7.4.5).
+    */
+  private def fillValues(
+      gf: GraftFrame,
+      mode: graft.core.ScaleMode): (Map[String, Any], Boolean) = {
     val df     = gf.df
     val fields = df.schema.fields.toIndexedSeq
 
@@ -58,7 +64,7 @@ object WrangleNa {
     val statAggs: Seq[Column] =
       fields.map(f => sum(Cols.q(f.name).isNull.cast(LongType)).as(s"nulls_${f.name}")) ++
         floatCols.map(c => avg(Cols.q(c)).as(s"mean_$c")) ++
-        intCols.map(c => expr(s"percentile(`$c`, 0.5)").as(s"med_$c"))
+        intCols.map(c => graft.core.Stats.percentile(Cols.q(c), 0.5, mode).as(s"med_$c"))
 
     val row      = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val anyNulls = fields.exists(f => row.getAs[Long](s"nulls_${f.name}") > 0)
@@ -100,8 +106,8 @@ object WrangleNa {
     * promoted to double (pandas fills Int64 with a float → Float64,
     * tasks.py:357–360 post-condition).
     */
-  def fi(gf: GraftFrame): GraftFrame = {
-    val (fills, anyNulls) = fillValues(gf)
+  def fi(gf: GraftFrame, mode: graft.core.ScaleMode = graft.core.ScaleMode.Exact): GraftFrame = {
+    val (fills, anyNulls) = fillValues(gf, mode)
     if (!anyNulls) return gf
     gf.mapDf(applyFill(_, gf, fills))
   }
