@@ -87,6 +87,34 @@ object SimilarityQueries {
 
   private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
 
+  /** Embedding-cosine near-dup pairs above a similarity threshold — the
+    * dedup-flavored variant of q19 (unordered pairs, a_id < b_id). At scale
+    * the same predicate runs over LSH-bucket candidates (q41) instead of
+    * the full cross join.
+    */
+  val q49EmbeddingNeardup: Declared = Declared.sql(
+    "q49_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+      |      FROM n a, n b WHERE a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, cos_sim FROM p
+      |WHERE cos_sim >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
+    val e = t(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot("emb", "emb")))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")), 6))
+      .where(col("cos_sim") >= 0.4)
+      .select("a_id", "b_id", "cos_sim")
+      .orderBy("a_id", "b_id")
+  }
+
   /** LSH-bucketed approximate top-k — the scale path next to the exact
     * brute force of q19. Rows-only (approximation has no SQL oracle);
     * AnnSpec measures recall against the exact result.
@@ -97,5 +125,6 @@ object SimilarityQueries {
       .orderBy("a_id", "rn")
   }
 
-  val all: Seq[Declared] = Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk)
+  val all: Seq[Declared] =
+    Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup)
 }
