@@ -37,7 +37,8 @@ object Mice {
       nBurnin: Int = 20,
       nImputations: Int = 10,
       nSpread: Int = 20,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      checkpointEvery: Int = 5): DataFrame = {
     val df = gf.df
     val numericCols = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] && f.name != rowId => f.name
@@ -87,7 +88,12 @@ object Mice {
         val draw = pred + lit(sigma) * probit(u)
         work = work.withColumn(target, when(col(s"__obs_$target"), Cols.q(target)).otherwise(draw))
       }
-      work = work.localCheckpoint(true)
+      // truncate lineage every few sweeps (and always at a save point, so
+      // snapshots don't re-execute imputation chains); each un-checkpointed
+      // sweep is only a stack of projections, so recompute is cheaper than
+      // materializing every round
+      if (sweep % checkpointEvery == 0 || saveAt.contains(sweep))
+        work = work.localCheckpoint(true)
       if (saveAt.contains(sweep)) {
         val iterIdx = (sweep - nBurnin) / nSpread - 1
         snapshots ::= work.select(lit(iterIdx).as("iter") +: Cols.q(rowId) +: numericCols.map(col): _*)

@@ -104,6 +104,15 @@ class GoldenFixturesSpec extends AnyFunSuite {
     assert(!gf.df.columns.exists(_.startsWith("_c")))
   }
 
+  test("retrieve_data reads TSV via the sep parameter") {
+    val path = Files.createTempFile("fixture", ".tsv")
+    Files.writeString(path, "a\tb\n1\t2.5\n3\t4.5")
+    val df = graft.flow.E2EPipeline.retrieveData(spark, path.toString, sep = "\t")
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+    assert(df.schema("b").dataType.typeName == "double")
+  }
+
   test("iraq_vote clean_data: strings to categoricals, y/rep to boolean") {
     val body =
       """row_id,y,state.abb,name,rep,state.name,gorevote

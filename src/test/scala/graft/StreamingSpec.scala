@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows match the batch session query") {
+    val stream = StreamingOps
+      .readEventStream(spark, streamDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("session_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+      val want = graft.core.Tables(spark, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
