@@ -40,8 +40,14 @@ object Mice {
       seed: Long = 42L,
       checkpointEvery: Int = 5): DataFrame = {
     val df = gf.df
+    // booleans participate as 0/1 linear-probability columns in the chained
+    // equations and are thresholded back to boolean in the output
+    val boolCols = df.schema.fields.collect {
+      case f if f.dataType == BooleanType && f.name != rowId => f.name
+    }.toIndexedSeq.toSet
     val numericCols = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] && f.name != rowId => f.name
+      case f if (f.dataType.isInstanceOf[NumericType] || f.dataType == BooleanType) && f.name != rowId =>
+        f.name
     }.toIndexedSeq
     require(numericCols.size >= 2, "mice: needs at least two numeric columns")
 
@@ -59,8 +65,8 @@ object Mice {
     // working frame: doubles + observed flags; start from mean-fill
     val means = df
       .agg(
-        avg(col(numericCols.head)).as(numericCols.head),
-        numericCols.tail.map(c => avg(Cols.q(c)).as(c)): _*)
+        avg(col(numericCols.head).cast(DoubleType)).as(numericCols.head),
+        numericCols.tail.map(c => avg(Cols.q(c).cast(DoubleType)).as(c)): _*)
       .collect()(0)
     var work = df.select(
       (Cols.q(rowId) +:
@@ -96,7 +102,10 @@ object Mice {
         work = work.localCheckpoint(true)
       if (saveAt.contains(sweep)) {
         val iterIdx = (sweep - nBurnin) / nSpread - 1
-        snapshots ::= work.select(lit(iterIdx).as("iter") +: Cols.q(rowId) +: numericCols.map(col): _*)
+        snapshots ::= work.select(
+          lit(iterIdx).as("iter") +: Cols.q(rowId) +:
+            numericCols.map(c =>
+              if (boolCols(c)) (Cols.q(c) >= 0.5).as(c) else Cols.q(c)): _*)
       }
     }
     snapshots.reverse.reduce(_ unionByName _)

@@ -50,6 +50,24 @@ class MiceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("boolean columns impute via linear probability and stay boolean") {
+    val rows = (0 until 200).map { i =>
+      val x = (i % 50).toDouble
+      val b = if (i % 5 == 0) None else Some(x > 25.0) // missing on a pattern
+      (i.toLong, x, b)
+    }
+    val out = Mice(
+      GraftFrame(rows.toDF("row_id", "x", "b")), "row_id",
+      nBurnin = 2, nImputations = 2, nSpread = 1)
+    assert(out.schema("b").dataType.typeName == "boolean")
+    assert(out.where(col("b").isNull).count() == 0)
+    val acc = out
+      .where(col("row_id") % 5 === 0)
+      .select(avg((col("b") === (col("x") > 25.0)).cast("double")))
+      .as[Double].collect().head
+    assert(acc > 0.7, s"imputed boolean accuracy $acc")
+  }
+
   test("frame with no missing values returns unchanged") {
     val noNa = GraftFrame(Seq((1L, 1.0, 2.0), (2L, 2.0, 3.0)).toDF("row_id", "x", "y"))
     assert(Mice(noNa, "row_id").count() == 2)
