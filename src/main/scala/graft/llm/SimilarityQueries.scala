@@ -137,6 +137,16 @@ object SimilarityQueries {
       .orderBy("a_id", "rn")
   }
 
+  /** IVF-bucketed approximate top-k — the inverted-file scale path next to
+    * the LSH tables of q41. Rows-only; recall asserted in
+    * AnnMultimodalSpec.
+    */
+  val q50IvfTopk: Declared = Declared.rowsOnly("q50_ivf_topk") { (spark, dir) =>
+    IvfIndex
+      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+      .orderBy("a_id", "rn")
+  }
+
   val all: Seq[Declared] =
-    Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup)
+    Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk)
 }

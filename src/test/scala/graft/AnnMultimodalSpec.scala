@@ -32,6 +32,35 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(approx.size < n * n / 2)
   }
 
+  test("IVF ANN reaches useful recall vs the exact top-5 oracle") {
+    val exact = SimilarityQueries.q19SimilarityTopk
+      .run(spark, dir)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = graft.llm.IvfIndex
+      .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"IVF recall too low: $recall")
+    val n = Tables(spark, dir).embeddings.count()
+    assert(approx.size < n * n / 2)
+  }
+
+  test("IVF centroids are deterministic and cover all cells") {
+    val c1 = graft.llm.IvfIndex.trainCentroids(
+      Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
+    val c2 = graft.llm.IvfIndex.trainCentroids(
+      Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+  }
+
   test("ANN buckets are deterministic for a fixed seed") {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
