@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: selection is a pure
+  * function of (salt, id) via an md5-prefix threshold, so samples are
+  * reproducible across runs, engines, and cluster sizes — no RNG state, no
+  * seed-per-partition coupling like `DataFrame.sample`. The md5 hex prefix
+  * is uniform over [0x00, 0xff], so a two-hex-digit threshold gives
+  * rate ≈ threshold/256, comparable as plain strings in any engine.
+  */
+object Sampling {
+
+  /** Two-hex-digit bucket of the salted id (uniform over "00".."ff"). */
+  def hashBucket(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + "|"), id.cast("string")).cast("binary")), 1, 2)
+
+  /** Keep rows whose bucket falls under the stratum's threshold. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      thresholds: Map[String, String],
+      defaultThreshold: String,
+      salt: String = "sample"): DataFrame = {
+    val bucket = hashBucket(Cols.q(idCol), salt)
+    val limit = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (stratum, hex)) =>
+      when(Cols.q(strataCol) === stratum, lit(hex)).otherwise(acc)
+    }
+    df.where(bucket < limit)
+  }
+
+  /** Deterministic train/test split column ("cc" ≈ 80% train). */
+  def trainTestSplit(id: Column, trainThreshold: String = "cc", salt: String = "split"): Column =
+    when(hashBucket(id, salt) < lit(trainThreshold), lit("train")).otherwise(lit("test"))
+}

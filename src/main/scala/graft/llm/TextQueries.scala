@@ -268,6 +268,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling + train/test split: selection is an
+    * md5-prefix threshold on the salted id (reproducible across engines and
+    * cluster sizes — the library form is [[Sampling]]). English is
+    * downsampled to ~10%, other languages kept at ~50%, then split ~80/20.
+    */
+  val q51DeterministicSample: Declared = Declared.sql(
+    "q51_deterministic_sample",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM documents
+      |  WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |        < CASE WHEN lang = 'en' THEN '1a' ELSE '80' END)
+      |SELECT lang, split, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM s GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+    val sampled = Sampling.stratifiedSample(
+      t(spark, dir).documents,
+      "doc_id",
+      "lang",
+      thresholds = Map("en" -> "1a"),
+      defaultThreshold = "80")
+    sampled
+      .withColumn("split", Sampling.trainTestSplit(col("doc_id")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -278,5 +309,6 @@ object TextQueries {
     q34NgramJaccard,
     q35TokenCounts,
     q37LangidDist,
-    q38Fingerprints)
+    q38Fingerprints,
+    q51DeterministicSample)
 }
