@@ -509,6 +509,27 @@ object RelQueries {
       .orderBy("reason", "event_type")
   }
 
+  /** Pivot (long→wide): returnflag columns per linestatus via the DataFrame
+    * pivot API with explicit values (static value list keeps the oracle
+    * portable — conditional aggregation in ANSI SQL).
+    */
+  val q52Pivot: Declared = Declared.sql(
+    "q52_pivot",
+    """SELECT l_linestatus,
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS qty_A,
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS qty_N,
+      |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_R
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    t(spark, dir).lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .toDF("l_linestatus", "qty_A", "qty_N", "qty_R")
+      .orderBy("l_linestatus")
+  }
+
   val all: Seq[Declared] = Seq(
     q01PricingSummary,
     q02MktsegmentRevenue,
@@ -532,5 +553,6 @@ object RelQueries {
     q45CollectSet,
     q46DateParts,
     q47RankWindows,
-    q48UnionJson)
+    q48UnionJson,
+    q52Pivot)
 }
