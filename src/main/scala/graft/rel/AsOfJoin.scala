@@ -27,13 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** @param tolerance pandas `merge_asof`-style max lookback: a match older
+    *                   than `left.time − tolerance` is dropped (nulls kept,
+    *                   left row survives). None = unbounded lookback.
+    */
   def apply(
       left: DataFrame,
       leftKey: String,
       leftTime: String,
       right: DataFrame,
       rightKey: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols  = left.columns.toIndexedSeq
     val rightCols = right.columns.toIndexedSeq
     require(leftCols.intersect(rightCols).isEmpty, "as-of join: column names must be disjoint")
@@ -60,12 +65,21 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight
+    val matched = taggedRight
       .unionByName(taggedLeft)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match_t", last(when(col("__tag") === 0, col("__t")), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .select(
-        leftCols.map(c => col(s"__l.$c").as(c)) ++
-          rightCols.map(c => col(s"__match.$c").as(c)): _*)
+
+    val bounded = tolerance.fold(matched) { tol =>
+      matched.withColumn(
+        "__match",
+        when(col("__match_t") >= col("__t") - expr(s"INTERVAL $tol"), col("__match"))
+          .otherwise(lit(null).cast(rType)))
+    }
+
+    bounded.select(
+      leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

@@ -72,4 +72,37 @@ class RunModelSpec extends AnyFunSuite {
     assert(out(102L).isEmpty)
     assert(out(103L).isEmpty)
   }
+
+  test("as-of join tolerance drops matches older than the lookback window") {
+    val quotes = Seq((1L, "2024-01-01 00:00:00", 10.0))
+      .toDF("qk", "qt", "px")
+      .selectExpr("qk", "cast(qt as timestamp) qt", "px")
+    val trades = Seq(
+      (1L, "2024-01-01 00:04:00", 100L), // 4 min after quote → within 5 min
+      (1L, "2024-01-01 00:06:00", 101L)) // 6 min after → outside tolerance
+      .toDF("tk", "tt", "tid")
+      .selectExpr("tk", "cast(tt as timestamp) tt", "tid")
+    val out = AsOfJoin(trades, "tk", "tt", quotes, "qk", "qt", tolerance = Some("5 MINUTES"))
+      .select("tid", "px")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(out(100L).contains(10.0))
+    assert(out(101L).isEmpty)
+  }
+
+  test("as-of join matches every left row at duplicate (key, time) points") {
+    val quotes = Seq((1L, "2024-01-01 00:00:00", 10.0))
+      .toDF("qk", "qt", "px")
+      .selectExpr("qk", "cast(qt as timestamp) qt", "px")
+    val trades = Seq(
+      (1L, "2024-01-01 00:01:00", 100L),
+      (1L, "2024-01-01 00:01:00", 101L))
+      .toDF("tk", "tt", "tid")
+      .selectExpr("tk", "cast(tt as timestamp) tt", "tid")
+    val out = AsOfJoin(trades, "tk", "tt", quotes, "qk", "qt")
+      .select("tid", "px").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getDouble(1) == 10.0))
+  }
 }
