@@ -51,13 +51,17 @@ object Mice {
     }.toIndexedSeq
     require(numericCols.size >= 2, "mice: needs at least two numeric columns")
 
-    // null counts in one job; targets = numeric cols with any missing value
+    // null counts in one job; targets = numeric cols with some-but-not-all
+    // values missing (an all-null column has no observed rows to model —
+    // it passes through untouched, like pandas mean-filling an all-NaN col)
+    val total = df.count()
     val nullCounts = df
       .agg(
         sum(col(numericCols.head).isNull.cast("long")).as(numericCols.head),
         numericCols.tail.map(c => sum(Cols.q(c).isNull.cast("long")).as(c)): _*)
       .collect()(0)
-    val targets = numericCols.filter(c => nullCounts.getAs[Long](c) > 0)
+    val usable = numericCols.filter(c => nullCounts.getAs[Long](c) < total)
+    val targets = usable.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
 
     val probit = udf { (u: Double) => new NormalDistribution(0.0, 1.0).inverseCumulativeProbability(u) }
@@ -70,7 +74,11 @@ object Mice {
       .collect()(0)
     var work = df.select(
       (Cols.q(rowId) +:
-        numericCols.map(c => coalesce(Cols.q(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c))) ++
+        numericCols.map { c =>
+          if (usable.contains(c))
+            coalesce(Cols.q(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c)
+          else Cols.q(c).cast(DoubleType).as(c) // all-null: passes through
+        }) ++
         targets.map(c => Cols.q(c).isNotNull.as(s"__obs_$c")): _*)
     work = work.localCheckpoint(true)
 
@@ -81,7 +89,7 @@ object Mice {
     for (sweep <- 1 to totalSweeps) {
       for (target <- targets) {
         val predictors: Seq[Column] =
-          lit(1.0) +: numericCols.filterNot(_ == target).map(col(_).cast(DoubleType))
+          lit(1.0) +: usable.filterNot(_ == target).map(col(_).cast(DoubleType))
         val observed = work.where(col(s"__obs_$target"))
         val (beta, sigma2, _) =
           RunModel.gramFit(observed, Cols.q(target).cast(DoubleType), predictors, ridge = 1e-8)

@@ -68,6 +68,20 @@ class MiceSpec extends AnyFunSuite {
     assert(acc > 0.7, s"imputed boolean accuracy $acc")
   }
 
+  test("all-null column passes through untouched and is excluded from models") {
+    val rows = (0 until 50).map { i =>
+      val x = i.toDouble
+      val y = if (i % 5 == 0) None else Some(2.0 * x)
+      (i.toLong, x, y, Option.empty[Double])
+    }
+    val out = Mice(
+      GraftFrame(rows.toDF("row_id", "x", "y", "dead")), "row_id",
+      nBurnin = 1, nImputations = 2, nSpread = 1)
+    assert(out.count() == 100)
+    assert(out.where(col("y").isNull).count() == 0)
+    assert(out.where(col("dead").isNull).count() == 100) // untouched
+  }
+
   test("frame with no missing values returns unchanged") {
     val noNa = GraftFrame(Seq((1L, 1.0, 2.0), (2L, 2.0, 3.0)).toDF("row_id", "x", "y"))
     assert(Mice(noNa, "row_id").count() == 2)
