@@ -54,7 +54,9 @@ object E2EPipeline {
       .option("inferSchema", "true")
       .csv(url)
     val limited = nrows.fold(df)(df.limit)
-    val unnamed = limited.columns.filter(c => c.contains("Unnamed") || c.startsWith("_c"))
+    // only pandas-style "Unnamed: N" headers and Spark's generated _c<digit>
+    // placeholders — a real user column like "_cost" must survive
+    val unnamed = limited.columns.filter(c => c.contains("Unnamed") || c.matches("_c\\d+"))
     limited.drop(unnamed.toIndexedSeq: _*)
   }
 

@@ -20,10 +20,13 @@ object TextAnalysis {
   def nBpeTokens(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
 
-  /** Type-token ratio (lexical diversity), 0 for empty text. */
+  /** Type-token ratio (lexical diversity), 0 for empty/null text (note
+    * `split("", " ")` yields `[""]`, so the guard must be on text length,
+    * not token count).
+    */
   def typeTokenRatio(text: Column): Column = {
     val toks = split(text, " ")
-    when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0)
+    when(length(text) > 0, size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0)
   }
 
   /** Heuristic quality score in [0,1]: length band + lexical diversity +

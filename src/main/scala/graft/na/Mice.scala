@@ -64,7 +64,10 @@ object Mice {
     val targets = usable.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
 
-    val probit = udf { (u: Double) => new NormalDistribution(0.0, 1.0).inverseCumulativeProbability(u) }
+    // one shared instance — the UDF runs once per missing cell per sweep,
+    // and inverseCumulativeProbability is thread-safe
+    val stdNormal = new NormalDistribution(0.0, 1.0)
+    val probit    = udf { (u: Double) => stdNormal.inverseCumulativeProbability(u) }
 
     // working frame: doubles + observed flags; start from mean-fill
     val means = df

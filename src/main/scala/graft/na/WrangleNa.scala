@@ -91,7 +91,16 @@ object WrangleNa {
           .groupBy("c", "v")
           .count()
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("c").orderBy(col("count").desc, col("v").asc)
+        // smallest-VALUE tie-break: numeric-castable values compare
+        // numerically (the melt stringifies them, and "10" < "2" as strings
+        // would break the pandas mode().loc[0] contract for numeric
+        // categoricals); non-numeric values fall through to string order
+        val w = Window
+          .partitionBy("c")
+          .orderBy(
+            col("count").desc,
+            expr("try_cast(v AS DOUBLE)").asc_nulls_last,
+            col("v").asc)
         melted
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
@@ -161,11 +170,17 @@ object WrangleNa {
     gf.copy(df = withDummies.drop("__na_pattern"))
   }
 
-  /** Grand model: `fii` + feature×indicator interactions. */
+  /** Grand model: `fii` + feature×indicator interactions. Indicator
+    * columns are matched by the exact generated shape `na_<bits>` (bit
+    * count = input column count) so a pre-existing data column that merely
+    * starts with "na_" is treated as a feature, not an indicator.
+    */
   def gm(gf: GraftFrame): GraftFrame = {
     val before  = gf.df.columns.toIndexedSeq
     val filled  = fii(gf)
-    val indCols = filled.df.columns.toIndexedSeq.filter(_.startsWith("na_"))
+    val indPattern = s"na_[01]{${before.length}}"
+    val indCols =
+      filled.df.columns.toIndexedSeq.filterNot(before.contains).filter(_.matches(indPattern))
     Interactions.grandModel(filled, before, indCols)
   }
 

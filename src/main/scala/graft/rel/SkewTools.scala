@@ -25,7 +25,9 @@ object SkewTools {
       build: DataFrame,
       key: String,
       salts: Int = 8): DataFrame = {
-    val salted     = probe.withColumn("__salt", pmod(hash(Cols.q(key)), lit(salts)))
+    // the salt must be ROW-dependent: deriving it from the key would give a
+    // hot key one constant salt and defeat the spread entirely
+    val salted     = probe.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

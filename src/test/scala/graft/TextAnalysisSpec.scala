@@ -34,6 +34,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores(1) > scores(0))
   }
 
+  test("type-token ratio is 0 for empty text, not 1") {
+    val got = Seq("", "a a b")
+      .toDF("text")
+      .select(TextAnalysis.typeTokenRatio(col("text")))
+      .as[Double]
+      .collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val df = Seq("a b c", "c b a", "a b c").toDF("text")
     val fp = df.select(TextAnalysis.rollingFingerprint(col("text"))).as[Long].collect()

@@ -104,6 +104,27 @@ class WrangleNaSpec extends AnyFunSuite {
     assert(r3.getDouble(colIdx("""Q("float_x"):Q("na_1000")[T.True]""")) == 2.5)
   }
 
+  test("fi mode tie-break is numeric for numeric categoricals (2 beats 10)") {
+    val gf = GraftFrame(
+      Seq(Some(2L), Some(2L), Some(10L), Some(10L), None).toDF("yr"),
+      Map("yr" -> CategoryInfo(Seq("2", "10"), ordered = false)))
+    val filled = WrangleNa.fi(gf).df.where(col("yr").isNotNull)
+    // tie between 2 and 10 → smallest VALUE wins (pandas mode().loc[0]),
+    // not smallest string ("10" < "2")
+    assert(WrangleNa.fi(gf).df.where(col("yr") === 2L).count() == 3)
+    assert(filled.count() == 5)
+  }
+
+  test("gm does not mistake a pre-existing na_-prefixed column for an indicator") {
+    val gf = GraftFrame(
+      Seq((Some(1.0), 0.0), (None, 1.0), (Some(3.0), 0.0)).toDF("x", "na_flag"))
+    val out = WrangleNa.gm(gf).df
+    // na_flag is a FEATURE: it appears in interaction names on the left side
+    assert(out.columns.exists(_.startsWith("""Q("na_flag"):""")))
+    // and only the generated pattern column (na_10) acts as indicator
+    assert(out.columns.filter(c => c.matches("na_[01]+")).toSeq == Seq("na_10"))
+  }
+
   test("fi promotes int column to double when median is fractional") {
     val gf  = GraftFrame(Seq(Some(1L), Some(2L), None, Some(5L), None, Some(6L)).toDF("i"))
     val out = WrangleNa.fi(gf).df
