@@ -42,12 +42,33 @@ final case class PipelineResult(
 
 object E2EPipeline {
 
+  /** Reference retry policy (tasks.py:61: retries=3, delay 10 s) for remote
+    * sources — applied around the eager schema-inference read when the path
+    * is a URL-like scheme; local file errors are not retryable.
+    */
+  private[flow] def withRetries[T](attempts: Int, delayMs: Long)(f: => T): T = {
+    var left = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if left > 1 =>
+          left -= 1
+          Thread.sleep(delayMs)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** `retrieve_data` (tasks.py:61–97): CSV with header + schema inference,
-    * optional row limit, drop pandas-style `Unnamed` index columns. The
-    * reference's 3×/10s retry wrapper guards a network fetch; for local
-    * paths a read failure is not retryable, so errors propagate.
+    * optional row limit, drop pandas-style `Unnamed` index columns.
     */
   def retrieveData(spark: SparkSession, url: String, sep: String = ",", nrows: Option[Int] = None): DataFrame = {
+    val remote = url.matches("^[a-z][a-z0-9+.-]*://.*") && !url.startsWith("file:")
+    if (remote) withRetries(3, 10000L)(readCsv(spark, url, sep, nrows))
+    else readCsv(spark, url, sep, nrows)
+  }
+
+  private def readCsv(spark: SparkSession, url: String, sep: String, nrows: Option[Int]): DataFrame = {
     val df = spark.read
       .option("header", "true")
       .option("sep", sep)
