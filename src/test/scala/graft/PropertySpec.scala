@@ -52,6 +52,43 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("as-of join agrees with a brute-force range-join reference on random data") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      key  <- Gen.choose(1L, 4L)
+      secs <- Gen.choose(0L, 3600L)
+    } yield (key, secs)
+    (0 until 3).foreach { round =>
+      val leftRows = samples(Gen.listOfN(30, gen), 1)(0).zipWithIndex
+        .map { case ((k, s), i) => (k, s, i.toLong) }
+      val rightRows = samples(Gen.listOfN(20, gen), 1)(0).zipWithIndex
+        .map { case ((k, s), i) => (k, s, 100L + i) }
+
+      val left = leftRows.toDF("lk", "lsecs", "lid")
+        .selectExpr("lk", "timestamp_seconds(lsecs) AS lt", "lid")
+      val right = rightRows.toDF("rk", "rsecs", "rid")
+        .selectExpr("rk", "timestamp_seconds(rsecs) AS rt", "rid")
+        // dedupe per (key, time) for a deterministic pick, as documented
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("rk", "rt").orderBy(col("rid").desc)))
+        .where(col("rn") === 1).drop("rn")
+
+      val got = graft.rel.AsOfJoin(left, "lk", "lt", right, "rk", "rt")
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+      // brute force: max-time right row with rt <= lt per left row
+      val rightLocal = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      val want = left.collect().map { r =>
+        val (lk, lt, lid) = (r.getLong(0), r.getTimestamp(1), r.getLong(2))
+        val cands = rightLocal.filter(x => x._1 == lk && !x._2.after(lt))
+        lid -> (if (cands.isEmpty) None else Some(cands.maxBy(x => (x._2.getTime, x._3))._3))
+      }.toMap
+      assert(got == want, s"round $round diverged")
+    }
+  }
+
   test("gelman standardization yields mean ≈ 0 and sample sd ≈ 0.5") {
     samples(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 5)
       .filter(_.distinct.size > 1)

@@ -80,6 +80,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink round-trips every event") {
+    val outDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val q = StreamingOps
+      .readEventStream(spark, streamDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val got  = spark.read.parquet(outDir).count()
+      val want = graft.core.Tables(spark, dir).events.count()
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
