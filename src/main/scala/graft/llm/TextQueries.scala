@@ -299,6 +299,53 @@ object TextQueries {
       .orderBy("lang", "split")
   }
 
+  /** Vocabulary construction: global token frequencies with dense ids
+    * assigned by (count desc, token asc) — the deterministic vocab-table
+    * build that precedes any tokenizer training.
+    */
+  val q53Vocab: Declared = Declared.sql(
+    "q53_vocab",
+    """SELECT tok, n, CAST(rn AS INTEGER) AS token_id FROM (
+      |  SELECT tok, count(*) AS n,
+      |         row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok) x
+      |WHERE rn <= 20
+      |ORDER BY rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("token_id", row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+      .where(col("token_id") <= 20)
+      .orderBy("token_id")
+  }
+
+  /** Document-frequency / IDF table: df = documents containing the token,
+    * idf = ln(N/df) — distinct (doc, token) explode then one aggregate.
+    */
+  val q54Idf: Declared = Declared.sql(
+    "q54_idf",
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents)
+      |SELECT tok, count(*) AS df,
+      |       round(ln((SELECT total FROM n) / count(*)), 6) AS idf
+      |FROM dt GROUP BY tok
+      |ORDER BY tok""".stripMargin) { (spark, dir) =>
+    val docs  = t(spark, dir).documents
+    val total = docs.count().toDouble
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", round(log(lit(total) / col("df")), 6))
+      .orderBy("tok")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -310,5 +357,7 @@ object TextQueries {
     q35TokenCounts,
     q37LangidDist,
     q38Fingerprints,
-    q51DeterministicSample)
+    q51DeterministicSample,
+    q53Vocab,
+    q54Idf)
 }
