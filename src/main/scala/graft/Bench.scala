@@ -32,7 +32,10 @@ object Bench {
     for (_ <- 1 to rounds; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop write forces FULL evaluation of every projected expression —
+      // .count() would let Catalyst prune the projections and final sort,
+      // timing projection-shaped queries as bare scans
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
       best.updateWith(name)(prev => Some(math.min(prev.getOrElse(Double.MaxValue), sec)))

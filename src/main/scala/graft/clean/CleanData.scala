@@ -91,14 +91,23 @@ object CleanData {
   }
 
   /** `_replace_na` (tasks.py:100–108): frame-wide, any cell whose value is in
-    * `naValues` becomes null. Applied per column with an isin predicate;
-    * Catalyst folds this into the scan projection.
+    * `naValues` becomes null. Each column only compares against
+    * TYPE-COMPATIBLE sentinels — under Spark 4's default ANSI mode,
+    * `isin("NA")` on a double column would otherwise coerce the literal and
+    * throw CAST_INVALID_INPUT (and pandas `replace` never cross-matches a
+    * string sentinel against a numeric cell anyway).
     */
   def replaceNa(df: DataFrame, naValues: Seq[Any]): DataFrame =
     if (naValues == null || naValues.isEmpty) df
     else
       df.select(df.columns.toIndexedSeq.map { c =>
-        when(Cols.q(c).isin(naValues: _*), lit(null)).otherwise(Cols.q(c)).as(c)
+        val vals = df.schema(c).dataType match {
+          case _: NumericType => naValues.collect { case n: java.lang.Number => n }
+          case BooleanType    => naValues.collect { case b: java.lang.Boolean => b }
+          case _              => naValues.map(String.valueOf)
+        }
+        if (vals.isEmpty) Cols.q(c)
+        else when(Cols.q(c).isin(vals: _*), lit(null)).otherwise(Cols.q(c)).as(c)
       }: _*)
 
   /** `_obj_wrangler` (tasks.py:124–131): object→string cast. Spark columns
@@ -160,10 +169,15 @@ object CleanData {
       if (!dummyToBool) Set.empty
       else
         numericCols.filter { c =>
-          val vs = sets.getOrElse(c, Nil).map {
-            case n: java.lang.Number => n.doubleValue()
-            case _                   => Double.NaN
-          }
+          // np.nansum semantics: NaN values in the distinct set are ignored,
+          // not propagated (collect_set keeps NaN, only nulls are dropped)
+          val vs = sets
+            .getOrElse(c, Nil)
+            .map {
+              case n: java.lang.Number => n.doubleValue()
+              case _                   => Double.NaN
+            }
+            .filterNot(_.isNaN)
           vs.nonEmpty && vs.sum == 1.0
         }.toSet
 

@@ -42,17 +42,17 @@ final case class PipelineResult(
 
 object E2EPipeline {
 
-  /** Reference retry policy (tasks.py:61: retries=3, delay 10 s) for remote
-    * sources — applied around the eager schema-inference read when the path
-    * is a URL-like scheme; local file errors are not retryable.
+  /** Reference retry policy (tasks.py:61: max_retries=3, delay 10 s — i.e.
+    * up to 4 attempts total) for remote sources; only non-fatal errors
+    * retry, and local file errors are not retried at all.
     */
-  private[flow] def withRetries[T](attempts: Int, delayMs: Long)(f: => T): T = {
-    var left = attempts
+  private[flow] def withRetries[T](retries: Int, delayMs: Long)(f: => T): T = {
+    var attemptsLeft = retries + 1
     while (true) {
       try return f
       catch {
-        case e: Throwable if left > 1 =>
-          left -= 1
+        case scala.util.control.NonFatal(_) if attemptsLeft > 1 =>
+          attemptsLeft -= 1
           Thread.sleep(delayMs)
       }
     }

@@ -90,25 +90,31 @@ object IvfIndex {
       iters: Int = 3,
       seed: Int = 42): DataFrame = {
     val centroids = trainCentroids(emb, idCol, embCol, nCells, iters, seed)
-    val e = emb
-      .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
-    val cells = e.withColumn("cell", cellExpr(col("emb"), centroids))
-
-    // nProbe nearest cells per vector: sort the (dist, cell) structs, slice
+    // ONE pass computes all centroid distances; the sorted (dist, cell)
+    // array yields both the home cell (element 1) and the probe list. The
+    // indexed table is materialized (localCheckpoint) because both sides of
+    // the candidate self-join derive from it — this IS the inverted index;
+    // at cluster scale it would be a persisted bucketed table.
     val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
     }: _*)
-    val probes = e
-      .withColumn("probe", explode(slice(array_sort(distArr), 1, nProbe)))
+    val indexed = emb
+      .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .withColumn("dists", array_sort(distArr))
+      .withColumn("cell", col("dists").getItem(0).getField("cell"))
+      .localCheckpoint(true)
+
+    val probes = indexed
+      .withColumn("probe", explode(slice(col("dists"), 1, nProbe)))
       .select(
         col("vec_id").as("a_id"),
         col("emb").as("a_emb"),
         col("nrm").as("a_nrm"),
         col("probe.cell").as("cell"))
 
-    val lists = cells.select(
+    val lists = indexed.select(
       col("cell"),
       col("vec_id").as("b_id"),
       col("emb").as("b_emb"),

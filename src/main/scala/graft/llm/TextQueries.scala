@@ -16,7 +16,7 @@ object TextQueries {
 
   private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
 
-  private def nTokens(c: Column): Column = size(split(c, " "))
+  private def nTokens(c: Column): Column = TextAnalysis.nTokens(c)
 
   /** Per-language document stats: counts, token totals, char means. */
   val q15TextLangStats: Declared = Declared.sql(
@@ -74,15 +74,9 @@ object TextQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val toks = t(spark, dir).documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    toks
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("s0|"), col("tok")).cast("binary"))).as("sig0"),
-        min(md5(concat(lit("s1|"), col("tok")).cast("binary"))).as("sig1"),
-        min(md5(concat(lit("s2|"), col("tok")).cast("binary"))).as("sig2"),
-        min(md5(concat(lit("s3|"), col("tok")).cast("binary"))).as("sig3"))
+    Dedup
+      .minhashSignatures(t(spark, dir).documents, "doc_id", "text", nSigs = 4)
+      .withColumnRenamed("__id", "doc_id")
       .orderBy("doc_id")
   }
 

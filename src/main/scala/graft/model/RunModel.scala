@@ -54,17 +54,22 @@ object RunModel {
   def selectRegressors(allCols: Seq[String], endog: String, exog: Seq[String]): Seq[String] =
     allCols.filter(c => c != endog && exog.exists(x => c.contains(x)))
 
+  private[graft] final case class GramFit(
+      beta: Array[Double],
+      sigma2: Double,
+      n: Long,
+      xtxInv: Array[Array[Double]])
+
   /** One-pass normal-equations fit used by both `run_model` and the MICE
     * column models: ONE aggregate computes X'X (upper triangle), X'y, y'y,
     * n; the k×k solve happens driver-side. `ridge` adds ε to the diagonal
     * for near-collinear MICE designs (0 for exact `run_model` parity).
-    * Returns (beta, sigma², n).
     */
   private[graft] def gramFit(
       df: DataFrame,
       y: Column,
       xs: Seq[Column],
-      ridge: Double = 0.0): (Array[Double], Double, Long) = {
+      ridge: Double = 0.0): GramFit = {
     val k = xs.size
     val aggs: Seq[Column] =
       (for { i <- 0 until k; j <- i until k }
@@ -83,7 +88,7 @@ object RunModel {
     val beta   = Array.tabulate(k)(i => (0 until k).map(j => xtxInv(i)(j) * xty(j)).sum)
     val dof    = math.max(1L, n - k)
     val rss    = math.max(0.0, yy - (0 until k).map(i => beta(i) * xty(i)).sum)
-    (beta, rss / dof, n)
+    GramFit(beta, rss / dof, n, xtxInv)
   }
 
   def apply(df: DataFrame, endog: String, exog: Seq[String], alpha: Double = 0.05): RegressionResult = {
@@ -92,38 +97,20 @@ object RunModel {
     val k = xs.size
 
     def d(c: String): Column = graft.core.Cols.q(c).cast(DoubleType)
-    val y = d(endog)
+    val fit = gramFit(df, d(endog), xs.map(d))
+    require(
+      fit.n > k,
+      s"run_model: need more rows than regressors (n=${fit.n}, k=$k)")
 
-    // One aggregate: upper triangle of X'X, X'y, y'y, n
-    val aggs: Seq[Column] =
-      (for { i <- 0 until k; j <- i until k }
-        yield sum(d(xs(i)) * d(xs(j))).as(s"xx_${i}_$j")) ++
-        (0 until k).map(i => sum(d(xs(i)) * y).as(s"xy_$i")) ++
-        Seq(sum(y * y).as("yy"), count(y).as("n"))
-
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val xtx = Array.tabulate(k, k) { (i, j) =>
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      row.getAs[Double](s"xx_${a}_$b")
-    }
-    val xty = Array.tabulate(k)(i => row.getAs[Double](s"xy_$i"))
-    val yy  = row.getAs[Double]("yy")
-    val n   = row.getAs[Long]("n")
-
-    val xtxInv = invertSpd(xtx)
-    val beta   = Array.tabulate(k)(i => (0 until k).map(j => xtxInv(i)(j) * xty(j)).sum)
-
-    val dof    = n - k
-    val rss    = math.max(0.0, yy - (0 until k).map(i => beta(i) * xty(i)).sum)
-    val sigma2 = rss / dof
-    val se     = Array.tabulate(k)(i => math.sqrt(sigma2 * xtxInv(i)(i)))
-    val t      = Array.tabulate(k)(i => beta(i) / se(i))
+    val dof = fit.n - k
+    val se  = Array.tabulate(k)(i => math.sqrt(fit.sigma2 * fit.xtxInv(i)(i)))
+    val t   = Array.tabulate(k)(i => fit.beta(i) / se(i))
 
     val tq = new TDistribution(dof.toDouble).inverseCumulativeProbability(1.0 - alpha / 2.0)
-    val lo = Array.tabulate(k)(i => beta(i) - tq * se(i))
-    val hi = Array.tabulate(k)(i => beta(i) + tq * se(i))
+    val lo = Array.tabulate(k)(i => fit.beta(i) - tq * se(i))
+    val hi = Array.tabulate(k)(i => fit.beta(i) + tq * se(i))
 
-    RegressionResult(xs, beta, se, t, lo, hi, n, dof)
+    RegressionResult(xs, fit.beta, se, t, lo, hi, fit.n, dof)
   }
 
   /** Gauss-Jordan inverse with partial pivoting (k is tiny — driver-side). */

@@ -94,10 +94,10 @@ object Mice {
         val predictors: Seq[Column] =
           lit(1.0) +: usable.filterNot(_ == target).map(col(_).cast(DoubleType))
         val observed = work.where(col(s"__obs_$target"))
-        val (beta, sigma2, _) =
+        val fit =
           RunModel.gramFit(observed, Cols.q(target).cast(DoubleType), predictors, ridge = 1e-8)
-        val sigma = math.sqrt(math.max(sigma2, 0.0))
-        val pred = predictors.zip(beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
+        val sigma = math.sqrt(math.max(fit.sigma2, 0.0))
+        val pred = predictors.zip(fit.beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
         // deterministic posterior draw keyed by (row, col, sweep, seed)
         val u = (pmod(
           hash(Cols.q(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),

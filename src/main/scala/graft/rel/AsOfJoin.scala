@@ -46,7 +46,10 @@ object AsOfJoin {
     val rStruct = struct(rightCols.map(right(_)): _*)
     val rType   = right.select(rStruct.as("r")).schema("r").dataType
 
-    val taggedRight = right.select(
+    // a null right time can never satisfy "right.time <= left.time" — and
+    // nulls-first ascending ordering would otherwise carry such a row
+    // forward as a spurious match for every left row in the partition
+    val taggedRight = right.where(Cols.q(rightTime).isNotNull).select(
       Cols.q(rightKey).as("__k"),
       Cols.q(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__tag"),

@@ -66,6 +66,22 @@ class CleanDataSpec extends AnyFunSuite {
     assert(out.cats("cat") == CategoryInfo(Seq("alpha", "charlie", "delta"), ordered = true))
   }
 
+  test("replaceNa with string sentinels is safe on numeric columns under ANSI") {
+    val df = Seq((1.5, "NA", 10L), (2.5, "x", -999L)).toDF("d", "s", "i")
+    val out = CleanData.replaceNa(df, Seq("NA", "NULL", "", -999))
+    val rows = out.orderBy("d").collect()
+    assert(rows(0).getDouble(0) == 1.5)          // numeric untouched by string sentinels
+    assert(rows(0).isNullAt(1))                  // "NA" nulled in string col
+    assert(rows(1).isNullAt(2))                  // numeric sentinel nulls numeric col
+    assert(rows(0).getLong(2) == 10L)
+  }
+
+  test("dummy detection ignores NaN in the distinct set (np.nansum parity)") {
+    val df = Seq(Some(0.0), Some(1.0), Some(Double.NaN)).toDF("d")
+    val out = CleanData.factorWrangler(core.GraftFrame(df), strToCat = false)
+    assert(out.df.schema("d").dataType.typeName == "boolean")
+  }
+
   test("convert_dtypes tightens integer-valued doubles to long") {
     val df  = Seq((1.0, 1.5), (2.0, 2.5)).toDF("intish", "frac")
     val out = CleanData.convertDtypes(df)
