@@ -244,13 +244,19 @@ object RelQueries {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    // one percentile buffer for all three quantiles (three separate
+    // percentile() aggregates would each buffer the full group)
     t(spark, dir).lineitem
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))").as("ps"),
         round(avg("l_extendedprice"), 4).as("mean"))
+      .select(
+        col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"),
+        col("mean"))
       .orderBy("l_returnflag")
   }
 
