@@ -29,6 +29,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaWhere == 1)
   }
 
+  test("canonical CSV writer is byte-stable across row orderings") {
+    import graft.core.CanonicalWriter
+    val a = Seq((2L, 2.5, "y"), (1L, 1.0000000001, "x")).toDF("id", "v", "s")
+    val b = Seq((1L, 1.0000000001, "x"), (2L, 2.5, "y")).toDF("id", "v", "s")
+    val da = java.nio.file.Files.createTempDirectory("canon_a").toString
+    val db = java.nio.file.Files.createTempDirectory("canon_b").toString
+    CanonicalWriter.writeCsv(a, da)
+    CanonicalWriter.writeCsv(b, db)
+    def readBytes(dir: String) = {
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head
+      new String(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    val ca = readBytes(da)
+    assert(ca == readBytes(db))
+    assert(ca.contains("1.000000")) // fixed float format
+    assert(ca.linesIterator.next() == "id,v,s")
+  }
+
   test("Stats mode switch dispatches exact vs approx") {
     val df = (1 to 1000).toDF("x")
     val exact = df.agg(
