@@ -34,7 +34,7 @@ object IvfIndex {
 
   /** Nearest-centroid cell id via array_min over (dist, idx) structs. */
   private def cellExpr(embCol: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_min(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(distTo(embCol, c).as("d"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
@@ -96,7 +96,7 @@ object IvfIndex {
     // indexed table is materialized (localCheckpoint) because both sides of
     // the candidate self-join derive from it — this IS the inverted index;
     // at cluster scale it would be a persisted bucketed table.
-    val distArr = array(centroids.zipWithIndex.map { case (c, i) =>
+    val distArr = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
     }: _*)
     val indexed = emb
