@@ -1,16 +1,27 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main (driver contract): runs every declared query on
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+/** Benchmark main (driver contract): runs every declared query plus
+  * BASELINE.md-aligned stage benchmarks on `SPARK_GRAFT_SF_DIR`, prints ONE
+  * JSON line.
   *
   * Methodology matches BASELINE.md ("median of 3 runs, warm data"): two
-  * timed rounds per query, report the per-query MIN — round 1 absorbs JVM/
-  * codegen warm-up that would otherwise be billed to whichever query runs
-  * first. Queries run in sorted name order for stable attribution.
+  * timed rounds per case, report the per-case MIN — round 1 absorbs JVM/
+  * codegen warm-up. Every case is forced through a noop write so Catalyst
+  * cannot prune the projected expressions or final sort (`.count()` would
+  * time projection queries as bare scans). Cases run in sorted name order.
+  *
+  * Besides the declared queries, the output has keys matching BASELINE.md's
+  * operator rows (`clean_data`, `encode_data`, `wrangle_na_fi`,
+  * `transform_arcsinh`, `gelman_standardize`, `ols_normal_equations`) and a
+  * `pipeline_e2e` chain — the whole-pipeline number the 2× bound binds on.
   */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -26,48 +37,72 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val rounds = 2
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to rounds; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // noop write forces FULL evaluation of every projected expression —
-      // .count() would let Catalyst prune the projections and final sort,
-      // timing projection-shaped queries as bare scans
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best.updateWith(name)(prev => Some(math.min(prev.getOrElse(Double.MaxValue), sec)))
-    }
-    // End-to-end preprocessing pipeline as ONE lazy chain (clean → encode →
-    // impute → standardize → OLS): the whole-pipeline number BASELINE.md
-    // says the 2× bound meaningfully binds on — per-query times at this SF
-    // are dominated by Spark's fixed per-action overhead.
-    for (_ <- 1 to rounds) {
-      val t0 = System.nanoTime()
-      try {
-        import org.apache.spark.sql.functions._
-        val li = graft.core.Tables(spark, sfDir).lineitem.select(
-          col("l_extendedprice"),
-          when(col("l_orderkey") % 19 === 0, lit(null).cast("double"))
-            .otherwise(col("l_quantity")).as("l_quantity"),
-          col("l_discount"), col("l_tax"), col("l_returnflag"))
-        val cleaned  = graft.clean.CleanData.factorWrangler(
-          graft.core.GraftFrame(li), strToCat = true, dummyToBool = false)
+    import org.apache.spark.sql.functions._
+    import graft.core.{GraftFrame, Tables}
+
+    def li = Tables(spark, sfDir).lineitem
+
+    def withNa =
+      li.select(
+        col("l_extendedprice"),
+        when(col("l_orderkey") % 19 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"))
+
+    // BASELINE.md operator-equivalents (same columns/shapes as the
+    // pandas/numpy baselines), each one lazy plan forced once
+    val stageCases: Seq[(String, () => Unit)] = Seq(
+      "clean_data" -> (() =>
+        force(graft.core.Sanitize.columnWrangler(graft.clean.CleanData.convertDtypes(li)))),
+      "encode_data" -> (() => {
+        val gf = graft.clean.CleanData.factorWrangler(
+          GraftFrame(li.select("l_returnflag", "l_linestatus", "l_quantity")),
+          strToCat = true, dummyToBool = false)
+        force(graft.encode.EncodeData(gf).df)
+      }),
+      "wrangle_na_fi" -> (() =>
+        force(graft.na.WrangleNa.fi(GraftFrame(withNa.drop("l_returnflag"))).df)),
+      "transform_arcsinh" -> (() =>
+        force(graft.transform.TransformData(
+          GraftFrame(li.select("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).df)),
+      "gelman_standardize" -> (() =>
+        force(graft.transform.GelmanStandardize(
+          GraftFrame(li.select("l_quantity", "l_extendedprice", "l_discount", "l_tax"))).df)),
+      "ols_normal_equations" -> (() => {
+        graft.model.RunModel(
+          li.select("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+          "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"))
+        ()
+      }),
+      "pipeline_e2e" -> (() => {
+        val cleaned = graft.clean.CleanData.factorWrangler(
+          GraftFrame(withNa), strToCat = true, dummyToBool = false)
         val encoded  = graft.encode.EncodeData(cleaned)
         val imputed  = graft.na.WrangleNa.fi(encoded)
         val standard = graft.transform.GelmanStandardize(imputed)
         graft.model.RunModel(
           standard.df, "l_extendedprice", Seq("l_quantity", "l_discount", "l_tax"))
-      } catch { case e: Throwable => System.err.println(s"[bench] pipeline: ${e.getMessage}") }
+        ()
+      }))
+
+    val queryCases: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) }
+
+    val cases  = (queryCases ++ stageCases).sortBy(_._1)
+    val rounds = 2
+    val best   = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to rounds; (name, run) <- cases) {
+      val t0 = System.nanoTime()
+      try run()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
-      best.updateWith("pipeline_e2e")(p => Some(math.min(p.getOrElse(Double.MaxValue), sec)))
+      best.updateWith(name)(prev => Some(math.min(prev.getOrElse(Double.MaxValue), sec)))
     }
 
-    val allNames = names :+ "pipeline_e2e"
-    val qs = allNames.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
-    val total = allNames.map(best).sum
+    val names = cases.map(_._1)
+    val qs    = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val total = names.map(best).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -79,12 +79,15 @@ object WrangleNa {
 
     // Deterministic mode per mode-typed column: melt to (col, value) then a
     // single groupBy + per-column argmax with the count-desc, value-asc
-    // tie-break (SURVEY.md §2 A12).
+    // tie-break (SURVEY.md §2 A12). Only columns that actually have nulls
+    // need a mode — skipping the rest saves the melt job entirely when the
+    // categorical columns are fully observed.
+    val needMode = modeCols.filter(c => row.getAs[Long](s"nulls_$c") > 0)
     val modes: Seq[(String, Any)] =
-      if (modeCols.isEmpty) Nil
+      if (needMode.isEmpty) Nil
       else {
         val melted = df
-          .select(explode(array(modeCols.map(c =>
+          .select(explode(array(needMode.map(c =>
             struct(lit(c).as("c"), Cols.q(c).cast(StringType).as("v"))): _*)).as("kv"))
           .select(col("kv.c").as("c"), col("kv.v").as("v"))
           .where(col("v").isNotNull)
