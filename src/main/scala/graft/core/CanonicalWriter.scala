@@ -18,7 +18,13 @@ object CanonicalWriter {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         case DoubleType | FloatType =>
-          format_number(Cols.q(f.name), floatDigits).as(f.name)
+          // plain fixed-point text (format_number would insert thousands
+          // separators — "1,234.500000" — defeating cross-engine byte parity)
+          when(
+            Cols.q(f.name).isNull,
+            lit(null).cast(StringType))
+            .otherwise(format_string(s"%.${floatDigits}f", Cols.q(f.name)))
+            .as(f.name)
         case TimestampType =>
           date_format(Cols.q(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as(f.name)
         case _: ArrayType =>

@@ -25,14 +25,39 @@ final case class Tables(spark: SparkSession, dir: String) {
     * TIMESTAMP_NS to TIMESTAMP, keeping the oracle aligned.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t("events")
+    // the legacy conf is applied on an ISOLATED child session (shared
+    // SparkContext, own SQLConf) so reading events never changes how the
+    // caller's session types other nanos-timestamp parquet reads
+    val raw = Tables.nanosSession(spark).read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  // one nanosAsLong child session per parent session, created lazily;
+  // weak keys so stopped sessions can be collected
+  private val nanosSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[graft] def nanosSession(parent: SparkSession): SparkSession =
+    nanosSessions.synchronized {
+      Option(nanosSessions.get(parent)).getOrElse {
+        val child = parent.newSession()
+        child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // keep analysis-relevant confs aligned with the parent
+        child.conf.set("spark.sql.session.timeZone", parent.conf.get("spark.sql.session.timeZone"))
+        child.conf.set(
+          "spark.sql.shuffle.partitions",
+          parent.conf.get("spark.sql.shuffle.partitions"))
+        nanosSessions.put(parent, child)
+        child
+      }
+    }
 }
 
 /** One place to build a correctly-configured session for CLIs/tests. */

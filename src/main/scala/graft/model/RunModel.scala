@@ -71,12 +71,16 @@ object RunModel {
       xs: Seq[Column],
       ridge: Double = 0.0): GramFit = {
     val k = xs.size
+    // listwise-complete rows only: per-term null-skipping sums paired with a
+    // full count(y) would yield an inconsistent Gram matrix / wrong dof on
+    // frames with partial nulls (constant predictors fold away harmlessly)
+    val complete = df.where(xs.foldLeft(y.isNotNull)(_ && _.isNotNull))
     val aggs: Seq[Column] =
       (for { i <- 0 until k; j <- i until k }
         yield sum(xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
         (0 until k).map(i => sum(xs(i) * y).as(s"xy_$i")) ++
         Seq(sum(y * y).as("yy"), count(y).as("n"))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = complete.agg(aggs.head, aggs.tail: _*).collect()(0)
     val xtx = Array.tabulate(k, k) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
       row.getAs[Double](s"xx_${a}_$b") + (if (i == j) ridge else 0.0)

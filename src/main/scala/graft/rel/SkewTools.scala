@@ -25,9 +25,13 @@ object SkewTools {
       build: DataFrame,
       key: String,
       salts: Int = 8): DataFrame = {
-    // the salt must be ROW-dependent: deriving it from the key would give a
-    // hot key one constant salt and defeat the spread entirely
-    val salted     = probe.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    // the salt must be ROW-dependent (from the key alone a hot key would
+    // get one constant salt and defeat the spread) AND deterministic under
+    // task retry/speculation (monotonically_increasing_id is not) — hash of
+    // the whole probe row is both: identical rows collide, which is fine
+    val salted = probe.withColumn(
+      "__salt",
+      pmod(hash(probe.columns.toIndexedSeq.map(Cols.q): _*), lit(salts)))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

@@ -18,7 +18,9 @@ object StreamingOps {
     * batch reader in `Tables.events`.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isolated child session (see Tables.nanosSession) — the legacy conf
+    // must not leak into the caller's other parquet reads
+    val s = graft.core.Tables.nanosSession(spark)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -26,7 +28,7 @@ object StreamingOps {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream
+    s.readStream
       .schema(schema)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
