@@ -104,30 +104,44 @@ object Bench {
     }
     val rounds  = 3
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
+    val errored = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 1 to rounds; (name, run) <- cases) {
       val t0 = System.nanoTime()
-      try run()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      timings.updateWith(name)(prev => Some(sec :: prev.getOrElse(Nil)))
+      // a failed round contributes NO timing (time-to-failure would read as
+      // misleadingly fast); the case is flagged in the JSON "errors" list
+      val ok =
+        try { run(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: ${e.getMessage}"); errored += name; false
+        }
+      if (ok) {
+        val sec = (System.nanoTime() - t0) / 1e9
+        timings.updateWith(name)(prev => Some(sec :: prev.getOrElse(Nil)))
+      }
     }
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     def r4(d: Double): String            = "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
     val names = cases.map(_._1)
-    val med   = names.map(n => n -> median(timings(n))).toMap
-    val qs    = names.map(n => "\"" + n + "\":" + r4(med(n))).mkString("{", ",", "}")
-    val total = names.map(med).sum
+    val med   = names.flatMap(n => timings.get(n).filter(_.nonEmpty).map(xs => n -> median(xs))).toMap
+    val qs = names
+      .map(n => "\"" + n + "\":" + med.get(n).map(r4).getOrElse("null"))
+      .mkString("{", ",", "}")
+    val total = med.values.sum
+    val errs  = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.out")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
     spark.stop()
-    // the JSON is the FINAL stdout line (spark.stop() first so no shutdown
-    // logging can land after it; sbt's [success] goes to a different stream)
+    // the JSON is the FINAL line of the forked JVM's stdout (spark.stop()
+    // first so no shutdown logging lands after it); build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt passes it through bare
+    // instead of wrapping it in an [info] prefix
     println(json)
   }
 }

@@ -133,7 +133,11 @@ object CleanData {
     *      (tasks.py:217–223); (e) `orderedCols` marks ordered.
     *
     * Distinct-value discovery for (a)+(b) runs as ONE aggregate job
-    * (`collect_set` per relevant column), not one job per column.
+    * (`collect_set` per relevant column), not one job per column — and is
+    * preceded by an `approx_count_distinct` pre-gate (one more cheap job):
+    * a column with more than `maxCategories` estimated distinct values
+    * (ids, free text) is never `collect_set` onto the driver; it simply
+    * stays untyped (and cannot be a 0/1 dummy anyway).
     */
   def factorWrangler(
       gf: GraftFrame,
@@ -141,7 +145,8 @@ object CleanData {
       orderedCols: Seq[String] = Nil,
       categories: Map[String, Seq[String]] = Map.empty,
       strToCat: Boolean = true,
-      dummyToBool: Boolean = true): GraftFrame = {
+      dummyToBool: Boolean = true,
+      maxCategories: Int = 10000): GraftFrame = {
     val df     = gf.df
     val fields = df.schema.fields.toIndexedSeq
 
@@ -152,9 +157,20 @@ object CleanData {
     // future categorical columns without an explicit category list.
     val wantCat: Seq[String] =
       ((if (strToCat) stringCols else IndexedSeq.empty[String]) ++ catCols).distinct
-    val needSets: Seq[String] =
+    val needSets0: Seq[String] =
       ((if (dummyToBool) numericCols else IndexedSeq.empty[String]) ++
         wantCat.filterNot(categories.contains)).distinct
+
+    // cardinality pre-gate (the 1.1 slack covers approx_count_distinct's
+    // default 5% relative error so borderline-legal columns still pass)
+    val needSets: Seq[String] =
+      if (needSets0.isEmpty) needSets0
+      else {
+        val aggs = needSets0.map(c => approx_count_distinct(Cols.q(c)).as(c))
+        val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        needSets0.filter(c => row.getAs[Long](row.fieldIndex(c)) <= maxCategories * 1.1)
+      }
+    val gated: Set[String] = needSets.toSet
 
     val sets: Map[String, Seq[Any]] =
       if (needSets.isEmpty) Map.empty
@@ -186,17 +202,21 @@ object CleanData {
       else Cols.q(f.name)
     }: _*)
 
-    // (a)+(c)+(d): assemble category metadata
+    // (a)+(c)+(d): assemble category metadata; columns rejected by the
+    // cardinality gate (no declared list, too many distinct values) stay
+    // plain string
     var cats = gf.cats
     wantCat.foreach { c =>
       val declared = categories.get(c)
-      val values: Seq[String] = declared.getOrElse {
-        sets.getOrElse(c, Nil).map(String.valueOf).sorted // alphanumeric default order
-      }
-      cats = cats + (c -> CategoryInfo(values, ordered = false))
-      declared.foreach { cs =>
-        // values outside the declared list become null (tasks.py:217–223)
-        out = out.withColumn(c, when(Cols.q(c).isin(cs: _*), Cols.q(c)).otherwise(lit(null).cast(StringType)))
+      if (declared.nonEmpty || gated(c)) {
+        val values: Seq[String] = declared.getOrElse {
+          sets.getOrElse(c, Nil).map(String.valueOf).sorted // alphanumeric default order
+        }
+        cats = cats + (c -> CategoryInfo(values, ordered = false))
+        declared.foreach { cs =>
+          // values outside the declared list become null (tasks.py:217–223)
+          out = out.withColumn(c, when(Cols.q(c).isin(cs: _*), Cols.q(c)).otherwise(lit(null).cast(StringType)))
+        }
       }
     }
     // (e) ordered

@@ -48,12 +48,15 @@ object Tables {
     nanosSessions.synchronized {
       Option(nanosSessions.get(parent)).getOrElse {
         val child = parent.newSession()
+        // mirror the parent's full runtime SQL-conf delta (ANSI mode, AQE
+        // toggles, rebase modes, ...) so only nanosAsLong diverges; static
+        // confs are skipped (isModifiable) — newSession already shares them
+        parent.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.sql.") && child.conf.isModifiable(k) &&
+              child.conf.getOption(k).forall(_ != v))
+            child.conf.set(k, v)
+        }
         child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // keep analysis-relevant confs aligned with the parent
-        child.conf.set("spark.sql.session.timeZone", parent.conf.get("spark.sql.session.timeZone"))
-        child.conf.set(
-          "spark.sql.shuffle.partitions",
-          parent.conf.get("spark.sql.shuffle.partitions"))
         nanosSessions.put(parent, child)
         child
       }

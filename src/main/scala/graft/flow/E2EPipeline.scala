@@ -61,11 +61,38 @@ object E2EPipeline {
 
   /** `retrieve_data` (tasks.py:61–97): CSV with header + schema inference,
     * optional row limit, drop pandas-style `Unnamed` index columns.
+    *
+    * The reference's documented entry point is a CSV **URL**
+    * (`pd.read_csv(url)`, tasks.py:94). Hadoop ships no http(s)
+    * FileSystem, so remote URLs are downloaded to a driver-local temp
+    * file (java.net.http, follows redirects) inside the retry loop, then
+    * read like any local file. The download is driver-side by design:
+    * retrieve_data is the small-config-CSV entry of the reference
+    * pipeline, not a bulk-data path — 100 TB inputs arrive as parquet
+    * directories via [[graft.core.Tables]].
     */
   def retrieveData(spark: SparkSession, url: String, sep: String = ",", nrows: Option[Int] = None): DataFrame = {
-    val remote = url.matches("^[a-z][a-z0-9+.-]*://.*") && !url.startsWith("file:")
-    if (remote) withRetries(3, 10000L)(readCsv(spark, url, sep, nrows))
+    val remote = url.matches("^https?://.*")
+    if (remote)
+      withRetries(3, 10000L) {
+        readCsv(spark, download(url).toString, sep, nrows)
+      }
     else readCsv(spark, url, sep, nrows)
+  }
+
+  private def download(url: String): java.nio.file.Path = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+    val req = HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val tmp = java.nio.file.Files.createTempFile("retrieve_data", ".csv")
+    tmp.toFile.deleteOnExit()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"retrieve_data: HTTP ${resp.statusCode()} from $url")
+    tmp
   }
 
   private def readCsv(spark: SparkSession, url: String, sep: String, nrows: Option[Int]): DataFrame = {

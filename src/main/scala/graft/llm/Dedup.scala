@@ -43,6 +43,13 @@ object Dedup {
   /** Near-dup pairs: band the signatures (`bands` × `rowsPerBand`), bucket
     * candidates sharing any band, then verify with exact token-set Jaccard
     * ≥ `tau`. Returns (a_id, b_id, jaccard) with a_id < b_id.
+    *
+    * `maxBandDf` caps the document frequency of a band bucket: candidate
+    * rows scale as Σ_bucket df², so a single hot bucket (e.g. every
+    * near-empty doc hashing to the same band value) is quadratic in corpus
+    * size. Buckets above the cap are dropped before the candidate join —
+    * at 100 TB this trades recall on degenerate buckets for a bounded
+    * shuffle. `None` (default) keeps every bucket.
     */
   def nearDupPairs(
       docs: DataFrame,
@@ -50,7 +57,9 @@ object Dedup {
       textCol: String,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5,
+      maxBandDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nSigs = bands * rowsPerBand
     val sigs  = minhashSignatures(docs, idCol, textCol, nSigs)
 
@@ -64,8 +73,15 @@ object Dedup {
     val banded = sigs.select(col("__id"), explode(array(bandCols: _*)).as("b"))
       .select(col("__id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
 
-    val candidates = banded.toDF("a_id", "band_idx", "band_val")
-      .join(banded.toDF("b_id", "band_idx", "band_val"), Seq("band_idx", "band_val"))
+    val bandedCut = maxBandDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy("band_idx", "band_val")
+        banded.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+      case None => banded
+    }
+
+    val candidates = bandedCut.toDF("a_id", "band_idx", "band_val")
+      .join(bandedCut.toDF("b_id", "band_idx", "band_val"), Seq("band_idx", "band_val"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
@@ -83,5 +99,56 @@ object Dedup {
         round(col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")), 6))
       .where(col("jaccard") >= tau)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** N-gram (word `n`-shingle) Jaccard pairs via an inverted index:
+    * explode distinct shingles per doc, self-join on the shingle, count
+    * common shingles, and derive exact Jaccard from the per-doc set
+    * sizes. Returns (a_id, b_id, jaccard) with a_id < b_id, unrounded.
+    *
+    * `maxShingleDf` drops shingles whose document frequency exceeds the
+    * cap BEFORE the self-join — join rows scale as Σ_s df(s)², so one
+    * universal "stop shingle" is quadratic in corpus size. When a cut is
+    * applied, per-doc sizes (and therefore Jaccard) are computed over the
+    * retained-shingle universe, i.e. the true Jaccard of the filtered
+    * shingle sets. `None` (default, oracle parity) keeps every shingle.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("tk"))
+      .where(size(col("tk")) >= n)
+    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+    val sh = toks.select(
+      col("__id"),
+      explode(
+        array_distinct(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))")))
+        .as("s"))
+    val shCut = maxShingleDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy("s")
+        sh.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+      case None => sh
+    }
+    val cnt    = shCut.groupBy("__id").agg(count(lit(1)).as("n"))
+    val common = shCut
+      .toDF("a_id", "s")
+      .join(shCut.toDF("b_id", "s"), Seq("s"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.toDF("a_id", "na"), Seq("a_id"))
+      .join(cnt.toDF("b_id", "nb"), Seq("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 }

@@ -194,31 +194,12 @@ object TextQueries {
       |JOIN cnt cb ON cb.doc_id = b_id
       |ORDER BY jaccard DESC, a_id, b_id
       |LIMIT 5""".stripMargin) { (spark, dir) =>
-    val toks = t(spark, dir).documents
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= 3)
-    val sh = toks
-      .select(
-        col("doc_id"),
-        explode(
-          array_distinct(expr(
-            "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
-          .as("s"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a   = sh.toDF("a_id", "s")
-    val b   = sh.toDF("b_id", "s")
-    val common = a
-      .join(b, Seq("s"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(cnt.toDF("a_id", "na"), Seq("a_id"))
-      .join(cnt.toDF("b_id", "nb"), Seq("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+    // oracle parity ⇒ no df-cut here; production near-dup passes set
+    // Dedup.ngramJaccardPairs(maxShingleDf = Some(cap)) to bound the
+    // inverted-index self-join against stop-shingles
+    Dedup
+      .ngramJaccardPairs(t(spark, dir).documents, "doc_id", "text", n = 3, maxShingleDf = None)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(5)
   }
@@ -306,14 +287,15 @@ object TextQueries {
       |  GROUP BY tok) x
       |WHERE rn <= 20
       |ORDER BY rn""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val counts = t(spark, dir).documents
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("token_id", row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
-      .where(col("token_id") <= 20)
+    // top-k + local id assignment (TakeOrderedAndProject), NOT a global
+    // row_number window — that would funnel the whole distinct-token table
+    // through a single partition; full-vocab builds use Vocab.denseIds
+    Vocab
+      .topK(counts, 20, Seq(col("n").desc, col("tok").asc), "token_id")
       .orderBy("token_id")
   }
 

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Vocabulary id assignment at scale (SURVEY.md §2B north star).
+  *
+  * A dense rank over a full token table must NOT be a partition-less
+  * window — `row_number().over(Window.orderBy(...))` funnels the whole
+  * table through one task ("WindowExec: No Partition Defined"). Two
+  * scale-safe shapes instead:
+  *
+  *  - [[topK]]: when only the k most frequent tokens are kept, take the
+  *    global top-k first (TakeOrderedAndProject: each partition keeps k
+  *    candidates, the driver merges k·p rows) and assign ids on the
+  *    k-row result.
+  *  - [[denseIds]]: for a full-vocab build, two-phase assignment —
+  *    range-partition by the order key so partition p holds a contiguous
+  *    rank range, count rows per partition (first job), then
+  *    id = partition offset + local index (second job). This is RDD
+  *    `zipWithIndex`, the canonical two-job dense-numbering pattern; no
+  *    partition ever sees more than its own slice.
+  */
+object Vocab {
+
+  /** Global top-k by `order` with dense ids `1..k` assigned in that
+    * order. The `limit(k)` collapses to a single k-row partition
+    * (TakeOrderedAndProject), so the local sort +
+    * `monotonically_increasing_id` that follows is k-row work regardless
+    * of input size — no global window anywhere in the plan.
+    */
+  def topK(df: DataFrame, k: Int, order: Seq[Column], idCol: String): DataFrame =
+    df.orderBy(order: _*)
+      .limit(k)
+      .coalesce(1)
+      .sortWithinPartitions(order: _*)
+      // single partition ⇒ monotonically_increasing_id is 0..k-1 in row order
+      .withColumn(idCol, (monotonically_increasing_id() + 1).cast("int"))
+
+  /** Dense 1-based ids over the FULL frame in `order`, without a global
+    * window: range-partition by the key (so ranks are contiguous per
+    * partition), then `zipWithIndex` — one partition-count job plus one
+    * map. Use for full-vocab builds where every token keeps an id.
+    */
+  def denseIds(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
+    val spark  = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val rdd    = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -95,6 +95,45 @@ object RunModel {
     GramFit(beta, rss / dof, n, xtxInv)
   }
 
+  /** Batched form of [[gramFit]]: ONE aggregate job computes the Gram
+    * statistics for EVERY (y, xs, include-condition) spec at once via
+    * conditional sums — the Jacobi-MICE sweep fits all target columns in a
+    * single pass instead of one job per target. Null-handling matches
+    * [[gramFit]]: a row contributes to a spec only when its condition
+    * holds and y and every x are non-null.
+    */
+  private[graft] def gramFitBatch(
+      df: DataFrame,
+      specs: Seq[(String, Column, Seq[Column], Column)],
+      ridge: Double = 0.0): Map[String, GramFit] = {
+    val aggs: Seq[Column] = specs.flatMap { case (nm, y, xs, include) =>
+      val k    = xs.size
+      val cond = xs.foldLeft(include && y.isNotNull)(_ && _.isNotNull)
+      (for { i <- 0 until k; j <- i until k }
+        yield sum(when(cond, xs(i) * xs(j))).as(s"${nm}__xx_${i}_$j")) ++
+        (0 until k).map(i => sum(when(cond, xs(i) * y)).as(s"${nm}__xy_$i")) ++
+        Seq(
+          sum(when(cond, y * y)).as(s"${nm}__yy"),
+          count(when(cond, lit(1))).as(s"${nm}__n"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    specs.map { case (nm, _, xs, _) =>
+      val k = xs.size
+      val xtx = Array.tabulate(k, k) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        row.getAs[Double](s"${nm}__xx_${a}_$b") + (if (i == j) ridge else 0.0)
+      }
+      val xty    = Array.tabulate(k)(i => row.getAs[Double](s"${nm}__xy_$i"))
+      val yy     = row.getAs[Double](s"${nm}__yy")
+      val n      = row.getAs[Long](s"${nm}__n")
+      val xtxInv = invertSpd(xtx)
+      val beta   = Array.tabulate(k)(i => (0 until k).map(j => xtxInv(i)(j) * xty(j)).sum)
+      val dof    = math.max(1L, n - k)
+      val rss    = math.max(0.0, yy - (0 until k).map(i => beta(i) * xty(i)).sum)
+      nm -> GramFit(beta, rss / dof, n, xtxInv)
+    }.toMap
+  }
+
   def apply(df: DataFrame, endog: String, exog: Seq[String], alpha: Double = 0.05): RegressionResult = {
     val xs = selectRegressors(df.columns.toIndexedSeq, endog, exog)
     require(xs.nonEmpty, s"run_model: no regressors match $exog")

@@ -1,8 +1,8 @@
 package graft.na
 
 import graft.core.{Cols, GraftFrame}
+import graft.functions.ProbitFunctions
 import graft.model.RunModel
-import org.apache.commons.math3.distribution.NormalDistribution
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,10 +20,21 @@ import org.apache.spark.sql.types._
   * no nulls in output, correct cardinality, imputed-column moments near the
   * observed ones — asserted in MiceSpec. OUR runs are deterministic: each
   * sweep fits a Bayesian-flavored linear model per target column via the
-  * one-pass Gram aggregate (`RunModel.gramFit`, one job per column per
-  * sweep — no per-row driver work), and the posterior noise is a
-  * hash-seeded probit draw keyed by (row, column, sweep, seed), so the same
-  * input always yields the same imputations.
+  * one-pass Gram aggregate, and the posterior noise is a hash-seeded
+  * probit draw (codegen'd AS241, [[graft.functions.ProbitInv]]) keyed by
+  * (row, column, sweep, seed), so the same input always yields the same
+  * imputations.
+  *
+  * Sweep scheduling: the default is a JACOBI sweep — every target column
+  * is refit and redrawn from the PREVIOUS sweep's values, which batches
+  * all Gram aggregates into ONE job per sweep (`RunModel.gramFitBatch`)
+  * and all draws into one projection. At the reference schedule
+  * (20 burn-in + 10×20 spread = 220 sweeps) that is ~220 jobs instead of
+  * the ~220×targets a chained scan would issue. `chained = true` restores
+  * the reference's Gauss-Seidel update order (statsmodels MICEData sweeps
+  * columns sequentially, each seeing the current sweep's earlier draws) at
+  * one job per column per sweep; both converge to the same stationary
+  * distribution.
   *
   * Scale notes: state between sweeps is one DataFrame; `localCheckpoint`
   * truncates the growing lineage each sweep. All per-row math is codegen'd
@@ -38,7 +49,8 @@ object Mice {
       nImputations: Int = 10,
       nSpread: Int = 20,
       seed: Long = 42L,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      chained: Boolean = false): DataFrame = {
     val df = gf.df
     // booleans participate as 0/1 linear-probability columns in the chained
     // equations and are thresholded back to boolean in the output
@@ -64,11 +76,6 @@ object Mice {
     val targets = usable.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
 
-    // one shared instance — the UDF runs once per missing cell per sweep,
-    // and inverseCumulativeProbability is thread-safe
-    val stdNormal = new NormalDistribution(0.0, 1.0)
-    val probit    = udf { (u: Double) => stdNormal.inverseCumulativeProbability(u) }
-
     // working frame: doubles + observed flags; start from mean-fill
     val means = df
       .agg(
@@ -89,21 +96,46 @@ object Mice {
     val saveAt      = (1 to nImputations).map(i => nBurnin + i * nSpread).toSet
     var snapshots   = List.empty[DataFrame]
 
+    def predictorsFor(target: String): Seq[Column] =
+      lit(1.0) +: usable.filterNot(_ == target).map(col(_).cast(DoubleType))
+
+    // deterministic posterior draw keyed by (row, col, sweep, seed)
+    def drawCol(target: String, sweep: Int, fit: RunModel.GramFit): Column = {
+      val sigma = math.sqrt(math.max(fit.sigma2, 0.0))
+      val pred  = predictorsFor(target).zip(fit.beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
+      val u = (pmod(
+        hash(Cols.q(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
+        lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
+      pred + lit(sigma) * ProbitFunctions.probitInv(u)
+    }
+
     for (sweep <- 1 to totalSweeps) {
-      for (target <- targets) {
-        val predictors: Seq[Column] =
-          lit(1.0) +: usable.filterNot(_ == target).map(col(_).cast(DoubleType))
-        val observed = work.where(col(s"__obs_$target"))
-        val fit =
-          RunModel.gramFit(observed, Cols.q(target).cast(DoubleType), predictors, ridge = 1e-8)
-        val sigma = math.sqrt(math.max(fit.sigma2, 0.0))
-        val pred = predictors.zip(fit.beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
-        // deterministic posterior draw keyed by (row, col, sweep, seed)
-        val u = (pmod(
-          hash(Cols.q(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
-          lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
-        val draw = pred + lit(sigma) * probit(u)
-        work = work.withColumn(target, when(col(s"__obs_$target"), Cols.q(target)).otherwise(draw))
+      if (chained) {
+        // Gauss-Seidel (reference order): each target sees this sweep's
+        // earlier draws; one Gram job per target
+        for (target <- targets) {
+          val fit = RunModel.gramFit(
+            work.where(col(s"__obs_$target")),
+            Cols.q(target).cast(DoubleType),
+            predictorsFor(target),
+            ridge = 1e-8)
+          work = work.withColumn(
+            target,
+            when(col(s"__obs_$target"), Cols.q(target)).otherwise(drawCol(target, sweep, fit)))
+        }
+      } else {
+        // Jacobi: fit every target from the previous sweep in ONE job,
+        // apply every draw in one projection
+        val specs = targets.map { t =>
+          (t, Cols.q(t).cast(DoubleType), predictorsFor(t), col(s"__obs_$t"))
+        }
+        val fits = RunModel.gramFitBatch(work, specs, ridge = 1e-8)
+        val updated: Map[String, Column] = targets.map { t =>
+          t -> when(col(s"__obs_$t"), Cols.q(t)).otherwise(drawCol(t, sweep, fits(t)))
+        }.toMap
+        work = work.select(work.columns.toIndexedSeq.map { c =>
+          updated.get(c).map(_.as(c)).getOrElse(Cols.q(c))
+        }: _*)
       }
       // truncate lineage every few sweeps (and always at a save point, so
       // snapshots don't re-execute imputation chains); each un-checkpointed

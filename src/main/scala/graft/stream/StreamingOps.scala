@@ -16,6 +16,11 @@ object StreamingOps {
     * `readStream`; `ts` arrives as INT64 TIMESTAMP(NANOS) → read as long
     * (nanosAsLong) and truncate to a microsecond timestamp, same as the
     * batch reader in `Tables.events`.
+    *
+    * NOTE: the returned frame is bound to the nanosAsLong CHILD session
+    * (`Tables.nanosSession`) — queries started on it register (and memory
+    * sinks resolve) in `df.sparkSession`, NOT the caller's session. Read
+    * sink tables via `stream.sparkSession.table(name)`.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // isolated child session (see Tables.nanosSession) — the legacy conf

@@ -5,23 +5,23 @@ import graft.model.RegressionResult
 /** Confidence-interval box-plot spec — reference `plot_confidence_intervals`
   * (`/root/reference/src/tasks.py:585–608`): stack the 95% CI bounds into a
   * tidy (regressor, interval, estimate) frame and emit a boxplot spec with
-  * `x=regressor:O`, `y=estimate:Q`, width 200, height 500, under the
-  * "streamlit" theme (theme dict `/root/reference/src/styles.py:9–112`).
+  * `x=regressor:O`, `y=estimate:Q`, width 200, height 500, themed.
   *
   * There is no Altair on the JVM, so we emit the Vega-Lite JSON directly;
-  * the theme `config` block carries the same visual constants the reference
-  * theme sets (fonts, sizes, grid/label colors).
+  * each theme `config` block carries the same visual constants the
+  * reference theme function sets (fonts, sizes, grid/label colors).
+  * Both reference themes are ported: "streamlit"
+  * (`/root/reference/src/styles.py:9–112`, the reference default) and
+  * "ggplot2" (`styles.py:115–222`). They share every constant except the
+  * view/axis block: ggplot2 fills the plot area grey with white gridlines
+  * and no domain line; streamlit grids grey on white with a domain line.
   */
 object ConfIntChart {
 
-  /** The "streamlit" theme constants ported from styles.py:9–112 (font
-    * IBM Plex Mono; primary #F63366; font color #262730; grey #f0f2f6;
-    * base size 16 → lg 20, sm 12.8; category/diverging/heatmap ranges
-    * verbatim).
-    */
-  private val themeConfig: String =
-    """"config": {
-      |  "arc": {"fill": "#F63366"},
+  // shared constants (both themes, styles.py: font/primary/font_color/grey,
+  // base 16 → lg 20, sm 12.8)
+  private val marksAndRanges: String =
+    """  "arc": {"fill": "#F63366"},
       |  "area": {"fill": "#F63366"},
       |  "circle": {"fill": "#F63366", "stroke": "#262730", "strokeWidth": 0.5},
       |  "line": {"stroke": "#F63366"},
@@ -32,11 +32,6 @@ object ConfIntChart {
       |  "symbol": {"fill": "#F63366"},
       |  "title": {"font": "IBM Plex Mono", "color": "#262730",
       |            "fontSize": 20, "anchor": "start"},
-      |  "axis": {
-      |    "titleFont": "IBM Plex Mono", "titleColor": "#262730", "titleFontSize": 12.8,
-      |    "labelFont": "IBM Plex Mono", "labelColor": "#262730", "labelFontSize": 12.8,
-      |    "gridColor": "#f0f2f6", "domainColor": "#262730", "tickColor": "#fff"
-      |  },
       |  "header": {"labelFont": "IBM Plex Mono", "titleFont": "IBM Plex Mono",
       |             "labelFontSize": 16, "titleFontSize": 16},
       |  "legend": {
@@ -53,8 +48,41 @@ object ConfIntChart {
       |             "#d2004b", "#b10034", "#91001f", "#720008"],
       |    "ordinal": ["#ffb5d4", "#ff97b8", "#ff7499", "#fc4c78", "#ec245f",
       |                "#d2004b", "#b10034", "#91001f", "#720008"]
-      |  }
-      |}""".stripMargin
+      |  }""".stripMargin
+
+  // streamlit axis (styles.py:41–52): grey grid on white, domain line,
+  // white ticks
+  private val streamlitAxis: String =
+    """  "axis": {
+      |    "titleFont": "IBM Plex Mono", "titleColor": "#262730", "titleFontSize": 12.8,
+      |    "labelFont": "IBM Plex Mono", "labelColor": "#262730", "labelFontSize": 12.8,
+      |    "gridColor": "#f0f2f6", "domainColor": "#262730", "tickColor": "#fff"
+      |  }""".stripMargin
+
+  // ggplot2 view+axis (styles.py:126, 144–158): grey plot fill, white grid
+  // at full opacity, no domain line, font-colored ticks
+  private val ggplot2ViewAxis: String =
+    """  "view": {"fill": "#f0f2f6"},
+      |  "axis": {
+      |    "titleFont": "IBM Plex Mono", "titleColor": "#262730", "titleFontSize": 12.8,
+      |    "labelFont": "IBM Plex Mono", "labelColor": "#262730", "labelFontSize": 12.8,
+      |    "grid": true, "gridColor": "#fff", "gridOpacity": 1,
+      |    "domain": false, "tickColor": "#262730"
+      |  }""".stripMargin
+
+  /** The theme `config` block for `"streamlit"` (default) or `"ggplot2"`. */
+  def themeConfig(theme: String = "streamlit"): String = {
+    val specific = theme match {
+      case "streamlit" => streamlitAxis
+      case "ggplot2"   => ggplot2ViewAxis
+      case other       => throw new IllegalArgumentException(
+        s"unknown theme '$other' (expected streamlit or ggplot2)")
+    }
+    s""""config": {
+       |$specific,
+       |$marksAndRanges
+       |}""".stripMargin
+  }
 
   private def esc(s: String): String =
     s.flatMap {
@@ -65,7 +93,7 @@ object ConfIntChart {
     }
 
   /** Vega-Lite boxplot spec over the stacked CI values. */
-  def vegaLiteSpec(res: RegressionResult): String = {
+  def vegaLiteSpec(res: RegressionResult, theme: String = "streamlit"): String = {
     val values = res.regressors.indices
       .flatMap { i =>
         Seq(
@@ -85,7 +113,7 @@ object ConfIntChart {
        |    "x": {"field": "regressor", "type": "ordinal"},
        |    "y": {"field": "estimate", "type": "quantitative"}
        |  },
-       |  $themeConfig
+       |  ${themeConfig(theme)}
        |}""".stripMargin
   }
 }

@@ -89,4 +89,20 @@ class CleanDataSpec extends AnyFunSuite {
     assert(types("intish") == "long")
     assert(types("frac") == "double")
   }
+
+  test("cardinality gate: high-distinct string column is never collect_set as categorical") {
+    val df = (1 to 200)
+      .map(i => (s"id_$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("free_text", "lowcard")
+    val out = CleanData.factorWrangler(GraftFrame(df), strToCat = true, maxCategories = 10)
+    assert(!out.cats.contains("free_text")) // gated out: ~200 distinct > 10
+    assert(out.cats.get("lowcard").map(_.categories).contains(Seq("a", "b")))
+    // a declared category list bypasses the gate (no distinct-set job needed)
+    val declared = CleanData.factorWrangler(
+      GraftFrame(df),
+      categories = Map("free_text" -> Seq("id_1", "id_2")),
+      strToCat = true,
+      maxCategories = 10)
+    assert(declared.cats.get("free_text").map(_.categories).contains(Seq("id_1", "id_2")))
+  }
 }

@@ -42,4 +42,36 @@ class DedupSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(s1.size == 5)
   }
+
+  // docs sharing one universal 3-gram ("aa bb cc") plus a unique tail —
+  // without a df-cut the inverted index pairs all of them quadratically
+  private def stopShingleCorpus = (1L to 12L)
+    .map(i => (i, s"aa bb cc unique$i tail$i end$i"))
+    .toDF("doc_id", "text")
+
+  test("shingle df-cut bounds candidate pairs against a universal shingle") {
+    val noCut = Dedup.ngramJaccardPairs(stopShingleCorpus, "doc_id", "text", n = 3).count()
+    assert(noCut == 12L * 11 / 2) // every pair shares 'aa bb cc'
+    val cut = Dedup.ngramJaccardPairs(
+      stopShingleCorpus, "doc_id", "text", n = 3, maxShingleDf = Some(4L)).count()
+    assert(cut == 0) // the only shared shingle has df=12 > 4 → no pairs
+  }
+
+  test("df-cut jaccard equals the uncut value when no shingle exceeds the cap") {
+    val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq
+    val cut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, maxShingleDf = Some(100L))
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq
+    assert(uncut == cut)
+  }
+
+  test("band df-cut drops hot buckets from the minhash candidate join") {
+    // 3 is an exact dup of 1 → all 4 bands collide; cap of 1 removes them
+    val cut = Dedup.nearDupPairs(
+      corpus, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.0, maxBandDf = Some(1L))
+    assert(cut.count() == 0)
+    val open = Dedup.nearDupPairs(
+      corpus, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.0, maxBandDf = Some(100L))
+    assert(open.count() >= 2) // same pairs as the uncapped run
+  }
 }

@@ -57,4 +57,30 @@ class E2EPipelineSpec extends AnyFunSuite {
         exog = Seq(" x1", "X2 ")))
     assert(res.model.regressors == Seq("x1", "x2"))
   }
+
+  test("retrieve_data reads CSV over http (reference test_flow.py:9 shape, egress-free)") {
+    // serve the fixture from a loopback HttpServer — same entry point the
+    // reference exercises with a live URL, no network needed
+    val csv    = Files.readString(Paths.get(writeFixture()))
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(
+      "/data.csv",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = csv.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "text/csv")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      val df  = E2EPipeline.retrieveData(spark, url)
+      assert(df.count() == 100)
+      assert(df.columns.toSeq == Seq("year", "y", "x1", "x2")) // Unnamed dropped
+      val limited = E2EPipeline.retrieveData(spark, url, nrows = Some(7))
+      assert(limited.count() == 7)
+    } finally server.stop(0)
+  }
 }

@@ -29,6 +29,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaWhere == 1)
   }
 
+  test("ProbitInv (AS241) matches high-precision inverse normal CDF to 1e-12") {
+    import graft.functions.{ProbitFunctions, ProbitInv}
+    // ground truth: 40-digit mpmath sqrt(2)*erfinv(2p-1), central through
+    // deep tail. (commons-math's inverseCumulativeProbability is only ~1e-6
+    // accurate below p≈1e-9, so it can't serve as the oracle here.)
+    val grid = Seq(
+      (1e-12, -7.0344838253011319), (1e-9, -5.9978070150076869),
+      (1e-6, -4.753424308822899), (1e-4, -3.7190164854556806),
+      (0.001, -3.0902323061678135), (0.01, -2.3263478740408411),
+      (0.05, -1.6448536269514727), (0.1, -1.2815515655446004),
+      (0.25, -0.67448975019608174), (0.5, 0.0),
+      (0.75, 0.67448975019608174), (0.9, 1.2815515655446006),
+      (0.95, 1.6448536269514723), (0.99, 2.3263478740408408),
+      (0.999, 3.0902323061678133), (0.9999, 3.7190164854557084))
+    grid.foreach { case (p, want) =>
+      val got = ProbitInv.ppnd16(p)
+      assert(math.abs(got - want) <= 1e-12 * math.max(1.0, math.abs(want)),
+        s"p=$p: got $got want $want")
+    }
+    assert(ProbitInv.ppnd16(0.0).isNegInfinity && ProbitInv.ppnd16(1.0).isPosInfinity)
+    // codegen path through a projection agrees with the static function
+    val ps  = grid.map(_._1)
+    val got = ps.toDF("p").select(ProbitFunctions.probitInv(col("p")).as("z"))
+      .as[Double].collect().toSeq
+    ps.zip(got).foreach { case (p, z) => assert(z == ProbitInv.ppnd16(p)) }
+  }
+
   test("canonical CSV writer is byte-stable across row orderings") {
     import graft.core.CanonicalWriter
     val a = Seq((2L, 2.5, "y"), (1L, 1.0000000001, "x")).toDF("id", "v", "s")

@@ -86,4 +86,28 @@ class MiceSpec extends AnyFunSuite {
     val noNa = GraftFrame(Seq((1L, 1.0, 2.0), (2L, 2.0, 3.0)).toDF("row_id", "x", "y"))
     assert(Mice(noNa, "row_id").count() == 2)
   }
+
+  test("chained (Gauss-Seidel) mode meets the same distribution contract") {
+    val out = Mice(fixture, "row_id", nBurnin = 2, nImputations = 2, nSpread = 1, chained = true)
+    assert(out.count() == 2 * 200)
+    assert(out.where(col("y").isNull).count() == 0)
+    val err = out
+      .where(col("row_id") % 5 === 0)
+      .select(avg(abs(col("y") - (col("x") * 2.0 + 1.0))))
+      .as[Double].collect().head
+    assert(err < 3.0, s"chained imputations far from conditional mean: $err")
+  }
+
+  test("reference 20/10/20 schedule completes on a small frame (one job per Jacobi sweep)") {
+    val rows = (0 until 50).map { i =>
+      val x = (i % 25).toDouble
+      val y = if (i % 5 == 0) None else Some(2.0 * x)
+      (i.toLong, x, y)
+    }
+    val out = Mice(
+      GraftFrame(rows.toDF("row_id", "x", "y")), "row_id",
+      nBurnin = 20, nImputations = 10, nSpread = 20)
+    assert(out.count() == 10 * 50)
+    assert(out.where(col("y").isNull).count() == 0)
+  }
 }

@@ -48,6 +48,29 @@ class RunModelSpec extends AnyFunSuite {
     assert(spec.contains("\"field\": \"estimate\", \"type\": \"quantitative\""))
   }
 
+  test("both reference themes are selectable and carry their distinct constants") {
+    val df = Seq((1.0, 2.1), (2.0, 4.2), (3.0, 6.1)).toDF("x1", "y")
+    val model = RunModel(df, "y", Seq("x1"))
+    val st = ConfIntChart.vegaLiteSpec(model) // streamlit default
+    // streamlit (styles.py:41-52): grey grid, domain line, white ticks
+    assert(st.contains("\"gridColor\": \"#f0f2f6\""))
+    assert(st.contains("\"domainColor\": \"#262730\""))
+    assert(st.contains("\"tickColor\": \"#fff\""))
+    assert(!st.contains("\"view\""))
+    val gg = ConfIntChart.vegaLiteSpec(model, theme = "ggplot2")
+    // ggplot2 (styles.py:126,144-158): grey view fill, white grid, no domain
+    assert(gg.contains("\"view\": {\"fill\": \"#f0f2f6\"}"))
+    assert(gg.contains("\"gridColor\": \"#fff\""))
+    assert(gg.contains("\"domain\": false"))
+    assert(gg.contains("\"tickColor\": \"#262730\""))
+    // shared constants present in both
+    Seq(st, gg).foreach { s =>
+      assert(s.contains("\"font\": \"IBM Plex Mono\""))
+      assert(s.contains("\"category\": [\"#f63366\", \"#fffd80\", \"#0068c9\", \"#ff2b2b\", \"#09ab3b\"]"))
+    }
+    intercept[IllegalArgumentException](ConfIntChart.vegaLiteSpec(model, theme = "nope"))
+  }
+
   test("as-of join picks latest right row at or before left time, inclusive") {
     val quotes = Seq(
       (1L, "2024-01-01 00:00:00", 10.0),

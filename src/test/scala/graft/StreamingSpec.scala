@@ -33,7 +33,8 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got = spark.table("tumbling_out")
+      // memory sink registers in the stream's (child) session catalog
+      val got = stream.sparkSession.table("tumbling_out")
       val want = graft.core.Tables(spark, dir).events
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
@@ -51,7 +52,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got  = spark.table("dedup_out").count()
+      val got  = stream.sparkSession.table("dedup_out").count()
       val want = graft.core.Tables(spark, dir).events.select("event_id").distinct().count()
       assert(got == want)
     } finally q.stop()
@@ -71,7 +72,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got = spark.table("session_out")
+      val got = stream.sparkSession.table("session_out")
       val want = graft.core.Tables(spark, dir).events
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
@@ -107,7 +108,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got  = spark.table("state_out").agg(sum("n_events")).collect()(0).getLong(0)
+      val got  = stream.sparkSession.table("state_out").agg(sum("n_events")).collect()(0).getLong(0)
       val want = graft.core.Tables(spark, dir).events.count()
       assert(got == want)
     } finally q.stop()
