@@ -22,13 +22,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operator rows (`clean_data`, `encode_data`, `wrangle_na_fi`,
   * `transform_arcsinh`, `gelman_standardize`, `ols_normal_equations`) and a
   * `pipeline_e2e` chain — the whole-pipeline number the 2× bound binds on.
+  * The JSON also carries `"mins"` (per-case min of the timed rounds) and
+  * `"loadavg"` (start/end `/proc/loadavg`) so machine contamination is
+  * distinguishable from a code regression.
   */
 object Bench {
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** 1/5/15-min load averages ("-" off Linux): recorded at bench start and
+    * end so a contended machine is visible in the JSON itself.
+    */
+  private def readLoadAvg(): String =
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "-" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = readLoadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
@@ -128,10 +143,19 @@ object Bench {
     val qs = names
       .map(n => "\"" + n + "\":" + med.get(n).map(r4).getOrElse("null"))
       .mkString("{", ",", "}")
+    // per-case MIN alongside the median: on a contended machine the median
+    // absorbs scheduler noise but the min stays close to the true cost, so a
+    // loaded host can't masquerade as a code regression (VERDICT r3: driver
+    // measured 79.4 s where idle hardware gives 52.1 s)
+    val mins = names
+      .map(n => "\"" + n + "\":" + timings.get(n).filter(_.nonEmpty).map(xs => r4(xs.min)).getOrElse("null"))
+      .mkString("{", ",", "}")
     val total = med.values.sum
     val errs  = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = readLoadAvg()
+    val load    = s"""{"start":"$loadStart","end":"$loadEnd"}"""
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.out")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

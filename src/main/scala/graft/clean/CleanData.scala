@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   */
 object CleanData {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val integralTypes: Set[DataType] =
     Set(ByteType, ShortType, IntegerType, LongType)
 
@@ -132,12 +134,17 @@ object CleanData {
     *      the category set and order, values outside the list become null
     *      (tasks.py:217–223); (e) `orderedCols` marks ordered.
     *
-    * Distinct-value discovery for (a)+(b) runs as ONE aggregate job
-    * (`collect_set` per relevant column), not one job per column — and is
-    * preceded by an `approx_count_distinct` pre-gate (one more cheap job):
-    * a column with more than `maxCategories` estimated distinct values
-    * (ids, free text) is never `collect_set` onto the driver; it simply
-    * stays untyped (and cannot be a 0/1 dummy anyway).
+    * Distinct-value discovery for (a)+(b) runs as ONE aggregate job — a
+    * [[graft.functions.BoundedCollectSet]] per relevant column, whose buffer
+    * stops growing at `maxCategories + 1` elements. The same pass yields
+    * both the exact distinct set (when small enough to become categorical)
+    * and the cardinality decision (a saturated result means "too many"):
+    * a column with more than `maxCategories` distinct values (ids, free
+    * text) never ships its full value set to the driver; it simply stays
+    * untyped (and cannot be a 0/1 dummy anyway). PARITY NOTE: the reference
+    * `_factor_wrangler` applies no cap at all — the generous default
+    * (10000) makes divergence unlikely, and gated-out columns are logged so
+    * the silent type change is observable.
     */
   def factorWrangler(
       gf: GraftFrame,
@@ -161,24 +168,26 @@ object CleanData {
       ((if (dummyToBool) numericCols else IndexedSeq.empty[String]) ++
         wantCat.filterNot(categories.contains)).distinct
 
-    // cardinality pre-gate (the 1.1 slack covers approx_count_distinct's
-    // default 5% relative error so borderline-legal columns still pass)
-    val needSets: Seq[String] =
-      if (needSets0.isEmpty) needSets0
-      else {
-        val aggs = needSets0.map(c => approx_count_distinct(Cols.q(c)).as(c))
-        val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        needSets0.filter(c => row.getAs[Long](row.fieldIndex(c)) <= maxCategories * 1.1)
-      }
-    val gated: Set[String] = needSets.toSet
-
+    // ONE aggregate job: bounded collect-set per column. A result of length
+    // cap (= maxCategories + 1) is the overflow signal — that column is
+    // gated out (its exact set was never fully shipped: the buffer stopped
+    // growing at the cap on the executors).
+    val cap = maxCategories + 1
     val sets: Map[String, Seq[Any]] =
-      if (needSets.isEmpty) Map.empty
+      if (needSets0.isEmpty) Map.empty
       else {
-        val aggs = needSets.map(c => collect_set(Cols.q(c)).as(c))
+        val aggs = needSets0.map(c => graft.functions.BoundedCollectSet(Cols.q(c), cap).as(c))
         val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        needSets.map(c => c -> row.getSeq[Any](row.fieldIndex(c)).toIndexedSeq).toMap
+        val all  = needSets0.map(c => c -> row.getSeq[Any](row.fieldIndex(c)).toIndexedSeq).toMap
+        val (kept, gatedOut) = all.partition(_._2.size < cap)
+        if (gatedOut.nonEmpty)
+          log.info(
+            s"factorWrangler cardinality gate: column(s) ${gatedOut.keys.toSeq.sorted.mkString(", ")} " +
+              s"exceed maxCategories=$maxCategories distinct values and stay untyped " +
+              "(the reference applies no cap; raise maxCategories to match it exactly)")
+        kept
       }
+    val gated: Set[String] = sets.keySet
 
     // (b) dummy→bool: nansum of distinct values == 1 (tasks.py:195–204)
     val boolCols: Set[String] =

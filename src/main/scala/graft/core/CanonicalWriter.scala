@@ -19,11 +19,10 @@ object CanonicalWriter {
       f.dataType match {
         case DoubleType | FloatType =>
           // plain fixed-point text (format_number would insert thousands
-          // separators — "1,234.500000" — defeating cross-engine byte parity)
-          when(
-            Cols.q(f.name).isNull,
-            lit(null).cast(StringType))
-            .otherwise(format_string(s"%.${floatDigits}f", Cols.q(f.name)))
+          // separators, and format_string's %.Nf rounds ties HALF_UP where
+          // the DuckDB/Python oracle rounds half-even — FormatHalfEven
+          // matches the oracle on exactly-representable ties)
+          graft.functions.HalfEvenFormat(Cols.q(f.name).cast(DoubleType), floatDigits)
             .as(f.name)
         case TimestampType =>
           date_format(Cols.q(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as(f.name)

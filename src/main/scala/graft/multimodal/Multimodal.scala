@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` content plus a typed metadata struct; decode /
   * feature-extract / frame-sample / resize operate on that contract.
   *
-  * The decode step sniffs the payload's magic bytes and REALLY decodes
-  * what the JDK can: PNG/JPEG/GIF/BMP via `javax.imageio` (features =
-  * normalized luminance histogram over actual pixels) and RIFF/WAVE PCM
-  * via a header parse (features = normalized 16-bit amplitude histogram
-  * over actual samples). Payloads in any other format fall back to a
-  * deterministic byte histogram — that fallback is the only remaining
-  * stub, and it is what the text-backed demo media table exercises. The
-  * surrounding plumbing — schema, the `mapPartitions` batch shape (the
-  * Scala analogue of a Pandas-UDF `mapInPandas` decode), fixed-width
-  * feature vectors — is identical for all three paths: adding a codec is
-  * one more `decodeOne` branch.
+  * The decode step ([[decodeFeatures]] → `decodeOne`) sniffs the payload's
+  * magic bytes and decodes what the JDK can: PNG/JPEG/GIF/BMP via
+  * `javax.imageio` (features = normalized luminance histogram over actual
+  * pixels) and RIFF/WAVE 16-bit PCM via a header parse (features =
+  * normalized amplitude histogram over actual samples). Payloads in any
+  * other format fall back to a deterministic byte histogram so unknown
+  * codecs keep flowing through the pipeline. The demo media table
+  * ([[mediaFromDocuments]]) carries one real PNG and one real WAV payload
+  * alongside the text-backed rows, so q40 and the specs exercise all three
+  * paths. The surrounding plumbing — schema, the `mapPartitions` batch
+  * shape (the Scala analogue of a Pandas-UDF `mapInPandas` decode),
+  * fixed-width feature vectors — is identical for all paths: adding a
+  * codec is one more `decodeOne` branch.
   */
 object Multimodal {
 
@@ -70,7 +72,12 @@ object Multimodal {
         fmtOk = le16(pos + 8) == 1 && le16(pos + 22) == 16 // PCM, 16-bit
       else if (id == "data" && fmtOk)
         data = Some((pos + 8, math.min(size, bytes.length - pos - 8)))
-      pos += 8 + size + (size & 1) // chunks are word-aligned
+      // malformed chunk sizes (negative, or overflowing the int advance)
+      // would stall or reverse the walk — treat as corrupt and stop, long
+      // arithmetic so size near Int.MaxValue can't wrap pos negative
+      val next = pos.toLong + 8L + size.toLong + (size & 1L)
+      if (size < 0 || next <= pos) pos = bytes.length
+      else pos = math.min(next, bytes.length.toLong).toInt
     }
     data.map { case (off, len) =>
       val h        = new Array[Double](dims)
@@ -89,7 +96,7 @@ object Multimodal {
   /** Fallback for formats the JDK can't decode: normalized byte histogram
     * (deterministic, keeps unknown codecs flowing through the pipeline).
     */
-  private def byteHistogram(bytes: Array[Byte], dims: Int): Array[Double] = {
+  private[graft] def byteHistogram(bytes: Array[Byte], dims: Int): Array[Double] = {
     val h = new Array[Double](dims)
     var i = 0
     while (i < bytes.length) { h((bytes(i) & 0xff) % dims) += 1.0; i += 1 }
@@ -97,7 +104,7 @@ object Multimodal {
     h.map(_ / n)
   }
 
-  private[multimodal] def decodeOne(bytes: Array[Byte], dims: Int): Array[Double] = {
+  private[graft] def decodeOne(bytes: Array[Byte], dims: Int): Array[Double] = {
     val decoded =
       if (isPng(bytes) || isJpeg(bytes) || isGif(bytes) || isBmp(bytes))
         try imageHistogram(bytes, dims) catch { case scala.util.control.NonFatal(_) => None }
@@ -107,26 +114,73 @@ object Multimodal {
     decoded.getOrElse(byteHistogram(bytes, dims))
   }
 
+  /** Deterministic 8×8 RGB gradient PNG, generated once on the driver —
+    * a real `javax.imageio`-decodable payload for specs and the demo table.
+    */
+  private[graft] lazy val samplePngBytes: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) { img.setRGB(x, y, ((x * 32) << 16) | ((y * 32) << 8) | ((x + y) * 15)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 440 Hz sine, 16-bit PCM mono 8 kHz, 400 samples, in a
+    * well-formed RIFF/WAVE container — a real decodable audio payload.
+    */
+  private[graft] lazy val sampleWavBytes: Array[Byte] = {
+    val n    = 400
+    val sr   = 8000
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / sr) * 16384).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    w("RIFF".getBytes); w(le32(36 + data.length)); w("WAVE".getBytes)
+    w("fmt ".getBytes); w(le32(16)); w(le16(1)); w(le16(1)) // PCM, mono
+    w(le32(sr)); w(le32(sr * 2)); w(le16(2)); w(le16(16))   // rates, block, 16-bit
+    w("data".getBytes); w(le32(data.length)); w(data)
+    bos.toByteArray
+  }
+
   /** Demo media table: documents re-cast as opaque binary payloads with
-    * typed metadata (kind rotates across image/audio/video by id).
+    * typed metadata (kind rotates across image/audio/video by id). Two rows
+    * carry REAL payloads so the decode path is exercised end-to-end:
+    * doc_id 3 (image-kind under the rotation) gets [[samplePngBytes]] and
+    * doc_id 1 (audio-kind) gets [[sampleWavBytes]]; every other row keeps
+    * its text bytes and takes the byte-histogram fallback.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
         .as("kind"),
-      col("text").cast("binary").as("content"),
+      when(col("doc_id") === 3, lit(samplePngBytes))
+        .when(col("doc_id") === 1, lit(sampleWavBytes))
+        .otherwise(col("text").cast("binary")).as("content"),
       struct(
         lit(64).as("width"),
         lit(64).as("height"),
         lit(16000).as("sample_rate"),
         (length(col("text")) * 10).cast("long").as("duration_ms")).as("meta"))
 
-  /** STUB decode → fixed-width feature vector. Real implementation decodes
-    * the codec into pixels/samples inside the same mapPartitions loop
-    * (vectorized, one partition = one batch); here the feature is the
-    * normalized byte histogram, which keeps the op deterministic and
-    * testable without codecs.
+  /** Decode → fixed-width feature vector via [[decodeOne]]: real pixel /
+    * sample histograms for JDK-decodable payloads (PNG/JPEG/GIF/BMP, WAV
+    * PCM), byte-histogram fallback for everything else. One partition =
+    * one batch inside `mapPartitions` (the Scala analogue of a Pandas-UDF
+    * `mapInPandas` decode loop); deterministic for fixed payload bytes.
     */
   def decodeFeatures(media: DataFrame, dims: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -134,15 +188,7 @@ object Multimodal {
     media
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val h = new Array[Double](dims)
-          var i = 0
-          while (i < bytes.length) { h((bytes(i) & 0xff) % dims) += 1.0; i += 1 }
-          val n = math.max(1, bytes.length).toDouble
-          (id, h.map(_ / n))
-        }
-      }
+      .mapPartitions(it => it.map { case (id, bytes) => (id, decodeOne(bytes, dims)) })
       .toDF("media_id", "features")
   }
 

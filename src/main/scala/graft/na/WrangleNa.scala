@@ -157,15 +157,36 @@ object WrangleNa {
   private def patternCol(df: DataFrame): Column =
     concat(df.columns.toIndexedSeq.map(c => when(Cols.q(c).isNull, lit("1")).otherwise(lit("0"))): _*)
 
-  /** Fill-in + per-pattern indicator dummies (`fii`). */
-  def fii(gf: GraftFrame): GraftFrame = {
+  /** Fill-in + per-pattern indicator dummies (`fii`).
+    *
+    * The distinct null-pattern set is worst-case 2^cols and each pattern
+    * becomes a driver-side plan column, so the collect is CAPPED: at most
+    * `maxPatterns + 1` distinct patterns ship to the driver (`limit` runs
+    * inside the same job — executors stop early once the limit is hit),
+    * and exceeding `maxPatterns` fails fast with a clear message instead of
+    * OOMing the driver or building an unplannable million-column select.
+    * The reference (tasks.py:385–396) has no cap — pandas materializes the
+    * dummies in memory and dies the same way, just later; the default
+    * (1024) is far above any real-world missingness structure.
+    */
+  def fii(gf: GraftFrame, maxPatterns: Int = 1024): GraftFrame = {
     val df       = gf.df
     val pat      = patternCol(df).as("__na_pattern")
     val withPat  = df.withColumn("__na_pattern", pat)
     val zeros    = "0" * df.columns.length
+    // all-zeros is dropped BEFORE the limit so the cap counts only patterns
+    // that would become columns (otherwise a truncated sample containing
+    // zeros could silently under-report the true pattern count)
     val patterns = withPat
-      .select("__na_pattern").distinct().collect().map(_.getString(0))
-      .filter(_ != zeros).sorted.toIndexedSeq
+      .select("__na_pattern").where(col("__na_pattern") =!= zeros)
+      .distinct().limit(maxPatterns + 1).collect().map(_.getString(0))
+      .sorted.toIndexedSeq
+    if (patterns.length > maxPatterns)
+      throw new IllegalArgumentException(
+        s"wrangle_na fii: more than $maxPatterns distinct null patterns over " +
+          s"${df.columns.length} columns — one indicator column per pattern would not be " +
+          "usable as model dummies. Reduce the column set, impute the sparsest columns " +
+          "first, or raise maxPatterns explicitly.")
     val imputed = fi(gf.copy(df = withPat)).df
     val withDummies = patterns.foldLeft(imputed) { (d, p) =>
       d.withColumn(s"na_$p", col("__na_pattern") === lit(p))

@@ -15,23 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
+  /** Types `hash()` can't digest: MapType anywhere in the type tree
+    * (Spark's hash expression rejects maps — unordered entries have no
+    * canonical hash) — such columns are excluded from the salt hash.
+    */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType      => false
+      case ArrayType(e, _) => hashable(e)
+      case StructType(fs)  => fs.forall(f => hashable(f.dataType))
+      case _               => true
+    }
+  }
+
+  /** Deterministic probe-side salt: hash of the hashable row columns plus
+    * `spark_partition_id()`. Row-dependent (a hot KEY spreads), retry-safe
+    * (a re-run task recomputes the same partition, so the same salt —
+    * unlike `monotonically_increasing_id`/`rand`), and the partition-id
+    * term spreads exact-DUPLICATE rows of a hot key that land in different
+    * partitions instead of colliding them all onto one salt.
+    */
+  private[graft] def probeSalt(probe: DataFrame, salts: Int): org.apache.spark.sql.Column = {
+    val cols = probe.schema.fields.toIndexedSeq
+      .filter(f => hashable(f.dataType))
+      .map(f => Cols.q(f.name))
+    pmod(hash(cols :+ spark_partition_id(): _*), lit(salts))
+  }
+
   /** Salted inner equi-join: the build side is replicated `salts` ways, the
-    * probe side gets a deterministic salt from its key hash, and the join
-    * key becomes (key, salt) — a hot key now spreads over `salts`
-    * partitions instead of one straggler task.
+    * probe side gets a deterministic salt from its row hash ([[probeSalt]]),
+    * and the join key becomes (key, salt) — a hot key now spreads over
+    * `salts` partitions instead of one straggler task.
     */
   def saltedJoin(
       probe: DataFrame,
       build: DataFrame,
       key: String,
       salts: Int = 8): DataFrame = {
-    // the salt must be ROW-dependent (from the key alone a hot key would
-    // get one constant salt and defeat the spread) AND deterministic under
-    // task retry/speculation (monotonically_increasing_id is not) — hash of
-    // the whole probe row is both: identical rows collide, which is fine
-    val salted = probe.withColumn(
-      "__salt",
-      pmod(hash(probe.columns.toIndexedSeq.map(Cols.q): _*), lit(salts)))
+    val salted = probe.withColumn("__salt", probeSalt(probe, salts))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted

@@ -69,13 +69,57 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
-  test("multimodal: decode stub yields normalized fixed-width features") {
+  test("multimodal: decode yields normalized fixed-width features for every payload") {
     val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
     val feats = Multimodal.decodeFeatures(media, dims = 16)
     val rows  = feats.select("features").as[Seq[Double]].collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.size == 16))
     rows.foreach(h => assert(math.abs(h.sum - 1.0) < 1e-9)) // normalized histogram
+  }
+
+  test("multimodal: real PNG payload decodes to a luminance histogram, not the byte fallback") {
+    val png = Multimodal.samplePngBytes
+    val h1  = Multimodal.decodeOne(png, 16).toSeq
+    val h2  = Multimodal.decodeOne(png, 16).toSeq
+    assert(h1 == h2) // deterministic
+    assert(math.abs(h1.sum - 1.0) < 1e-9)
+    assert(h1 != Multimodal.byteHistogram(png, 16).toSeq) // real pixels, not container bytes
+    // 8×8 gradient → 64 pixels spread over several luminance bins
+    assert(h1.count(_ > 0.0) > 2)
+  }
+
+  test("multimodal: real WAV payload decodes to an amplitude histogram, not the byte fallback") {
+    val wav = Multimodal.sampleWavBytes
+    val h1  = Multimodal.decodeOne(wav, 16).toSeq
+    assert(h1 == Multimodal.decodeOne(wav, 16).toSeq)
+    assert(math.abs(h1.sum - 1.0) < 1e-9)
+    assert(h1 != Multimodal.byteHistogram(wav, 16).toSeq)
+    // a ±0.5-amplitude sine occupies the central half of the range and is
+    // roughly symmetric around it; the extreme bins stay empty
+    assert(h1.head == 0.0 && h1.last == 0.0)
+    assert(math.abs(h1.take(8).sum - h1.drop(8).sum) < 0.1)
+  }
+
+  test("multimodal: malformed WAV chunk sizes terminate and fall back") {
+    // RIFF/WAVE header followed by a chunk with size = -8: the naive walk
+    // would advance by 0 bytes forever
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes); bos.write(Array[Byte](36, 0, 0, 0)); bos.write("WAVE".getBytes)
+    bos.write("junk".getBytes); bos.write(Array[Byte](-8, -1, -1, -1)) // le32 = -8
+    bos.write(new Array[Byte](32))
+    val bad = bos.toByteArray
+    val h   = Multimodal.decodeOne(bad, 16).toSeq // must return, not hang
+    assert(h == Multimodal.byteHistogram(bad, 16).toSeq)
+  }
+
+  test("multimodal: demo media table routes real payloads through decodeFeatures") {
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    val feats = Multimodal.decodeFeatures(media, dims = 16)
+    val byId  = feats.as[(Long, Seq[Double])].collect().toMap
+    assert(byId(3L) == Multimodal.decodeOne(Multimodal.samplePngBytes, 16).toSeq)
+    assert(byId(1L) == Multimodal.decodeOne(Multimodal.sampleWavBytes, 16).toSeq)
+    assert(byId(3L) != Multimodal.byteHistogram(Multimodal.samplePngBytes, 16).toSeq)
   }
 
   test("multimodal: frame sampling emits n frames per video item") {

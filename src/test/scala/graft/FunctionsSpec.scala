@@ -74,6 +74,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ca.linesIterator.next() == "id,v,s")
   }
 
+  test("canonical CSV rounds exactly-representable ties half-even like the oracle") {
+    import graft.core.CanonicalWriter
+    // 0.0078125 = 2^-7 and 0.0234375 = 3·2^-7 are exact in binary: at 6
+    // digits the dropped digit is exactly 5, where %.6f (HALF_UP) and
+    // DuckDB/Python (half-even) disagree
+    val df = Seq(
+      (1L, 0.0078125),  // → 0.007812 (2 is even; HALF_UP would say 0.007813)
+      (2L, 0.0234375),  // → 0.023438 (7 is odd → away)
+      (3L, -0.0078125), // sign-symmetric
+      (4L, 0.1)         // shortest-repr: 0.100000, not 0.099999…
+    ).toDF("id", "v")
+    val d = java.nio.file.Files.createTempDirectory("canon_tie").toString
+    CanonicalWriter.writeCsv(df, d)
+    val f = new java.io.File(d).listFiles().filter(_.getName.endsWith(".csv")).head
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    assert(s.contains("1,0.007812\n"), s)
+    assert(s.contains("2,0.023438\n"), s)
+    assert(s.contains("3,-0.007812\n"), s)
+    assert(s.contains("4,0.100000\n"), s)
+  }
+
+  test("BoundedCollectSet: exact below cap, saturates at cap, skips nulls") {
+    import graft.functions.BoundedCollectSet
+    // exact distinct set below the cap — across many partitions so merge runs
+    val small = (1 to 1000).map(i => Some(s"v${i % 4}")).toDF("s").repartition(8)
+    val got = small.agg(BoundedCollectSet(col("s"), 10).as("set")).collect()(0)
+      .getSeq[String](0)
+    assert(got.sorted == Seq("v0", "v1", "v2", "v3"))
+    // saturation: 200 distinct values, cap 11 → result length exactly 11
+    val big = (1 to 200).map(i => s"id_$i").toDF("s").repartition(8)
+    val sat = big.agg(BoundedCollectSet(col("s"), 11).as("set")).collect()(0)
+      .getSeq[String](0)
+    assert(sat.length == 11)
+    assert(sat.distinct.length == 11) // buffered values are real distinct values
+    // nulls are skipped like collect_set; numeric types round-trip
+    val nums = Seq(Some(1.5), None, Some(2.5), Some(1.5)).toDF("d").repartition(4)
+    val ns = nums.agg(BoundedCollectSet(col("d"), 5).as("set")).collect()(0)
+      .getSeq[Double](0)
+    assert(ns.sorted == Seq(1.5, 2.5))
+  }
+
   test("Stats mode switch dispatches exact vs approx") {
     val df = (1 to 1000).toDF("x")
     val exact = df.agg(

@@ -24,6 +24,30 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("salt handles MapType columns and spreads exact-duplicate hot-key rows") {
+    import spark.implicits._
+    // 2000 EXACT-duplicate rows of one hot key, plus a map column that
+    // hash() cannot digest — the old whole-row hash threw AnalysisException
+    // here, and without the partition-id term every duplicate row would
+    // collide onto a single salt
+    val probe = spark
+      .range(2000)
+      .select(
+        lit("hot").as("k"),
+        lit(1.0).as("v"),
+        map(lit("a"), lit(1)).as("m"))
+      .repartition(8)
+    val salts = probe
+      .withColumn("s", SkewTools.probeSalt(probe, 8))
+      .select("s").distinct().count()
+    assert(salts > 1, s"duplicate hot-key rows all landed on one salt")
+    // end-to-end: salted join over the map-typed probe matches the plain join
+    val build  = Seq(("hot", 42)).toDF("k", "w")
+    val salted = SkewTools.saltedJoin(probe, build, "k", salts = 4)
+    assert(salted.count() == 2000)
+    assert(salted.agg(sum("w")).collect()(0).getLong(0) == 2000L * 42)
+  }
+
   test("bucketed tables join without an Exchange") {
     val t = Tables(spark, dir)
     val bo = SkewTools.writeBucketed(

@@ -104,6 +104,22 @@ class WrangleNaSpec extends AnyFunSuite {
     assert(r3.getDouble(colIdx("""Q("float_x"):Q("na_1000")[T.True]""")) == 2.5)
   }
 
+  test("fii fails fast past maxPatterns instead of collecting unbounded patterns") {
+    // 8 nullable columns driven by row-id bits → ~200 distinct null
+    // patterns over 200 rows (every id < 256 has a unique bit pattern)
+    val wide = spark.range(200).select(
+      (0 until 8).map(b =>
+        when(col("id").bitwiseAND(1L << b) =!= 0L, col("id").cast("double")).as(s"c$b")) :+
+        col("id").as("row_id"): _*)
+    val err = intercept[IllegalArgumentException] {
+      WrangleNa.fii(GraftFrame(wide), maxPatterns = 4)
+    }
+    assert(err.getMessage.contains("distinct null patterns"))
+    // the same frame under a sufficient cap still works
+    val ok = WrangleNa.fii(GraftFrame(wide), maxPatterns = 1024)
+    assert(ok.df.columns.count(_.startsWith("na_")) > 4)
+  }
+
   test("fi mode tie-break is numeric for numeric categoricals (2 beats 10)") {
     val gf = GraftFrame(
       Seq(Some(2L), Some(2L), Some(10L), Some(10L), None).toDF("yr"),
