@@ -75,7 +75,14 @@ object E2EPipeline {
     val remote = url.matches("^https?://.*")
     if (remote)
       withRetries(3, 10000L) {
-        readCsv(spark, download(url).toString, sep, nrows)
+        // explicit file:// scheme: a scheme-less temp path would resolve
+        // against the default filesystem (HDFS/S3 on a real cluster) and
+        // never be found. LIMITATION: the temp file is driver-local, so on
+        // a multi-node cluster executors can't scan it — acceptable for
+        // this entry point (the reference's small-config-CSV URL,
+        // tasks.py:94); bulk remote data belongs in shared storage read
+        // via Tables. A shared-FS staging copy is the upgrade path.
+        readCsv(spark, download(url).toUri.toString, sep, nrows)
       }
     else readCsv(spark, url, sep, nrows)
   }

@@ -322,6 +322,30 @@ object TextQueries {
       .orderBy("tok")
   }
 
+  /** FULL-vocab build: every distinct token keeps a dense id assigned by
+    * (count desc, token asc) — the [[Vocab.denseIds]] two-job zipWithIndex
+    * shape (range-partition + per-partition offsets), with no global
+    * window anywhere in the plan. q53 is the top-k variant; this is the
+    * path a tokenizer-training pipeline takes when the whole vocabulary
+    * ships, so it must scale with the token table, not a single task.
+    */
+  val q55FullVocab: Declared = Declared.sql(
+    "q55_full_vocab",
+    """SELECT tok, n, rn AS token_id FROM (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+      |         row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok) x
+      |ORDER BY token_id""".stripMargin) { (spark, dir) =>
+    val counts = t(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    Vocab
+      .denseIds(counts, Seq(col("n").desc, col("tok").asc), "token_id")
+      .orderBy("token_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -335,5 +359,6 @@ object TextQueries {
     q38Fingerprints,
     q51DeterministicSample,
     q53Vocab,
-    q54Idf)
+    q54Idf,
+    q55FullVocab)
 }

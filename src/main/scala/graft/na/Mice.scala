@@ -34,7 +34,13 @@ import org.apache.spark.sql.types._
   * the reference's Gauss-Seidel update order (statsmodels MICEData sweeps
   * columns sequentially, each seeing the current sweep's earlier draws) at
   * one job per column per sweep; both converge to the same stationary
-  * distribution.
+  * distribution. DELIBERATE DEFAULT DEVIATION: the reference's update
+  * order is Gauss-Seidel, so `chained = true` is the parity mode — Jacobi
+  * is the default because the gate for this operator is the
+  * distribution-level contract (SURVEY.md §5), under which the two are
+  * equivalent, and Jacobi is ~targets× fewer jobs per sweep. Callers who
+  * need reference update semantics (not just the reference distribution)
+  * pass `chained = true`.
   *
   * Scale notes: state between sweeps is one DataFrame; `localCheckpoint`
   * truncates the growing lineage each sweep. All per-row math is codegen'd
