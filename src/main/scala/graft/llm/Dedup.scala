@@ -40,6 +40,39 @@ object Dedup {
           min(md5(concat(lit(s"s$i|"), col("tok")).cast("binary"))).as(s"sig$i")): _*)
   }
 
+  /** Per-row banded MinHash as a pure PROJECTION — no groupBy, no keyed
+    * state: `sig_i = array_min(transform(toks, t -> md5('s<i>|' || t)))`,
+    * which yields exactly the values of [[minhashSignatures]] (the min over
+    * an exploded token group equals `array_min` over the token array), but
+    * is computable row-by-row on an unbounded STREAM. Returns one row per
+    * (doc, band): (__id, toks, band_idx, band_val); `toks` rides along so a
+    * stateful consumer can exact-Jaccard-verify candidates without a second
+    * pass over the source.
+    */
+  private[graft] def bandedProjection(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nSigs = bands * rowsPerBand
+    val withToks = docs.select(
+      Cols.q(idCol).as("__id"),
+      array_distinct(split(Cols.q(textCol), " ")).as("toks"))
+    val sigs = (0 until nSigs).map(i =>
+      expr(s"array_min(transform(toks, t -> md5(cast(concat('s$i|', t) AS BINARY))))").as(s"sig$i"))
+    val withSigs = withToks.select(col("__id") +: col("toks") +: sigs: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
+          .as("band_val"))
+    }
+    withSigs
+      .select(col("__id"), col("toks"), explode(array(bandCols: _*)).as("b"))
+      .select(col("__id"), col("toks"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+  }
+
   /** Near-dup pairs: band the signatures (`bands` × `rowsPerBand`), bucket
     * candidates sharing any band, then verify with exact token-set Jaccard
     * ≥ `tau`. Returns (a_id, b_id, jaccard) with a_id < b_id.

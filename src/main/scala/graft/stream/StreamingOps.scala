@@ -59,6 +59,72 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAMING near-dup dedup — the north-star dedup story's missing
+    * member: banded MinHash inside `flatMapGroupsWithState`, with the
+    * exact-Jaccard verification of the batch [[graft.llm.Dedup.nearDupPairs]]
+    * done at emit time.
+    *
+    * Shape: signatures come from the stateless per-row projection
+    * ([[graft.llm.Dedup.bandedProjection]] — `array_min(transform(...))`,
+    * so no unbounded signature aggregation), then documents group by
+    * (band_idx, band_val) and each bucket keeps its seen (id, tokens) list
+    * as group state: a new document emits one verified pair per prior
+    * bucket member with Jaccard ≥ `tau` (a_id < b_id, jaccard rounded to
+    * 6 dp like the batch op). Pairs sharing SEVERAL bands are emitted once
+    * per band — set-dedupe downstream (the batch op's `.distinct()`), kept
+    * out of this operator so it stays single-stateful-op and append-mode.
+    *
+    * State bounds: per-bucket membership is capped at `maxBandDf` docs —
+    * the streaming analogue of the batch `maxBandDf` bucket cut, except a
+    * stream cannot retract already-emitted pairs, so the FIRST `maxBandDf`
+    * arrivals are kept rather than the whole bucket dropped retroactively.
+    * Production streams should also evict idle buckets via a timeout; the
+    * NoTimeout default matches the bounded-fixture spec.
+    */
+  def nearDupPairsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      tau: Double = 0.5,
+      maxBandDf: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, OutputMode}
+    graft.llm.Dedup
+      .bandedProjection(docs, idCol, textCol, bands, rowsPerBand)
+      .select(col("band_idx"), col("band_val"), col("__id"), col("toks"))
+      .as[(Int, String, Long, Seq[String])]
+      .groupByKey { case (bi, bv, _, _) => (bi, bv) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String),
+         rows: Iterator[(Int, String, Long, Seq[String])],
+         state: GroupState[List[(Long, Seq[String])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out  = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          rows.foreach { case (_, _, id, toks) =>
+            if (seen.size < maxBandDf && !seen.exists(_._1 == id)) {
+              val tset = toks.toSet
+              seen.foreach { case (oid, otoks) =>
+                val oset  = otoks.toSet
+                val inter = (tset intersect oset).size.toDouble
+                val j     = inter / (tset.size + oset.size - inter)
+                if (j >= tau)
+                  out += ((
+                    math.min(id, oid),
+                    math.max(id, oid),
+                    BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+              seen = (id, toks) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("a_id", "b_id", "jaccard")
+  }
+
   /** Custom state: running per-user event count via mapGroupsWithState —
     * the `KeyValueGroupedDataset` escape hatch for state machines the
     * built-in windows can't express.

@@ -99,6 +99,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup (banded minhash in flatMapGroupsWithState) matches batch pairs") {
+    import org.apache.spark.sql.types._
+    val docs = graft.core.Tables(spark, dir).documents
+    // two micro-batches — evens first, odds second — so pairs must form
+    // ACROSS batches through the bucket state, not just within one batch
+    val stage = java.nio.file.Files.createTempDirectory("docs_stream")
+    def addFile(name: String, filter: org.apache.spark.sql.Column): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      docs.where(filter).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name))
+    }
+    addFile("batch0.parquet", col("doc_id") % 2 === 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = StreamingOps.nearDupPairsStream(
+      spark.readStream.schema(schema).parquet(stage.toString),
+      "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.5)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("neardup_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      addFile("batch1.parquet", col("doc_id") % 2 === 1)
+      q.processAllAvailable()
+      // pairs repeat once per shared band — compare as sets (the batch
+      // op's distinct)
+      val got = stream.sparkSession.table("neardup_out")
+        .select("a_id", "b_id", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.llm.Dedup
+        .nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty, "fixture produced no near-dup pairs; spec is vacuous")
+      assert(got == want, s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
