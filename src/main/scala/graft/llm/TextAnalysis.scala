@@ -82,14 +82,20 @@ object TextAnalysis {
       .otherwise(-1)
 
   /** Polynomial rolling-hash fingerprint over the token sequence:
-    * h = (h·31 + murmur3(tok)) mod (2³¹−1) — one `aggregate` pass,
-    * order-sensitive (a reordered document fingerprints differently,
-    * unlike a bag-of-words hash). Modular form keeps the accumulator well
-    * inside long range under ANSI arithmetic.
+    * h = (h·31 + v(tok)) mod (2³¹−1), v(tok) = first 8 md5 hex digits as an
+    * integer — one `aggregate` pass, order-sensitive (a reordered document
+    * fingerprints differently, unlike a bag-of-words hash). The token value
+    * is md5-derived rather than murmur3 so the whole fingerprint is
+    * ENGINE-PORTABLE (DuckDB reproduces it exactly with
+    * `list_reduce`, q38's oracle); the accumulator stays < 2⁶¹ so the
+    * arithmetic is ANSI-safe in a long.
     */
   def rollingFingerprint(text: Column): Column =
     aggregate(
       split(text, " "),
       lit(0L),
-      (acc, tok) => pmod(acc * lit(31L) + hash(tok).cast("long"), lit(2147483647L)))
+      (acc, tok) =>
+        pmod(
+          acc * lit(31L) + conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(2147483647L)))
 }

@@ -222,11 +222,32 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  /** Language-ID distribution (predicted × actual). Rows-only: the argmax
-    * ladder is library logic; accuracy itself is asserted in LangIdSpec on
-    * real-language samples.
+  /** Language-ID distribution (predicted × actual). Fully oracled: the
+    * stopword-hit scoring + argmax (ties to the alphabetically-first
+    * language, all-zero → "und") is plain relational algebra, so DuckDB
+    * reproduces the ladder exactly; accuracy itself is asserted in
+    * TextAnalysisSpec on real-language samples.
     */
-  val q37LangidDist: Declared = Declared.rowsOnly("q37_langid_dist") { (spark, dir) =>
+  val q37LangidDist: Declared = Declared.sql(
+    "q37_langid_dist",
+    """WITH sw(cand, words) AS (VALUES
+      |  ('de', ['der','die','und','das','ist','von','mit','den','ein','zu']),
+      |  ('en', ['the','and','of','to','a','in','is','it','that','for']),
+      |  ('es', ['el','la','de','que','y','en','un','los','se','por']),
+      |  ('fr', ['le','la','et','les','des','un','une','du','est','que']),
+      |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
+      |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, lang, cand,
+      |        CAST(len(list_intersect(toks, words)) AS DOUBLE)
+      |          / greatest(len(toks), 1) AS score
+      |      FROM t CROSS JOIN sw),
+      |m AS (SELECT doc_id, max(score) AS best FROM s GROUP BY doc_id),
+      |p AS (SELECT s.doc_id, any_value(s.lang) AS lang,
+      |        CASE WHEN any_value(m.best) > 0 THEN min(s.cand) ELSE 'und' END AS predicted
+      |      FROM s JOIN m ON s.doc_id = m.doc_id AND s.score = m.best
+      |      GROUP BY s.doc_id)
+      |SELECT lang, predicted, count(*) AS n FROM p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
     t(spark, dir).documents
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy("lang", "predicted")
@@ -234,10 +255,22 @@ object TextQueries {
       .orderBy("lang", "predicted")
   }
 
-  /** Order-sensitive rolling-hash fingerprints (murmur3-based — engine-
-    * specific hash, so rows-only; determinism is asserted in tests).
+  /** Order-sensitive rolling-hash fingerprints. Fully oracled: the token
+    * value is md5-derived ([[TextAnalysis.rollingFingerprint]]) so DuckDB
+    * replays the identical fold via `list_reduce` — hash-exact across
+    * engines, not just deterministic within Spark.
     */
-  val q38Fingerprints: Declared = Declared.rowsOnly("q38_fingerprints") { (spark, dir) =>
+  val q38Fingerprints: Declared = Declared.sql(
+    "q38_fingerprints",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '), t ->
+      |        list_sum(list_transform(range(8), i ->
+      |          CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i+1 AS INTEGER), 1)) - 1 AS BIGINT)
+      |            << CAST(4*(7-i) AS INTEGER))))),
+      |    (a, b) -> (a*31 + b) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     t(spark, dir).documents
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")

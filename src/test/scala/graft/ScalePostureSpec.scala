@@ -42,6 +42,30 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(pruned.collect()(0).getDouble(0) == want)
   }
 
+  test("factorWrangler's distinct-set discovery is exactly ONE Spark job") {
+    import graft.core.GraftFrame
+    // the r3 regression was a second blocking aggregate job (the
+    // approx_count_distinct pre-gate) in every factorWrangler call; pin the
+    // single-job shape so it can't silently come back
+    val df = Tables(spark, dir).lineitem
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+    df.count() // warm the scan so the job group sees only factorWrangler's jobs
+    // AQE splits one action into one job per query stage; disable it so
+    // job count == blocking-action count (the thing the regression doubled)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("fw-single-job", "factorWrangler job count")
+    try graft.clean.CleanData.factorWrangler(GraftFrame(df), strToCat = true, dummyToBool = true)
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("fw-single-job")
+    assert(
+      jobs.length == 1,
+      s"factorWrangler ran ${jobs.length} jobs; the gate+distinct-set pass must be one")
+  }
+
   test("join-heavy queries survive with broadcast disabled (sort-merge fallback)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val checks = Seq("q02_mktsegment_revenue", "q06_region_sales", "q14_events_asof_order")
