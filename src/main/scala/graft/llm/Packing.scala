@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.core.Cols
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing for training pipelines (SURVEY.md §2B north star):
+  * assign documents, in a deterministic total order, to fixed-capacity
+  * "packs" (context windows) by running token count — the preprocessing
+  * step that turns a shuffled corpus into dense max-length training
+  * sequences.
+  *
+  * Semantics: with `cum` = running token total over `orderCol` (inclusive),
+  * a document's pack is `(cum − n) div capacity` — capacity boundaries fall
+  * at fixed token offsets and a document crossing a boundary counts toward
+  * the pack where it starts. This is the windowed-cumsum formulation (same
+  * row-to-pack mapping as `sum() OVER (ORDER BY …)` in SQL), chosen over
+  * closed-bin greedy packing because it is expressible as a scan — greedy
+  * bin-closing is inherently sequential per bin and cannot be replayed by
+  * a relational oracle.
+  *
+  * Scale shape: a global `sum() OVER (ORDER BY …)` window would funnel the
+  * corpus through ONE task ("WindowExec: No Partition Defined"). Instead
+  * the cumsum is the canonical two-phase scan, the prefix-sum sibling of
+  * [[Vocab.denseIds]]: range-partition by the order key, one small job
+  * collects per-partition token sums (p longs to the driver), then one
+  * `mapPartitionsWithIndex` adds each partition's prefix offset to its
+  * local running sum. No partition ever sees more than its slice.
+  */
+object Packing {
+
+  /** Per-document pack assignment: input columns plus `n_tokens` (whitespace
+    * tokens), `pack_id` (0-based). Deterministic for a fixed `orderCol`.
+    */
+  def packSequences(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    val withN = docs
+      .withColumn("n_tokens", size(split(Cols.q(textCol), " ")).cast(LongType))
+      .repartitionByRange(Cols.q(orderCol))
+      .sortWithinPartitions(Cols.q(orderCol))
+    val nIdx = withN.schema.fieldIndex("n_tokens")
+
+    // job 1: per-partition token sums → prefix offsets (p longs on the driver)
+    val partSums = withN.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(nIdx))
+        Iterator((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+
+    // job 2 (lazy): local running sum + partition offset → pack id
+    val schema = withN.schema.add("pack_id", LongType, nullable = false)
+    val rdd = withN.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { r =>
+        val n = r.getLong(nIdx)
+        cum += n
+        Row.fromSeq(r.toSeq :+ (cum - n) / capacity)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-pack rollup: documents and token totals per pack (the shape a
+    * sequence-writer consumes). `util_pct` shows fill against capacity —
+    * the training-efficiency metric packing exists to maximize.
+    */
+  def packSummary(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      capacity: Long): DataFrame =
+    packSequences(docs, orderCol, textCol, capacity)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(sum("n_tokens") / lit(capacity.toDouble) * 100.0, 4).as("util_pct"))
+      .orderBy("pack_id")
+}

@@ -379,6 +379,57 @@ object TextQueries {
       .orderBy("token_id")
   }
 
+  /** Sequence packing: fixed-capacity context-window assignment by running
+    * token count, rolled up per pack. The Spark side computes the cumsum
+    * with [[Packing]]'s two-phase scan (range partition + per-partition
+    * offsets) — NOT a global window — while the oracle replays the same
+    * row-to-pack mapping with `sum() OVER (ORDER BY doc_id)`.
+    */
+  val q56PackSummary: Declared = Declared.sql(
+    "q56_pack_summary",
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+      |SELECT CAST((cum - n) // 2048 AS BIGINT) AS pack_id, count(*) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(n) AS DOUBLE) / 2048 * 100.0, 4) AS util_pct
+      |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (spark, dir) =>
+    Packing.packSummary(t(spark, dir).documents, "doc_id", "text", capacity = 2048L)
+  }
+
+  /** Benchmark decontamination: per-train-doc fraction of distinct
+    * 3-grams that appear anywhere in the "benchmark" slice (every 50th
+    * doc plays the eval set on the fixture). Inverted-index semi-join —
+    * the eval shingle set is dimension-sized and broadcast.
+    */
+  val q57Decontamination: Declared = Declared.sql(
+    "q57_decontamination",
+    """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 50 <> 0),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 50 = 0),
+      |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 2),
+      |          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+      |        FROM tr WHERE len(tk) >= 3),
+      |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(tk) - 2),
+      |          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS s
+      |        FROM ev WHERE len(tk) >= 3),
+      |m AS (SELECT doc_id, count(*) AS n_matched FROM tsh
+      |      WHERE s IN (SELECT s FROM esh) GROUP BY doc_id),
+      |t AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_shingles, CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+      |       round(CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_shingles, 6) AS ratio
+      |FROM t LEFT JOIN m USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    Decontamination
+      .score(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id",
+        "text",
+        n = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -393,5 +444,7 @@ object TextQueries {
     q51DeterministicSample,
     q53Vocab,
     q54Idf,
-    q55FullVocab)
+    q55FullVocab,
+    q56PackSummary,
+    q57Decontamination)
 }

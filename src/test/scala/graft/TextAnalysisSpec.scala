@@ -51,6 +51,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("sequence packing: boundaries at capacity offsets, every doc exactly once") {
+    import graft.llm.Packing
+    val docs = spark.range(1, 101).select(
+      col("id").as("doc_id"),
+      // token counts 1..100 via repeated 'w' tokens
+      array_join(transform(sequence(lit(1), col("id")), _ => lit("w")), " ").as("text"))
+    val packed = Packing.packSequences(docs, "doc_id", "text", capacity = 64L)
+      .select("doc_id", "n_tokens", "pack_id")
+      .collect()
+      .sortBy(_.getLong(0))
+    assert(packed.length == 100) // no doc lost or duplicated
+    // replay the contract sequentially: pack = (cum - n) div capacity
+    var cum = 0L
+    packed.foreach { r =>
+      val n = r.getLong(1)
+      assert(n == r.getLong(0)) // doc_id i has i tokens
+      assert(r.getLong(2) == cum / 64L, s"doc ${r.getLong(0)}: pack ${r.getLong(2)} != ${cum / 64}")
+      cum += n
+    }
+    // summary accounts for every token
+    val sum = Packing.packSummary(docs, "doc_id", "text", 64L)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    assert(sum == 5050L)
+  }
+
+  test("decontamination: self-overlap is 1.0, disjoint text is 0.0") {
+    import graft.llm.Decontamination
+    val evalDocs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // verbatim benchmark copy
+      (11L, "alpha beta gamma zeta eta"),      // shares the leading 3-gram only
+      (12L, "one two three four five")         // disjoint
+    ).toDF("doc_id", "text")
+    val got = Decontamination.score(train, evalDocs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((10L, 3L, 3L, 1.0)))      // 3 shingles, all matched
+    assert(got(1) == ((11L, 3L, 1L, 0.333333))) // only "alpha beta gamma"
+    assert(got(2) == ((12L, 3L, 0L, 0.0)))
+  }
+
   test("bpe-ish tokenizer splits alpha/digit/punct runs") {
     val n = Seq("abc123 def, xyz!")
       .toDF("text")
