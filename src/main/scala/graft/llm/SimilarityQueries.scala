@@ -147,6 +147,33 @@ object SimilarityQueries {
       .orderBy("a_id", "rn")
   }
 
+  /** Symmetric int8 quantization summary per vector ([[Quantize]]): the
+    * integer code checksum is float-ordering-free, so the whole quantizer
+    * is hash-verified against DuckDB, not just spot-checked.
+    */
+  val q58QuantizeInt8: Declared = Declared.sql(
+    "q58_quantize_int8",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |s AS (SELECT vec_id, emb,
+      |        sqrt(list_dot_product(emb, emb)) AS nrm,
+      |        list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS max_abs FROM e),
+      |q AS (SELECT vec_id, nrm, max_abs,
+      |        CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale, emb FROM s)
+      |SELECT vec_id, round(nrm, 6) AS nrm, round(max_abs, 6) AS max_abs,
+      |  CAST(list_sum(list_transform(emb, x -> CAST(round(x * scale) AS BIGINT))) AS BIGINT) AS q_sum,
+      |  round(CASE WHEN scale = 0 THEN 0.0 ELSE
+      |    list_sum(list_transform(emb, x -> abs(x - round(x * scale) / scale))) / len(emb) END, 6) AS q_err
+      |FROM q ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Quantize
+      .int8Summary(
+        t(spark, dir).embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        "vec_id",
+        "emb")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Declared] =
-    Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk)
+    Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
+      q58QuantizeInt8)
 }

@@ -139,6 +139,24 @@ class AnnMultimodalSpec extends AnyFunSuite {
     rows.foreach(h => assert(math.abs(h.sum - 1.0) < 1e-9))
   }
 
+  test("int8 quantization: codes bounded, extremes hit ±127, zero vector safe") {
+    import graft.llm.Quantize
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 1.0)), // max_abs 1.0 → scale 127
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))    // zero vector
+    ).toDF("vec_id", "emb")
+    val codes = df.select(col("vec_id"), Quantize.int8Codes(col("emb")).as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == Seq(64, -127, 32, 127)) // round(0.5·127)=64, round(0.25·127)=32
+    assert(codes(2L) == Seq(0, 0, 0, 0))
+    val norm = df.where(col("vec_id") === 1)
+      .select(Quantize.l2Normalize(col("emb")).as("n")).as[Seq[Double]].collect().head
+    assert(math.abs(norm.map(x => x * x).sum - 1.0) < 1e-12)
+    val summary = Quantize.int8Summary(df, "vec_id", "emb").orderBy("vec_id").collect()
+    assert(summary(0).getLong(3) == 64L - 127 + 32 + 127) // q_sum exact
+    assert(summary(1).getLong(3) == 0L && summary(1).getDouble(4) == 0.0)
+  }
+
   test("approx_count_distinct stays inside the HLL error envelope") {
     val li = Tables(spark, dir).lineitem
     val r = li
