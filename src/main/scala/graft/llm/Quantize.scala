@@ -16,10 +16,29 @@ object Quantize {
   private def absMax(emb: Column): Column =
     array_max(transform(emb, x => abs(x)))
 
-  /** L2-normalized copy of the embedding (zero vectors pass through). */
+  /** L2-normalized copy of the embedding (zero vectors pass through).
+    * NOTE: the norm is captured inside the `transform` lambda, so it is
+    * re-evaluated per element — O(d²) per row. Fine for narrow arrays and
+    * tests; bulk paths should use [[l2NormalizeDf]], which hoists the norm
+    * into a projection first (the [[int8Summary]] lesson).
+    */
   def l2Normalize(emb: Column): Column = {
     val nrm = sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, x) => s + x))
     when(nrm === 0.0, emb).otherwise(transform(emb, x => x / nrm))
+  }
+
+  /** Bulk L2 normalization: replaces `embCol` with its normalized form,
+    * norm computed ONCE per row via the codegen'd dot product and
+    * referenced as a resolved attribute inside the lambda.
+    */
+  def l2NormalizeDf(df: DataFrame, embCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val emb = Cols.q(embCol)
+    df.withColumn("__nrm", sqrt(dot(emb, emb)))
+      .withColumn(
+        embCol,
+        when(col("__nrm") === 0.0, emb).otherwise(transform(emb, x => x / col("__nrm"))))
+      .drop("__nrm")
   }
 
   /** Symmetric int8 codes: round(x · 127/max|x|) ∈ [−127, 127]; a zero
