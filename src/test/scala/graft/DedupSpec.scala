@@ -1,6 +1,7 @@
 package graft
 
 import graft.llm.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -41,6 +42,23 @@ class DedupSpec extends AnyFunSuite {
     val s2 = Dedup.minhashSignatures(corpus, "doc_id", "text").collect().map(_.toString).sorted.toSeq
     assert(s1 == s2)
     assert(s1.size == 5)
+  }
+
+  test("projection-based band values equal the groupBy signature bands") {
+    // the identity the STREAMING path rests on: array_min over the token
+    // array = min over the exploded token group, band by band
+    val viaGroupBy = Dedup.minhashSignatures(corpus, "doc_id", "text", nSigs = 8)
+      .select(
+        col("__id"),
+        concat_ws("|", col("sig0"), col("sig1")).as("b0"),
+        concat_ws("|", col("sig6"), col("sig7")).as("b3"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val viaProjection = Dedup.bandedProjection(corpus, "doc_id", "text", bands = 4, rowsPerBand = 2)
+      .groupBy("__id")
+      .pivot("band_idx", Seq(0, 3))
+      .agg(first("band_val"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaGroupBy == viaProjection)
   }
 
   // docs sharing one universal 3-gram ("aa bb cc") plus a unique tail —
