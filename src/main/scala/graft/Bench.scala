@@ -53,6 +53,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE: spark.sql.adaptive.coalescePartitions.parallelismFirst stays
+      // at its default (true). The tuning-guide "false" posture was A/B'd
+      // in round 4: it coalesces small-SF sorts/aggregates onto too few
+      // cores and cost +5 s total (q28 +1.4 s, q34 +1.3 s); the advisory-
+      // size posture belongs on a real cluster, not a 32-core bench box
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
