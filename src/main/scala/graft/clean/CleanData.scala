@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * _factor_wrangler → _check_model_assumptions.
   *
   * Unlike the reference (six eager full-frame passes), every step here is a
-  * lazy DataFrame transform; only `convertDtypes` and the dummy/category
-  * detection in `factorWrangler` run one aggregate job each to learn
-  * data-dependent facts (integer-valuedness, distinct value sets) — a single
-  * `agg` per stage, not per column (SURVEY.md §4).
+  * lazy DataFrame transform; only `parseStrings`, `convertDtypes`, and the
+  * dummy/category detection in `factorWrangler` run one aggregate job each
+  * to learn data-dependent facts (parseability, integer-valuedness,
+  * distinct value sets) — a single `agg` per stage, not per column
+  * (SURVEY.md §4; the factorWrangler job count is pinned by a
+  * ScalePostureSpec test).
   */
 object CleanData {
 

@@ -5,9 +5,11 @@ import graft.functions.GraftFunctions.dot
 import graft.queries.Declared
 import org.apache.spark.sql.functions._
 
-/** Declared multimodal pipeline query: opaque binary media → stubbed
-  * decode → fixed-width features → per-kind stats. Rows-only (the decode
-  * stub has no SQL oracle); schema/determinism asserted in MultimodalSpec.
+/** Declared multimodal pipeline query: opaque binary media → real decode
+  * (PNG/WAV payloads ride in the demo table; other rows take the
+  * byte-histogram fallback) → fixed-width features → per-kind stats.
+  * Rows-only (binary decode has no SQL oracle); decode correctness and
+  * determinism are asserted in AnnMultimodalSpec against generated media.
   */
 object MultimodalQueries {
 
