@@ -81,6 +81,24 @@ object TextAnalysis {
     when(substring(tokMd5, bit + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
       .otherwise(-1)
 
+  /** Duplicate-trigram fraction — the Gopher/Dolma-style repetition signal:
+    * 1 − distinct/total word trigrams; 0 for texts shorter than 3 tokens
+    * (the guard matters: `sequence(0, size−3)` DESCENDS for short texts,
+    * where DuckDB's `range` goes empty). `tk` must be a RESOLVED token
+    * array column, not an inline `split(...)` — an inline expression would
+    * be captured by the transform lambda and re-evaluated per element
+    * (PLANS.md, the q58 lesson). The unigram companion (max token
+    * frequency) needs a groupBy and lives in the q59 query shape.
+    */
+  def trigramDupFracFromTokens(tk: Column): Column = {
+    val tri = size(array_distinct(transform(
+      sequence(lit(0), size(tk) - 3),
+      i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
+    when(size(tk) >= 3,
+      lit(1.0) - tri.cast("double") / (size(tk) - lit(2)).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token sequence:
     * h = (h·31 + v(tok)) mod (2³¹−1), v(tok) = first 8 md5 hex digits as an
     * integer — one `aggregate` pass, order-sensitive (a reordered document

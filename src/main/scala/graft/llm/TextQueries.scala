@@ -430,6 +430,83 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality filter (the Gopher/Dolma rule family):
+    * per-doc max-unigram-frequency ratio (explode + two-level aggregate —
+    * the scale shape; an array-side count would be O(d²) per row) and
+    * duplicate-trigram fraction (pure projection over a hoisted token
+    * array), rolled up per language with a flag count at the standard 0.2
+    * threshold.
+    */
+  val q59Repetition: Declared = Declared.sql(
+    "q59_repetition",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+      |c AS (SELECT doc_id, max(cnt) AS maxc FROM
+      |        (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY doc_id, tok)
+      |      GROUP BY doc_id),
+      |t AS (SELECT doc_id, lang, len(tk) AS n,
+      |        CASE WHEN len(tk) >= 3 THEN
+      |          1.0 - CAST(len(list_distinct(list_transform(range(len(tk) - 2),
+      |                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS DOUBLE)
+      |               / (len(tk) - 2)
+      |        ELSE 0.0 END AS tridup
+      |      FROM d),
+      |j AS (SELECT t.lang, CAST(c.maxc AS DOUBLE) / t.n AS rep, t.tridup
+      |      FROM t JOIN c USING (doc_id))
+      |SELECT lang, count(*) AS n_docs, round(avg(rep), 6) AS avg_rep,
+      |       CAST(count(*) FILTER (WHERE rep > 0.2) AS BIGINT) AS n_flagged,
+      |       round(avg(tridup), 6) AS avg_tri_dup
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val d = t(spark, dir).documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val maxc = d
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("maxc"))
+    d.select(
+        col("doc_id"), col("lang"),
+        size(col("tk")).as("n"),
+        TextAnalysis.trigramDupFracFromTokens(col("tk")).as("tridup"))
+      .join(maxc, Seq("doc_id"))
+      .select(
+        col("lang"),
+        (col("maxc").cast("double") / col("n")).as("rep"),
+        col("tridup"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("rep"), 6).as("avg_rep"),
+        count(when(col("rep") > 0.2, lit(1))).as("n_flagged"),
+        round(avg("tridup"), 6).as("avg_tri_dup"))
+      .orderBy("lang")
+  }
+
+  /** Source-mixture reweighting: the weight each source needs so sampling
+    * matches a uniform target mix — the domain-balancing step before
+    * training-corpus assembly. Counts are one aggregate; shares/weights
+    * are a broadcast of the 1-row totals back over the per-source rows.
+    */
+  val q60MixtureWeights: Declared = Declared.sql(
+    "q60_mixture_weights",
+    """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS k FROM s)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       round(CAST(n AS DOUBLE) / t, 6) AS actual_share,
+      |       round((1.0 / k) / (CAST(n AS DOUBLE) / t), 6) AS weight
+      |FROM s, tot ORDER BY source""".stripMargin) { (spark, dir) =>
+    val s   = t(spark, dir).documents.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = s.agg(
+      sum("n").cast("double").as("t"),
+      count(lit(1)).cast("double").as("k"))
+    s.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n").as("n_docs"),
+        round(col("n") / col("t"), 6).as("actual_share"),
+        round((lit(1.0) / col("k")) / (col("n") / col("t")), 6).as("weight"))
+      .orderBy("source")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -446,5 +523,7 @@ object TextQueries {
     q54Idf,
     q55FullVocab,
     q56PackSummary,
-    q57Decontamination)
+    q57Decontamination,
+    q59Repetition,
+    q60MixtureWeights)
 }

@@ -51,6 +51,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("trigram dup fraction: repeats detected, short texts guarded to 0") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      "a b c a b c a b c", // 7 trigrams, 5 distinct ("a b c","b c a","c a b" + wrap variants)
+      "one two three four", // 2 trigrams, both unique → 0.0
+      "too short",          // < 3 tokens → guard → 0.0 (sequence would descend!)
+      ""                    // empty → 0.0
+    ).toDF("text")
+    val got = df
+      .select(split(col("text"), " ").as("tk"))
+      .select(TextAnalysis.trigramDupFracFromTokens(col("tk")).as("f"))
+      .as[Double].collect().toSeq
+    assert(got(1) == 0.0 && got(2) == 0.0 && got(3) == 0.0)
+    // "a b c a b c a b c": trigrams abc bca cab abc bca cab abc → 3 distinct of 7
+    assert(math.abs(got(0) - (1.0 - 3.0 / 7.0)) < 1e-12)
+  }
+
   test("sequence packing: boundaries at capacity offsets, every doc exactly once") {
     import graft.llm.Packing
     val docs = spark.range(1, 101).select(
