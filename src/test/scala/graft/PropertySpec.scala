@@ -89,6 +89,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedCollectSet equals collect_set whenever the cap is not hit (random data)") {
+    import org.apache.spark.sql.functions.{col, collect_set}
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val distinct = 1 + rnd.nextInt(40)
+      val rows     = 200 + rnd.nextInt(400)
+      val df = (1 to rows)
+        .map(_ => s"v${rnd.nextInt(distinct)}")
+        .toDF("s")
+        .repartition(1 + rnd.nextInt(8))
+      val r = df.agg(
+        graft.functions.BoundedCollectSet(col("s"), distinct + 1).as("bounded"),
+        collect_set(col("s")).as("exact")).collect()(0)
+      assert(
+        r.getSeq[String](0).sorted == r.getSeq[String](1).sorted,
+        s"trial $trial: bounded set diverged below the cap")
+    }
+  }
+
   test("gelman standardization yields mean ≈ 0 and sample sd ≈ 0.5") {
     samples(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 5)
       .filter(_.distinct.size > 1)
