@@ -125,6 +125,34 @@ object StreamingOps {
       .toDF("a_id", "b_id", "jaccard")
   }
 
+  /** Idempotent per-batch parquet write: batch `id` keys a partition
+    * directory written with OVERWRITE, so a replayed micro-batch (failure
+    * between sink write and checkpoint commit — the foreachBatch
+    * at-least-once window) lands on the same path and replaces itself
+    * instead of duplicating. This is the standard exactly-once-by-
+    * idempotence recipe for foreachBatch sinks; Spark's own file sink
+    * gets the same property from its manifest log.
+    */
+  def writeBatchIdempotent(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      outDir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** AvailableNow foreachBatch stream into [[writeBatchIdempotent]]; with a
+    * checkpoint, restarts neither reprocess nor duplicate completed batches.
+    */
+  def exactlyOnceParquetSink(
+      events: DataFrame,
+      outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch, outDir, id))
+      .start()
+
   /** Custom state: running per-user event count via mapGroupsWithState —
     * the `KeyValueGroupedDataset` escape hatch for state machines the
     * built-in windows can't express.

@@ -139,6 +139,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink: replayed batch does not duplicate; restart is a no-op") {
+    val outDir = java.nio.file.Files.createTempDirectory("eo_sink").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
+    val want   = graft.core.Tables(spark, dir).events.count()
+    def run(): Unit = {
+      val q = StreamingOps.exactlyOnceParquetSink(
+        StreamingOps.readEventStream(spark, streamDir), outDir, ckpt)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == want)
+    // restart with the same checkpoint: completed batches are not re-run
+    run()
+    assert(spark.read.parquet(outDir).count() == want)
+    // simulate the at-least-once replay window: re-write batch 0 —
+    // materialized first, since a lazy self-read would see its own
+    // overwrite delete the source files mid-plan
+    val batch0 = spark.read.parquet(s"$outDir/batch_id=0")
+    val replay = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(batch0.collect(): _*)), batch0.schema)
+    StreamingOps.writeBatchIdempotent(replay, outDir, 0L)
+    assert(spark.read.parquet(outDir).count() == want)
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
