@@ -507,6 +507,44 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-document top-3 TF-IDF terms — the keyword-extraction composition
+    * of the q53/q54 building blocks: term frequencies and document
+    * frequencies are each one exploded aggregate, the score join ships the
+    * (small) IDF table into a broadcast, and ranking runs on the ROUNDED
+    * score with a term tie-break so the window is hash-deterministic
+    * across engines (the q19 rule).
+    */
+  val q61TfidfTop: Declared = Declared.sql(
+    "q61_tfidf_top",
+    """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY doc_id, tok),
+      |idf AS (SELECT tok, ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+      |                       / count(DISTINCT doc_id)) AS idf
+      |        FROM dt GROUP BY tok),
+      |sc AS (SELECT tf.doc_id, tf.tok, round(tf.tf * idf.idf, 6) AS tfidf
+      |       FROM tf JOIN idf USING (tok)),
+      |r AS (SELECT doc_id, tok, tfidf,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+      |      FROM sc)
+      |SELECT doc_id, tok, tfidf, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs  = t(spark, dir).documents
+    val total = docs.count().toDouble
+    val dt = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = dt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = dt.distinct()
+      .groupBy("tok")
+      .agg(log(lit(total) / count(lit(1))).as("idf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(idf), Seq("tok"))
+      .select(col("doc_id"), col("tok"), round(col("tf") * col("idf"), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("doc_id", "tok", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -525,5 +563,6 @@ object TextQueries {
     q56PackSummary,
     q57Decontamination,
     q59Repetition,
-    q60MixtureWeights)
+    q60MixtureWeights,
+    q61TfidfTop)
 }

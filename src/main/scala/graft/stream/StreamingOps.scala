@@ -125,6 +125,16 @@ object StreamingOps {
       .toDF("a_id", "b_id", "jaccard")
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension snapshot. The dim side is broadcast — a stream-static join
+    * re-reads the static side per micro-batch, so shipping it as a
+    * broadcast keeps every batch shuffle-free on the stream side (the
+    * standard dimension-enrichment shape; at 100 TB the stream partitions
+    * by event time and the dim is the small side by construction).
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Idempotent per-batch parquet write: batch `id` keys a partition
     * directory written with OVERWRITE, so a replayed micro-batch (failure
     * between sink write and checkpoint commit — the foreachBatch

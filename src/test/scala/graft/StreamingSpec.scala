@@ -139,6 +139,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join matches the batch enrichment") {
+    val dim = graft.core.Tables(spark, dir).customer
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val stream = StreamingOps
+      .enrichedEvents(StreamingOps.readEventStream(spark, streamDir), dim, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("enrich_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = stream.sparkSession.table("enrich_out")
+      val want = graft.core.Tables(spark, dir).events
+        .join(dim, Seq("user_id"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replayed batch does not duplicate; restart is a no-op") {
     val outDir = java.nio.file.Files.createTempDirectory("eo_sink").toString
     val ckpt   = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
