@@ -26,5 +26,35 @@ object MultimodalQueries {
       .orderBy("kind")
   }
 
-  val all: Seq[Declared] = Seq(q40MultimodalFeatures)
+  /** Media near-dup via decoded features: the multimodal leg of the dedup
+    * story — decode → fixed-width feature vector → sign-bit LSH bucket →
+    * within-bucket cosine ≥ τ. Same scale shape as the embedding near-dup
+    * (shuffle key = bucket id, never all-pairs); rows-only because the
+    * decode step has no SQL oracle. The fixture's exact-duplicate texts
+    * yield identical features (cos 1.0), so the result is non-empty and
+    * deterministic; the PNG/WAV payload rows decode to pixel/sample
+    * histograms and correctly do NOT pair with text-backed rows.
+    */
+  val q62MediaNeardup: Declared = Declared.rowsOnly("q62_media_neardup") { (spark, dir) =>
+    import graft.llm.AnnBuckets
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    val feats = Multimodal.decodeFeatures(media, dims = 16)
+    val bucketed = AnnBuckets
+      .withBucket(feats.select(col("media_id"), col("features").as("emb")), "emb", nBits = 4, dims = 16)
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val l = bucketed.select(
+      col("bucket"), col("media_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val r = bucketed.select(
+      col("bucket"), col("media_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    l.join(r, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.9999)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Declared] = Seq(q40MultimodalFeatures, q62MediaNeardup)
 }

@@ -162,6 +162,16 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(summary(1).getLong(3) == 0L && summary(1).getDouble(4) == 0.0)
   }
 
+  test("media near-dup pairs duplicate text payloads, never the real PNG/WAV rows") {
+    val out = graft.multimodal.MultimodalQueries.q62MediaNeardup.run(spark, dir).collect()
+    assert(out.nonEmpty, "fixture contains exact-duplicate texts; pairs expected")
+    out.foreach(r => assert(r.getDouble(2) >= 0.9999))
+    // ids 1 (WAV) and 3 (PNG) decode to sample/pixel histograms — they must
+    // not pair with any byte-histogram text row
+    val inPairs = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!inPairs.contains(1L) && !inPairs.contains(3L))
+  }
+
   test("approx_count_distinct stays inside the HLL error envelope") {
     val li = Tables(spark, dir).lineitem
     val r = li
