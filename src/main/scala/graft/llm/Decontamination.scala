@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * (dimension-sized next to a 100 TB train corpus — shingle count grows
   * with eval tokens, not train tokens), the train side explodes to an
   * inverted (doc, shingle) index, and the overlap is one equi-join on the
-  * shingle key followed by a per-doc aggregate. A broadcast hint on the
-  * eval set keeps the join shuffle-free when eval fits an executor; at
-  * larger eval sizes AQE falls back to a shuffled hash join on the same
-  * plan.
+  * shingle key followed by a per-doc aggregate. The join strategy is left
+  * to the planner ON PURPOSE: an explicit `broadcast()` hint is never
+  * demoted, so an eval shingle set too large for the driver would OOM
+  * instead of degrading — unhinted, AQE broadcasts a small eval set from
+  * its measured size (asserted in the q57 plan) and falls back to a
+  * shuffled join on the same plan when it grows.
   */
 object Decontamination {
 
@@ -46,7 +48,7 @@ object Decontamination {
       n: Int = 3,
       minRatio: Double = 0.0): DataFrame = {
     val trainSh = shingles(train, idCol, textCol, n)
-    val evalSh  = broadcast(shingles(eval, idCol, textCol, n).select("s").distinct())
+    val evalSh  = shingles(eval, idCol, textCol, n).select("s").distinct()
     val matched = trainSh
       .join(evalSh, Seq("s"), "left_semi")
       .groupBy("__id")

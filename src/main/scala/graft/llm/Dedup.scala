@@ -93,18 +93,12 @@ object Dedup {
       tau: Double = 0.5,
       maxBandDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nSigs = bands * rowsPerBand
-    val sigs  = minhashSignatures(docs, idCol, textCol, nSigs)
-
-    // band value = concatenated signature slice; explode to (band_idx, val)
-    val bandCols = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band_idx"),
-        concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
-          .as("band_val"))
-    }
-    val banded = sigs.select(col("__id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("__id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    // ONE banding implementation for batch and streaming: the projection
+    // form (array_min over the token array == min over the exploded token
+    // group, spec-proven in DedupSpec) — so salt/separator changes cannot
+    // drift between the two paths
+    val banded = bandedProjection(docs, idCol, textCol, bands, rowsPerBand)
+      .select("__id", "band_idx", "band_val")
 
     val bandedCut = maxBandDf match {
       case Some(cap) =>

@@ -41,7 +41,11 @@ object Packing {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = docs.sparkSession
     val withN = docs
-      .withColumn("n_tokens", size(split(Cols.q(textCol), " ")).cast(LongType))
+      // null text counts 0 tokens (size(split(null)) is null, and a null
+      // would NPE the primitive getLong in the scan below)
+      .withColumn(
+        "n_tokens",
+        coalesce(size(split(Cols.q(textCol), " ")).cast(LongType), lit(0L)))
       .repartitionByRange(Cols.q(orderCol))
       .sortWithinPartitions(Cols.q(orderCol))
     val nIdx = withN.schema.fieldIndex("n_tokens")

@@ -42,11 +42,28 @@ object Quantize {
   }
 
   /** Symmetric int8 codes: round(x · 127/max|x|) ∈ [−127, 127]; a zero
-    * vector quantizes to all zeros.
+    * vector quantizes to all zeros. NOTE: `scale` (two array scans) is
+    * captured by the lambda and re-evaluated per element — O(d²) per row.
+    * Convenience/test form only; bulk paths use [[int8CodesDf]], which
+    * hoists the scale into a projection first.
     */
   def int8Codes(emb: Column): Column = {
     val scale = when(absMax(emb) === 0.0, lit(0.0)).otherwise(lit(127.0) / absMax(emb))
     transform(emb, x => round(x * scale).cast("int"))
+  }
+
+  /** Bulk int8 quantization: replaces `embCol` with the code array, scale
+    * computed ONCE per row and referenced as a resolved attribute inside
+    * the lambda — O(d) per row, the shape the scaladoc's "before an ANN
+    * index build" use case needs.
+    */
+  def int8CodesDf(df: DataFrame, embCol: String): DataFrame = {
+    val emb = Cols.q(embCol)
+    df.withColumn(
+        "__scale",
+        when(absMax(emb) === 0.0, lit(0.0)).otherwise(lit(127.0) / absMax(emb)))
+      .withColumn(embCol, transform(emb, x => round(x * col("__scale")).cast("int")))
+      .drop("__scale")
   }
 
   /** Per-vector quantization summary — norm, dynamic range, exact integer

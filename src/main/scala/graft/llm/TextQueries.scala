@@ -236,7 +236,8 @@ object TextQueries {
       |  ('es', ['el','la','de','que','y','en','un','los','se','por']),
       |  ('fr', ['le','la','et','les','des','un','une','du','est','que']),
       |  ('zh', ['的','了','是','我','不','在','有','他','这','中'])),
-      |t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+      |t AS (SELECT doc_id, lang,
+      |        string_split(lower(coalesce(text, '')), ' ') AS toks FROM documents),
       |s AS (SELECT doc_id, lang, cand,
       |        CAST(len(list_intersect(toks, words)) AS DOUBLE)
       |          / greatest(len(toks), 1) AS score
@@ -387,7 +388,8 @@ object TextQueries {
     */
   val q56PackSummary: Declared = Declared.sql(
     "q56_pack_summary",
-    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+    """WITH d AS (SELECT doc_id,
+      |             CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n FROM documents),
       |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
       |SELECT CAST((cum - n) // 2048 AS BIGINT) AS pack_id, count(*) AS n_docs,

@@ -70,7 +70,9 @@ object Multimodal {
       val size = le32(pos + 4)
       if (id == "fmt " && pos + 24 <= bytes.length)
         fmtOk = le16(pos + 8) == 1 && le16(pos + 22) == 16 // PCM, 16-bit
-      else if (id == "data" && fmtOk)
+      else if (id == "data" && fmtOk && size > 0)
+        // a non-positive declared size is corrupt — skip it so the decode
+        // falls back instead of yielding an all-zeros "histogram"
         data = Some((pos + 8, math.min(size, bytes.length - pos - 8)))
       // malformed chunk sizes (negative, or overflowing the int advance)
       // would stall or reverse the walk — treat as corrupt and stop, long
@@ -79,7 +81,9 @@ object Multimodal {
       if (size < 0 || next <= pos) pos = bytes.length
       else pos = math.min(next, bytes.length.toLong).toInt
     }
-    data.map { case (off, len) =>
+    // a data chunk with no complete 16-bit sample (truncated container)
+    // is corrupt → None → byte-histogram fallback, never a zero vector
+    data.filter(_._2 >= 2).map { case (off, len) =>
       val h        = new Array[Double](dims)
       val nSamples = len / 2
       var i        = 0
@@ -88,8 +92,7 @@ object Multimodal {
         h(math.min(dims - 1, (s + 32768) * dims / 65536)) += 1.0
         i += 1
       }
-      val n = math.max(1, nSamples).toDouble
-      h.map(_ / n)
+      h.map(_ / nSamples.toDouble)
     }
   }
 

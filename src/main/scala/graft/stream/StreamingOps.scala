@@ -110,11 +110,13 @@ object StreamingOps {
                 val oset  = otoks.toSet
                 val inter = (tset intersect oset).size.toDouble
                 val j     = inter / (tset.size + oset.size - inter)
-                if (j >= tau)
-                  out += ((
-                    math.min(id, oid),
-                    math.max(id, oid),
-                    BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+                // threshold on the ROUNDED value, like the batch op's
+                // where(round(jaccard, 6) >= tau) — an unrounded compare
+                // would drop pairs sitting within 5e-7 below tau that the
+                // batch op emits, breaking batch-equivalence
+                val jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (jr >= tau)
+                  out += ((math.min(id, oid), math.max(id, oid), jr))
               }
               seen = (id, toks) :: seen
             }

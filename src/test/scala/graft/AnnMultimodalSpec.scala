@@ -111,6 +111,19 @@ class AnnMultimodalSpec extends AnyFunSuite {
     val bad = bos.toByteArray
     val h   = Multimodal.decodeOne(bad, 16).toSeq // must return, not hang
     assert(h == Multimodal.byteHistogram(bad, 16).toSeq)
+    // corrupt DATA chunk (valid fmt, negative declared size): must fall
+    // back, not produce an all-zeros non-histogram
+    val b2 = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    b2.write("RIFF".getBytes); b2.write(le32(100)); b2.write("WAVE".getBytes)
+    b2.write("fmt ".getBytes); b2.write(le32(16)); b2.write(le16(1)); b2.write(le16(1))
+    b2.write(le32(8000)); b2.write(le32(16000)); b2.write(le16(2)); b2.write(le16(16))
+    b2.write("data".getBytes); b2.write(le32(-4)); b2.write(new Array[Byte](16))
+    val bad2 = b2.toByteArray
+    val h2   = Multimodal.decodeOne(bad2, 16).toSeq
+    assert(h2 == Multimodal.byteHistogram(bad2, 16).toSeq)
+    assert(math.abs(h2.sum - 1.0) < 1e-9) // still a normalized histogram
   }
 
   test("multimodal: demo media table routes real payloads through decodeFeatures") {

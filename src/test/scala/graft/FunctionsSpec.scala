@@ -74,16 +74,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ca.linesIterator.next() == "id,v,s")
   }
 
-  test("canonical CSV rounds exactly-representable ties half-even like the oracle") {
+  test("canonical CSV rounds the EXACT binary value half-even, matching C printf") {
     import graft.core.CanonicalWriter
-    // 0.0078125 = 2^-7 and 0.0234375 = 3·2^-7 are exact in binary: at 6
-    // digits the dropped digit is exactly 5, where %.6f (HALF_UP) and
-    // DuckDB/Python (half-even) disagree
     val df = Seq(
-      (1L, 0.0078125),  // → 0.007812 (2 is even; HALF_UP would say 0.007813)
+      // true binary ties (2^-7 multiples): exact value IS the tie → half-even
+      (1L, 0.0078125),  // → 0.007812 (2 is even; Java %.6f says 0.007813)
       (2L, 0.0234375),  // → 0.023438 (7 is odd → away)
       (3L, -0.0078125), // sign-symmetric
-      (4L, 0.1)         // shortest-repr: 0.100000, not 0.099999…
+      (4L, 0.1),        // → 0.100000, not 0.099999…
+      // APPARENT ties: decimal text looks like …5 but the exact binary value
+      // is below it — C/Python/DuckDB printf round DOWN; shortest-repr
+      // half-even (and Java %.6f half-up) would both wrongly round up
+      (5L, 0.0087525),  // exact = 0.0087524999… → 0.008752
+      (6L, 0.0090625),  // exact = 0.0090624999… → 0.009062
+      (7L, -0.0708915), // exact = -0.0708914999… → -0.070891
+      (8L, -0.0),       // printf keeps the sign: -0.000000
+      (9L, -1e-9)       // negative rounding to zero keeps the sign too
     ).toDF("id", "v")
     val d = java.nio.file.Files.createTempDirectory("canon_tie").toString
     CanonicalWriter.writeCsv(df, d)
@@ -93,6 +99,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(s.contains("2,0.023438\n"), s)
     assert(s.contains("3,-0.007812\n"), s)
     assert(s.contains("4,0.100000\n"), s)
+    assert(s.contains("5,0.008752\n"), s)
+    assert(s.contains("6,0.009062\n"), s)
+    assert(s.contains("7,-0.070891\n"), s)
+    assert(s.contains("8,-0.000000\n"), s)
+    assert(s.contains("9,-0.000000\n"), s)
   }
 
   test("BoundedCollectSet: exact below cap, saturates at cap, skips nulls") {
