@@ -547,6 +547,39 @@ object TextQueries {
       .orderBy("doc_id", "rn")
   }
 
+  /** Fuzzy entity matching: nearest customer name by edit distance for a
+    * small probe list — the entity-resolution primitive (both engines
+    * ship `levenshtein`, so it is exactly oracle-able). Scale shape: the
+    * probe list is the broadcast side of one nested-loop pass over the
+    * big table; ranking is a per-probe window with (dist, name)
+    * tie-break, deterministic across engines.
+    */
+  val q63FuzzyMatch: Declared = Declared.sql(
+    "q63_fuzzy_match",
+    """WITH p(probe) AS (VALUES
+      |  ('Custmer#000000042'), ('Customer#0000000X7'), ('customer#000000007')),
+      |s AS (SELECT probe, c_name, CAST(levenshtein(probe, c_name) AS INTEGER) AS dist
+      |      FROM p CROSS JOIN customer),
+      |r AS (SELECT probe, c_name AS best_name, dist,
+      |        row_number() OVER (PARTITION BY probe ORDER BY dist ASC, c_name ASC) AS rn
+      |      FROM s)
+      |SELECT probe, best_name, dist FROM r WHERE rn = 1
+      |ORDER BY probe""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val probes = Seq("Custmer#000000042", "Customer#0000000X7", "customer#000000007")
+      .toDF("probe")
+    val w = Window.partitionBy("probe").orderBy(col("dist").asc, col("c_name").asc)
+    t(spark, dir).customer
+      .select("c_name")
+      .crossJoin(broadcast(probes))
+      .withColumn("dist", levenshtein(col("probe"), col("c_name")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("probe"), col("c_name").as("best_name"), col("dist"))
+      .orderBy("probe")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -566,5 +599,6 @@ object TextQueries {
     q57Decontamination,
     q59Repetition,
     q60MixtureWeights,
-    q61TfidfTop)
+    q61TfidfTop,
+    q63FuzzyMatch)
 }
