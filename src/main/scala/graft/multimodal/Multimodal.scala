@@ -159,18 +159,20 @@ object Multimodal {
   }
 
   /** Demo media table: documents re-cast as opaque binary payloads with
-    * typed metadata (kind rotates across image/audio/video by id). Two rows
-    * carry REAL payloads so the decode path is exercised end-to-end:
-    * doc_id 3 (image-kind under the rotation) gets [[samplePngBytes]] and
-    * doc_id 1 (audio-kind) gets [[sampleWavBytes]]; every other row keeps
-    * its text bytes and takes the byte-histogram fallback.
+    * typed metadata (kind rotates across image/audio/video by id). Three
+    * rows carry REAL payloads so the decode path is exercised end-to-end:
+    * doc_ids 3 AND 6 (image-kind under the rotation) get
+    * [[samplePngBytes]] — a planted exact-duplicate image for the media
+    * dedup op (q62) — and doc_id 1 (audio-kind) gets [[sampleWavBytes]];
+    * every other row keeps its text bytes and takes the byte-histogram
+    * fallback.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
         .as("kind"),
-      when(col("doc_id") === 3, lit(samplePngBytes))
+      when(col("doc_id").isin(3, 6), lit(samplePngBytes))
         .when(col("doc_id") === 1, lit(sampleWavBytes))
         .otherwise(col("text").cast("binary")).as("content"),
       struct(

@@ -26,34 +26,34 @@ object MultimodalQueries {
       .orderBy("kind")
   }
 
-  /** Media near-dup via decoded features: the multimodal leg of the dedup
-    * story — decode → fixed-width feature vector → sign-bit LSH bucket →
-    * within-bucket cosine ≥ τ. Same scale shape as the embedding near-dup
-    * (shuffle key = bucket id, never all-pairs); rows-only because the
-    * decode step has no SQL oracle. The fixture's exact-duplicate texts
-    * yield identical features (cos 1.0), so the result is non-empty and
-    * deterministic; the PNG/WAV payload rows decode to pixel/sample
-    * histograms and correctly do NOT pair with text-backed rows.
+  /** Media dedup via decoded features: the multimodal leg of the dedup
+    * story — decode → fixed-width feature vector → EXACT-duplicate
+    * grouping by feature hash → (duplicate, survivor) mapping, survivor =
+    * lowest media_id of the group.
+    *
+    * Scale rationale: an LSH-bucketed cosine pair join was tried first and
+    * went quadratic on this data (5+ s at sf0.1) — decoded histograms of
+    * same-domain media are nearly parallel vectors, so they share sign-bit
+    * buckets under ANY plane count, and near-identical inputs are exactly
+    * the case LSH cannot thin. Duplicate-media detection wants the exact
+    * grouping shape instead: one shuffle on a 16-byte feature digest,
+    * output LINEAR in the duplicate count (the survivor mapping, not the
+    * quadratic pair set). The similarity-range variants stay where vectors
+    * actually spread: q41/q50 on real embeddings. Rows-only (binary decode
+    * has no SQL oracle); real PNG/WAV payload rows have unique features
+    * and correctly map to no survivor.
     */
   val q62MediaNeardup: Declared = Declared.rowsOnly("q62_media_neardup") { (spark, dir) =>
-    import graft.llm.AnnBuckets
+    import org.apache.spark.sql.expressions.Window
     val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
     val feats = Multimodal.decodeFeatures(media, dims = 16)
-    val bucketed = AnnBuckets
-      .withBucket(feats.select(col("media_id"), col("features").as("emb")), "emb", nBits = 4, dims = 16)
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val l = bucketed.select(
-      col("bucket"), col("media_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-    val r = bucketed.select(
-      col("bucket"), col("media_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-    l.join(r, Seq("bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
-      .where(col("cos_sim") >= 0.9999)
-      .orderBy("a_id", "b_id")
+    val hashed = feats.withColumn("fh", md5(to_json(col("features"))))
+    val w      = Window.partitionBy("fh")
+    hashed
+      .withColumn("survivor_id", min("media_id").over(w))
+      .where(col("media_id") =!= col("survivor_id"))
+      .select(col("media_id").as("dup_id"), col("survivor_id"))
+      .orderBy("dup_id")
   }
 
   val all: Seq[Declared] = Seq(q40MultimodalFeatures, q62MediaNeardup)

@@ -175,14 +175,17 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(summary(1).getLong(3) == 0L && summary(1).getDouble(4) == 0.0)
   }
 
-  test("media near-dup pairs duplicate text payloads, never the real PNG/WAV rows") {
-    val out = graft.multimodal.MultimodalQueries.q62MediaNeardup.run(spark, dir).collect()
-    assert(out.nonEmpty, "fixture contains exact-duplicate texts; pairs expected")
-    out.foreach(r => assert(r.getDouble(2) >= 0.9999))
-    // ids 1 (WAV) and 3 (PNG) decode to sample/pixel histograms — they must
-    // not pair with any byte-histogram text row
-    val inPairs = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    assert(!inPairs.contains(1L) && !inPairs.contains(3L))
+  test("media dedup maps the planted duplicate image to its survivor, nothing else") {
+    val out = graft.multimodal.MultimodalQueries.q62MediaNeardup.run(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // the planted duplicate: ids 3 and 6 carry the same PNG → identical
+    // luminance histograms → 6 maps to survivor 3
+    assert(out.contains((6L, 3L)), s"planted duplicate not found: $out")
+    // survivor is the group minimum, so every mapping points downward
+    out.foreach { case (dup, surv) => assert(surv < dup) }
+    // the WAV row (id 1) and every distinct-text row has unique features:
+    // on this fixture the planted pair is the ONLY duplicate
+    assert(out == Seq((6L, 3L)), s"unexpected extra duplicates: $out")
   }
 
   test("approx_count_distinct stays inside the HLL error envelope") {
