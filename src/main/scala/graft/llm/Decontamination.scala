@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * shingle key followed by a per-doc aggregate. The join strategy is left
   * to the planner ON PURPOSE: an explicit `broadcast()` hint is never
   * demoted, so an eval shingle set too large for the driver would OOM
-  * instead of degrading — unhinted, AQE broadcasts a small eval set from
-  * its measured size (asserted in the q57 plan) and falls back to a
-  * shuffled join on the same plan when it grows.
+  * instead of degrading — unhinted, the planner broadcasts a small eval
+  * set from its size estimates (pinned by a ScalePostureSpec plan
+  * assertion) and falls back to a shuffled join on the same plan when it
+  * grows.
   */
 object Decontamination {
 

@@ -56,9 +56,15 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int): DataFrame = {
     val nSigs = bands * rowsPerBand
-    val withToks = docs.select(
-      Cols.q(idCol).as("__id"),
-      array_distinct(split(Cols.q(textCol), " ")).as("toks"))
+    // null-text docs are dropped, matching the groupBy-signature path
+    // (explode of a null array emits no rows). Without this, null texts
+    // yield null sigs → band_val "" → they ALL share one band bucket, and
+    // a candidate self-join over that bucket is quadratic in their count
+    val withToks = docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(
+        Cols.q(idCol).as("__id"),
+        array_distinct(split(Cols.q(textCol), " ")).as("toks"))
     val sigs = (0 until nSigs).map(i =>
       expr(s"array_min(transform(toks, t -> md5(cast(concat('s$i|', t) AS BINARY))))").as(s"sig$i"))
     val withSigs = withToks.select(col("__id") +: col("toks") +: sigs: _*)

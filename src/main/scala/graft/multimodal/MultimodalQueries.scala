@@ -40,8 +40,10 @@ object MultimodalQueries {
     * output LINEAR in the duplicate count (the survivor mapping, not the
     * quadratic pair set). The similarity-range variants stay where vectors
     * actually spread: q41/q50 on real embeddings. Rows-only (binary decode
-    * has no SQL oracle); real PNG/WAV payload rows have unique features
-    * and correctly map to no survivor.
+    * has no SQL oracle). On the fixture, the planted duplicate PNG
+    * (ids 3 and 6 share [[Multimodal.samplePngBytes]]) is the expected
+    * mapping — (6 → 3) — while the WAV row and the distinct-text rows
+    * have unique features and map to no survivor.
     */
   val q62MediaNeardup: Declared = Declared.rowsOnly("q62_media_neardup") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window

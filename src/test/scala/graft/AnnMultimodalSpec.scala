@@ -165,11 +165,15 @@ class AnnMultimodalSpec extends AnyFunSuite {
     val norm = df.where(col("vec_id") === 1)
       .select(Quantize.l2Normalize(col("emb")).as("n")).as[Seq[Double]].collect().head
     assert(math.abs(norm.map(x => x * x).sum - 1.0) < 1e-12)
-    // bulk variant agrees with the Column form (incl. the zero vector)
+    // bulk variants agree with the Column forms (incl. the zero vector)
     val bulk = Quantize.l2NormalizeDf(df, "emb").orderBy("vec_id")
       .select("emb").as[Seq[Double]].collect()
     assert(bulk(0) == norm)
     assert(bulk(1) == Seq(0.0, 0.0, 0.0, 0.0))
+    val bulkCodes = Quantize.int8CodesDf(df, "emb").orderBy("vec_id")
+      .select("emb").as[Seq[Int]].collect()
+    assert(bulkCodes(0) == codes(1L))
+    assert(bulkCodes(1) == codes(2L))
     val summary = Quantize.int8Summary(df, "vec_id", "emb").orderBy("vec_id").collect()
     assert(summary(0).getLong(3) == 64L - 127 + 32 + 127) // q_sum exact
     assert(summary(1).getLong(3) == 0L && summary(1).getDouble(4) == 0.0)

@@ -83,8 +83,11 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, -0.0078125), // sign-symmetric
       (4L, 0.1),        // → 0.100000, not 0.099999…
       // APPARENT ties: decimal text looks like …5 but the exact binary value
-      // is below it — C/Python/DuckDB printf round DOWN; shortest-repr
-      // half-even (and Java %.6f half-up) would both wrongly round up
+      // is below it — C/Python/DuckDB printf round DOWN. Cases 5/6 catch a
+      // Java-%.6f-style half-up regression (it says …53/…63); case 7 is the
+      // one that discriminates exact-value rounding from shortest-repr
+      // half-even (kept digit 1 is odd, so shortest-repr HALF_EVEN would
+      // wrongly round to -0.070892 while printf keeps -0.070891)
       (5L, 0.0087525),  // exact = 0.0087524999… → 0.008752
       (6L, 0.0090625),  // exact = 0.0090624999… → 0.009062
       (7L, -0.0708915), // exact = -0.0708914999… → -0.070891

@@ -66,6 +66,21 @@ class ScalePostureSpec extends AnyFunSuite {
       s"factorWrangler ran ${jobs.length} jobs; the gate+distinct-set pass must be one")
   }
 
+  test("decontamination plans a broadcast semi-join for a small eval set, unhinted") {
+    // Decontamination carries no broadcast() hint on purpose (a hint is
+    // never demoted — an oversized eval set would OOM instead of falling
+    // back); this pins that the PLANNER still picks the broadcast from
+    // size estimates when eval is genuinely small
+    val docs = Tables(spark, dir).documents
+    val scored = graft.llm.Decontamination.score(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval shingle set not broadcast:\n${plan.take(1200)}")
+  }
+
   test("join-heavy queries survive with broadcast disabled (sort-merge fallback)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val checks = Seq("q02_mktsegment_revenue", "q06_region_sales", "q14_events_asof_order")
