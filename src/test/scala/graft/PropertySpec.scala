@@ -108,6 +108,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("factorWrangler dummy-detect matches direct computation on random frames") {
+    import graft.core.GraftFrame
+    import org.apache.spark.sql.types.BooleanType
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      // 3 numeric columns, each drawing from a random small value set —
+      // some sets sum to 1 (dummy: {0,1}, {1}, {2,-1}), some don't
+      val pools = IndexedSeq(
+        IndexedSeq(0.0, 1.0), IndexedSeq(1.0), IndexedSeq(2.0, -1.0),
+        IndexedSeq(0.0, 2.0), IndexedSeq(1.0, 3.0), IndexedSeq(0.5, 0.5))
+      val chosen = IndexedSeq.fill(3)(pools(rnd.nextInt(pools.length)))
+      val rows = (1 to 100).map { _ =>
+        (chosen(0)(rnd.nextInt(chosen(0).size)),
+         chosen(1)(rnd.nextInt(chosen(1).size)),
+         chosen(2)(rnd.nextInt(chosen(2).size)))
+      }
+      val df  = rows.toDF("c0", "c1", "c2")
+      val out = graft.clean.CleanData.factorWrangler(GraftFrame(df), dummyToBool = true).df
+      (0 to 2).foreach { i =>
+        // reference heuristic: sum of the OBSERVED distinct values == 1
+        val expectBool = rows.map(r => IndexedSeq(r._1, r._2, r._3)(i)).distinct.sum == 1.0
+        val isBool     = out.schema(s"c$i").dataType == BooleanType
+        assert(isBool == expectBool,
+          s"trial $trial col c$i: observed=${rows.map(r => IndexedSeq(r._1, r._2, r._3)(i)).distinct.sorted}")
+      }
+    }
+  }
+
+  test("factorWrangler gate boundary: exactly maxCategories kept, one more gated") {
+    import graft.core.GraftFrame
+    val atCap = (1 to 100).map(i => s"v${i % 10}").toDF("s") // 10 distinct
+    val kept  = graft.clean.CleanData.factorWrangler(GraftFrame(atCap), maxCategories = 10)
+    assert(kept.cats.get("s").exists(_.categories.size == 10))
+    val overCap = (1 to 100).map(i => s"v${i % 11}").toDF("s") // 11 distinct
+    val gated   = graft.clean.CleanData.factorWrangler(GraftFrame(overCap), maxCategories = 10)
+    assert(!gated.cats.contains("s"))
+  }
+
   test("gelman standardization yields mean ≈ 0 and sample sd ≈ 0.5") {
     samples(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 5)
       .filter(_.distinct.size > 1)
