@@ -102,5 +102,47 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Declared] = Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder)
+  /** Conversion funnel view → click → purchase, each stage within 24 h of
+    * the previous one: stage times are per-user conditional MINs chained
+    * through equi-joins on user_id (never a per-user sequence collect —
+    * the funnel is three aggregate+join passes however long the history
+    * is, the scale-safe shape for path analytics). Times compare at
+    * microsecond resolution on BOTH engines (`unix_micros` ↔ `epoch_us`)
+    * so the nanos-origin timestamps cannot tie-break differently.
+    */
+  val q64Funnel: Declared = Declared.sql(
+    "q64_funnel",
+    """WITH e AS (SELECT user_id, event_type,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.us > v.t1
+      |        AND e.us <= v.t1 + 86400000000 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.us > c.t2
+      |        AND e.us <= c.t2 + 86400000000 GROUP BY e.user_id)
+      |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+      |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+      |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel""".stripMargin) {
+    (spark, dir) =>
+      val day = 86400000000L // 24 h in microseconds
+      val e = t(spark, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("us") > col("t1") && col("us") <= col("t1") + day)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("us") > col("t2") && col("us") <= col("t2") + day)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  val all: Seq[Declared] =
+    Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel)
 }
