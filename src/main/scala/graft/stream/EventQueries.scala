@@ -143,6 +143,36 @@ object EventQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** Weekly retention cohorts: cohort = the Monday-truncated week of a
+    * user's first event, week_n = whole weeks since. Two aggregates + one
+    * equi-join on user_id; both engines truncate weeks to Monday, and
+    * week_n is days/7 over Monday-truncated dates (always divisible), so
+    * the bucketing is engine-exact.
+    */
+  val q65Retention: Declared = Declared.sql(
+    "q65_retention",
+    """WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort,
+      |        CAST(date_diff('week', f.cohort, e.wk) AS INTEGER) AS week_n
+      |      FROM e JOIN f USING (user_id))
+      |SELECT CAST(cohort AS DATE) AS cohort, week_n, count(*) AS n_users
+      |FROM a GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin) { (spark, dir) =>
+    val e = t(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val f = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.join(f, "user_id")
+      .select(
+        col("user_id"),
+        col("cohort"),
+        (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7).cast("int").as("week_n"))
+      .distinct()
+      .groupBy(col("cohort").cast("date").as("cohort"), col("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "week_n")
+  }
+
   val all: Seq[Declared] =
-    Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel)
+    Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
+      q65Retention)
 }
