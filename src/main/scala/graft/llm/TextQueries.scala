@@ -264,13 +264,13 @@ object TextQueries {
   val q38Fingerprints: Declared = Declared.sql(
     "q38_fingerprints",
     """SELECT doc_id,
-      |  list_reduce(
+      |  CAST(list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |      list_transform(string_split(text, ' '), t ->
       |        list_sum(list_transform(range(8), i ->
       |          CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i+1 AS INTEGER), 1)) - 1 AS BIGINT)
       |            << CAST(4*(7-i) AS INTEGER))))),
-      |    (a, b) -> (a*31 + b) % 2147483647) AS fingerprint
+      |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     t(spark, dir).documents
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))

@@ -56,6 +56,31 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Sliding 1 h window with a 15 min slide: every event lands in exactly
+    * windowDuration/slide = 4 overlapping windows. The oracle replays
+    * Spark's epoch-aligned window assignment by cross-joining each event
+    * with offsets k ∈ [0,4) and subtracting k slides from its 15-min
+    * bucket — both engines' bucket origins sit on midnight, so a 15-min
+    * bucket (which divides 24 h) aligns identically.
+    */
+  val q66EventsSliding: Declared = Declared.sql(
+    "q66_events_sliding",
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |           - k.k * (INTERVAL 15 MINUTE) AS ws,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+      |SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+    t(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** JSON property extraction from the `props` column. Regexp-based so the
     * oracle needs no DuckDB JSON extension; `from_json` is the schema-full
     * alternative exposed in the library.
@@ -174,5 +199,5 @@ object EventQueries {
 
   val all: Seq[Declared] =
     Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
-      q65Retention)
+      q65Retention, q66EventsSliding)
 }

@@ -50,6 +50,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SLIDING window aggregation (1 h window / 15 min slide by
+    * default): each event contributes to windowDuration/slide overlapping
+    * windows; Spark expands the assignment per row, so state stays bounded
+    * by (n_windows_open × groups), reclaimed as the watermark passes window
+    * end. Identical aggregation semantics to the batch `q66_events_sliding`.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowDuration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Stateful exact dedup keyed by event_id with bounded state: duplicates
     * arriving within the watermark are dropped, state for expired
     * watermarks is reclaimed — the streaming form of exact dedup at scale.

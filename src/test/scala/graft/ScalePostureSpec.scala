@@ -81,6 +81,27 @@ class ScalePostureSpec extends AnyFunSuite {
       s"eval shingle set not broadcast:\n${plan.take(1200)}")
   }
 
+  test("q02 pre-aggregates lineitem below the joins and plans no distinct-Expand") {
+    // the r4 weak plan shuffled full lineitem through two joins and then ran
+    // countDistinct (an Expand over the widest intermediate); pin the scale
+    // shape: lineitem reduced per l_orderkey BEFORE any join, plain count after
+    val df   = SparkEntry.queries("q02_mktsegment_revenue")(spark, dir)
+    // use sparkPlan: executedPlan is an AdaptiveSparkPlanExec leaf under AQE,
+    // which collect/exists cannot descend into
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"), s"distinct-Expand is back in q02:\n${plan.take(1200)}")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val preJoinAgg = df.queryExecution.sparkPlan.collect {
+      case j: BaseJoinExec => j.collectLeaves().nonEmpty && j.exists {
+        case a: BaseAggregateExec => a.groupingExpressions.exists(_.toString.contains("l_orderkey"))
+        case _ => false
+      }
+    }
+    assert(preJoinAgg.exists(identity),
+      "no per-l_orderkey aggregate below a join — lineitem is joined unreduced")
+  }
+
   test("join-heavy queries survive with broadcast disabled (sort-merge fallback)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val checks = Seq("q02_mktsegment_revenue", "q06_region_sales", "q14_events_asof_order")

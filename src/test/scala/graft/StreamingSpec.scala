@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding window agg matches the batch plan") {
+    val stream = StreamingOps.slidingCounts(StreamingOps.readEventStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("sliding_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = stream.sparkSession.table("sliding_out")
+      val want = graft.core.Tables(spark, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(
+          col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      TestSpark.assertFrameEqual(got, want)
+      // every event lands in exactly windowDuration/slide = 4 windows
+      val events = graft.core.Tables(spark, dir).events.count()
+      val expanded = want.agg(sum("n")).collect()(0).getLong(0)
+      assert(expanded == 4 * events, s"expected 4x expansion, got $expanded vs $events events")
+    } finally q.stop()
+  }
+
   test("streaming dedup-within-watermark passes distinct events through") {
     val stream = StreamingOps.dedupedEvents(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream

@@ -52,6 +52,18 @@ def main(out_dir: str, sf_dir: str) -> int:
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
                 n_fail += 1
                 continue
+            # The driver's canonical hash formats ints and floats differently,
+            # so an int-vs-float dtype mismatch fails there even when values
+            # are equal (e.g. DuckDB HUGEINT -> pandas float64). Mirror that.
+            kind_mismatch = [
+                c for c in got.columns
+                if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+            ]
+            if kind_mismatch:
+                print(f"FAIL {name}: int-vs-float dtype on {kind_mismatch} "
+                      f"(driver hash would mismatch even on equal values)")
+                n_fail += 1
+                continue
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
             except AssertionError as e:
