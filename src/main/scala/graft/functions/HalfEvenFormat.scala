@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fixed-point double formatting that byte-matches C/Python/DuckDB `%f`.
@@ -45,7 +45,11 @@ object HalfEvenFormat {
     GraftSqlBridge.column(FormatHalfEven(GraftSqlBridge.expression(c), digits))
 }
 
-case class FormatHalfEven(child: Expression, digits: Int) extends UnaryExpression {
+case class FormatHalfEven(child: Expression, digits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // AbstractDataType is private[sql]; the inferred Seq[DoubleType.type] conforms
+  override def inputTypes = Seq(DoubleType)
 
   override def dataType: DataType = StringType
 

@@ -19,19 +19,19 @@ import org.apache.spark.sql.types.StructType
 object Sources {
 
   /** JSON-lines reader. `schema = None` infers (extra pass — test/dev
-    * convenience); production passes the schema. With a declared schema
-    * the reader runs FAILFAST by default: Spark's default PERMISSIVE mode
-    * silently nulls malformed or type-drifted records — exactly the
-    * silent-corruption class the declared schema exists to prevent. Pass
-    * `mode = "PERMISSIVE"` explicitly to tolerate bad records instead.
+    * convenience); production passes the schema. Runs FAILFAST by default
+    * on both paths: Spark's default PERMISSIVE mode silently nulls
+    * malformed or type-drifted records — exactly the silent-corruption
+    * class this reader exists to prevent. Pass `mode = "PERMISSIVE"`
+    * explicitly to tolerate bad records instead.
     */
   def readJsonl(
       spark: SparkSession,
       path: String,
       schema: Option[StructType] = None,
       mode: String = "FAILFAST"): DataFrame = {
-    val r = spark.read
-    schema.fold(r)(s => r.schema(s).option("mode", mode)).json(path)
+    val r = spark.read.option("mode", mode)
+    schema.fold(r)(s => r.schema(s)).json(path)
   }
 
   /** One-line-per-record JSON sink (the interchange format for text/LLM

@@ -110,7 +110,9 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, OutputMode}
     graft.llm.Dedup
       .bandedProjection(docs, idCol, textCol, bands, rowsPerBand)
-      .select(col("band_idx"), col("band_val"), col("__id"), col("toks"))
+      // state tuples carry the doc id as Long; cast here so any integral
+      // idCol (int/short/long) works rather than failing in the encoder
+      .select(col("band_idx"), col("band_val"), col("__id").cast("long").as("__id"), col("toks"))
       .as[(Int, String, Long, Seq[String])]
       .groupByKey { case (bi, bv, _, _) => (bi, bv) }
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

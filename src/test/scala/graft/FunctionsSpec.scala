@@ -29,6 +29,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaWhere == 1)
   }
 
+  test("FormatHalfEven rejects non-double input at analysis time") {
+    import graft.functions.HalfEvenFormat
+    val df = Seq(("abc", 1.5)).toDF("s", "d")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(HalfEvenFormat(col("s"), 6)).collect()
+    }
+    assert(df.select(HalfEvenFormat(col("d"), 2)).as[String].collect().head == "1.50")
+  }
+
   test("ProbitInv (AS241) matches high-precision inverse normal CDF to 1e-12") {
     import graft.functions.{ProbitFunctions, ProbitInv}
     // ground truth: 40-digit mpmath sqrt(2)*erfinv(2p-1), central through

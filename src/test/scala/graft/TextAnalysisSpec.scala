@@ -54,7 +54,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("trigram dup fraction: repeats detected, short texts guarded to 0") {
     import graft.llm.TextAnalysis
     val df = Seq(
-      "a b c a b c a b c", // 7 trigrams, 5 distinct ("a b c","b c a","c a b" + wrap variants)
+      "a b c a b c a b c", // 7 trigrams, 3 distinct ("a b c","b c a","c a b")
       "one two three four", // 2 trigrams, both unique → 0.0
       "too short",          // < 3 tokens → guard → 0.0 (sequence would descend!)
       ""                    // empty → 0.0
