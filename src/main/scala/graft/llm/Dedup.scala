@@ -135,12 +135,13 @@ object Dedup {
   }
 
   /** N-gram (word `n`-shingle) Jaccard pairs via an inverted index:
-    * explode distinct shingles per doc, self-join on the shingle, count
-    * common shingles, and derive exact Jaccard from the per-doc set
-    * sizes. Returns (a_id, b_id, jaccard) with a_id < b_id, unrounded.
+    * explode distinct shingles per doc, group by shingle, generate the
+    * ordered doc pairs in place, count common shingles per pair, and
+    * derive exact Jaccard from the per-doc set sizes. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id, unrounded.
     *
     * `maxShingleDf` drops shingles whose document frequency exceeds the
-    * cap BEFORE the self-join — join rows scale as Σ_s df(s)², so one
+    * cap BEFORE pair expansion — pair rows scale as Σ_s df(s)², so one
     * universal "stop shingle" is quadratic in corpus size. When a cut is
     * applied, per-doc sizes (and therefore Jaccard) are computed over the
     * retained-shingle universe, i.e. the true Jaccard of the filtered
@@ -152,33 +153,57 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+    // inverted-index rows, exploded in the SAME projection that builds the
+    // distinct-shingle array: anything else (its size, the array itself)
+    // carried past the Generate either re-runs the transform per row or
+    // copies the whole array onto every exploded row — measured 5× the
+    // scan cost at sf0.1. Per-doc set sizes are recovered afterwards by a
+    // count over these rows instead (doc-count-sized, broadcastable).
+    val sh = docs
       .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("tk"))
       .where(size(col("tk")) >= n)
-    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
-    val sh = toks.select(
-      col("__id"),
-      explode(
-        array_distinct(expr(
-          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))")))
-        .as("s"))
-    val shCut = maxShingleDf match {
-      case Some(cap) =>
-        val w = Window.partitionBy("s")
-        sh.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
-      case None => sh
-    }
-    val cnt    = shCut.groupBy("__id").agg(count(lit(1)).as("n"))
-    val common = shCut
-      .toDF("a_id", "s")
-      .join(shCut.toDF("b_id", "s"), Seq("s"))
-      .where(col("a_id") < col("b_id"))
+      .select(
+        col("__id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"))).as("s"))
+    // invert: shingle -> member docs, sorted by id so ordered (a<b) pairs
+    // can be generated IN PLACE — no self-join, so the shingle rows cross
+    // exactly one shuffle and the quadratic expansion happens inside the
+    // partition that already owns the group. A universal "stop shingle"
+    // makes this group df-sized (same Σ df(s)² hazard as a self-join);
+    // `maxShingleDf` is the production bound for that, applied here as a
+    // group-size filter BEFORE pair expansion. The sorted list is hoisted
+    // into its own projection: a HOF re-evaluates captured expressions per
+    // element, so an inlined array_sort would re-sort per pair.
+    val kept = sh
+      .groupBy("s")
+      .agg(collect_list(col("__id")).as("ms"))
+      .where(maxShingleDf.map(size(col("ms")) <= _).getOrElse(lit(true)))
+    // singleton shingles generate no pairs (but DO count toward per-doc
+    // sizes in the capped recount below — any cap ≥ 1 retains them)
+    val pairs = kept
+      .where(size(col("ms")) > 1)
+      .select(array_sort(col("ms")).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), b ->
+          |    struct(a AS a_id, b AS b_id))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+    // per-doc set sizes over the relevant shingle universe: all shingles
+    // when uncut, the retained groups under a df-cut (that recount shares
+    // the groupBy("s") exchange with `pairs` via ReuseExchange). Either
+    // way `cnt` is doc-count-sized, so both joins broadcast.
+    val cnt = (maxShingleDf match {
+      case None    => sh
+      case Some(_) => kept.select(explode(col("ms")).as("__id"))
+    }).groupBy(col("__id").as("id")).agg(count(lit(1)).as("nn"))
+    pairs
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("c"))
-    common
-      .join(cnt.toDF("a_id", "na"), Seq("a_id"))
-      .join(cnt.toDF("b_id", "nb"), Seq("b_id"))
+      .join(cnt.select(col("id").as("a_id"), col("nn").as("na")), Seq("a_id"))
+      .join(cnt.select(col("id").as("b_id"), col("nn").as("nb")), Seq("b_id"))
       .select(
         col("a_id"),
         col("b_id"),
