@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
 object AnnBuckets {
 
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
-    * literals; no RNG at executor time).
+    * literals; no RNG at executor time). Exposed within the package so the
+    * bucket-assignment oracle can embed the same constants in its SQL.
     */
-  private def planes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+  private[llm] def planes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
   }

@@ -173,7 +173,48 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** LSH bucket ASSIGNMENT for the exact tables/seeds q41 searches — the
+    * deterministic half of the ANN path, hash-oracled so a bucketing bug
+    * cannot hide inside q41's recall envelope. The seeded hyperplanes are
+    * driver-side constants, so the DuckDB oracle embeds the same plane
+    * values as SQL literals and replays the sign-bit fold; both engines
+    * widen the float32 embedding to double and sum the 64-term dot in
+    * index order, so the sign (and hence the bucket) is bit-identical.
+    */
+  val q67AnnBucketAssign: Declared = {
+    val nBits = 4
+    val dims  = 64
+    val seed  = 42L
+    val nTables = 2
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n     + ")
+      s"SELECT vec_id, $tb AS table_id, CAST($bits AS INTEGER) AS bucket FROM e"
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")})
+         |SELECT vec_id, table_id, bucket FROM b ORDER BY vec_id, table_id""".stripMargin
+    Declared.sql("q67_ann_bucket_assign", oracle) { (spark, dir) =>
+      val e = t(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      (0 until nTables)
+        .map { tb =>
+          AnnBuckets
+            .withBucket(e, "emb", nBits, dims, seed + tb)
+            .select(col("vec_id"), lit(tb).as("table_id"), col("bucket"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("vec_id", "table_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
-      q58QuantizeInt8)
+      q58QuantizeInt8, q67AnnBucketAssign)
 }
