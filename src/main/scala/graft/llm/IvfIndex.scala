@@ -38,9 +38,17 @@ object IvfIndex {
       struct(distTo(embCol, c).as("d"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
-  /** Train centroids: deterministic init (k rows in hash-of-id order), then
-    * `iters` Lloyd rounds; each round is one assignment projection + one
-    * (cell, dim) aggregate.
+  /** Train centroids on a bounded deterministic sample: the first
+    * `trainSample` rows in hash-of-id order are collected once (the first
+    * k of them are the init, unchanged from the full-corpus variant) and
+    * Lloyd runs in driver memory — the standard IVF recipe (FAISS trains
+    * its coarse quantizer on a sample for the same reason): one
+    * TakeOrdered job instead of `iters` full passes over the corpus, and
+    * at 100 TB the sample bound keeps driver memory at
+    * O(trainSample × dims) while training cost stays independent of
+    * corpus size. Assignment replicates [[cellExpr]]'s argmin exactly
+    * (same ‖c‖² − 2·e·c expansion, same (dist, cell) lexicographic
+    * tie-break); empty cells keep their centroid.
     */
   def trainCentroids(
       emb: DataFrame,
@@ -48,30 +56,52 @@ object IvfIndex {
       embCol: String,
       k: Int = 16,
       iters: Int = 3,
-      seed: Int = 42): Array[Array[Double]] = {
+      seed: Int = 42,
+      trainSample: Int = 4096): Array[Array[Double]] = {
     val e = emb.select(Cols.q(idCol).as("id"), Cols.q(embCol).cast("array<double>").as("emb"))
-    var centroids: Array[Array[Double]] = e
+    val sample: Array[Array[Double]] = e
       .orderBy(pmod(hash(col("id"), lit(seed)), lit(1000003)), col("id"))
-      .limit(k)
+      .limit(math.max(k, trainSample))
       .select("emb")
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    var centroids = sample.take(k)
+
+    def nearest(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        // same arithmetic as distTo: Σcᵢ² − Σ vᵢ·(2cᵢ), summed in index
+        // order, so sample points land in the same cells either path
+        val cen = centroids(c)
+        var c2 = 0.0
+        var dp = 0.0
+        var i = 0
+        while (i < cen.length) {
+          c2 += cen(i) * cen(i)
+          dp += v(i) * (2.0 * cen(i))
+          i += 1
+        }
+        val d = c2 - dp
+        if (d < bestD) { bestD = d; best = c } // strict < = lowest-cell tie-break
+        c += 1
+      }
+      best
+    }
 
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cell", cellExpr(col("emb"), centroids))
-      val updated = assigned
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(avg("v").as("cv"))
-        .collect()
-      val byCell = updated.groupBy(_.getInt(0))
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(v)
+        cnts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
       centroids = centroids.indices.map { cell =>
-        byCell.get(cell) match {
-          case Some(rows) =>
-            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-            Array.tabulate(dims.size)(dims)
-          case None => centroids(cell) // empty cell keeps its centroid
-        }
+        if (cnts(cell) > 0) sums(cell).map(_ / cnts(cell))
+        else centroids(cell) // empty cell keeps its centroid
       }.toArray
     }
     centroids
