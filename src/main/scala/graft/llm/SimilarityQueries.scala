@@ -38,30 +38,12 @@ object SimilarityQueries {
       |SELECT a_id, b_id, CAST(rn AS INTEGER) AS rn, cos_sim
       |FROM r WHERE rn <= 5
       |ORDER BY a_id, rn""".stripMargin) { (spark, dir) =>
-    val e = t(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot("emb", "emb")))
-    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-    // cosine is symmetric: compute each unordered pair once (a_id < b_id,
-    // halving the O(n²) dot products), then mirror the scored pairs before
-    // the per-vector top-k window
-    val half = a.crossJoin(b)
-      .where(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
-    // self-union re-executes the (cheap, codegen'd) half-plan but keeps the
-    // whole pipeline inside WholeStageCodegen + WindowGroupLimit; an
-    // explode-based single-pass mirror measured ~75% slower
-    val mirrored = half.unionAll(
-      half.select(col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_sim")))
-    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
-    mirrored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
-      .select("a_id", "b_id", "rn", "cos_sim")
+    // broadcast-matrix kernel: the cross-join formulation copied both
+    // embedding arrays into every joined row (~1 KB/pair, dwarfing the
+    // 64 mul-adds of the dot itself) — see [[BruteForce]] for the parity
+    // argument (index-order reduction, Catalyst-identical rounding)
+    BruteForce
+      .topK(spark, t(spark, dir).embeddings, "vec_id", "embedding", k = 5)
       .orderBy("a_id", "rn")
   }
 
@@ -114,16 +96,8 @@ object SimilarityQueries {
       |SELECT a_id, b_id, cos_sim FROM p
       |WHERE cos_sim >= 0.4
       |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
-    val e = t(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot("emb", "emb")))
-    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-    a.crossJoin(b)
-      .where(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")), 6))
-      .where(col("cos_sim") >= 0.4)
-      .select("a_id", "b_id", "cos_sim")
+    BruteForce
+      .neardupPairs(spark, t(spark, dir).embeddings, "vec_id", "embedding", tau = 0.4)
       .orderBy("a_id", "b_id")
   }
 
