@@ -65,6 +65,14 @@ object IvfIndex {
       .select("emb")
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // the sampled-vs-full decision changes the centroids (and thus recall)
+    // for any corpus above trainSample — log it so a recall drop at larger
+    // SFs is attributable to this cut rather than silent
+    if (sample.length == math.max(k, trainSample))
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .info(s"IVF centroids trained on a ${sample.length}-row sample " +
+          s"(trainSample=$trainSample) — corpus is larger; recall depends on sample coverage")
     var centroids = sample.take(k)
 
     def nearest(v: Array[Double]): Int = {

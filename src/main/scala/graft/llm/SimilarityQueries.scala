@@ -41,7 +41,9 @@ object SimilarityQueries {
     // broadcast-matrix kernel: the cross-join formulation copied both
     // embedding arrays into every joined row (~1 KB/pair, dwarfing the
     // 64 mul-adds of the dot itself) — see [[BruteForce]] for the parity
-    // argument (index-order reduction, Catalyst-identical rounding)
+    // argument (index-order reduction, Catalyst-identical rounding).
+    // NOTE: construction is EAGER (count + matrix collect fire before any
+    // action) — never compose into a one-lazy-plan measurement
     BruteForce
       .topK(spark, t(spark, dir).embeddings, "vec_id", "embedding", k = 5)
       .orderBy("a_id", "rn")
