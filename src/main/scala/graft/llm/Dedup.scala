@@ -145,14 +145,21 @@ object Dedup {
     * universal "stop shingle" is quadratic in corpus size. When a cut is
     * applied, per-doc sizes (and therefore Jaccard) are computed over the
     * retained-shingle universe, i.e. the true Jaccard of the filtered
-    * shingle sets. `None` (default, oracle parity) keeps every shingle.
+    * shingle sets. The DEFAULT is capped at [[DefaultMaxShingleDf]] — a
+    * shingle shared by thousands of documents carries no near-dup signal
+    * and only funds quadratic pair rows; pass `None` for exact
+    * all-shingle Jaccard (oracle parity, e.g. q34), which is safe to run
+    * uncapped because the pair expansion streams (see below) but still
+    * pays O(df²) pair ROWS per hot shingle.
     */
+  val DefaultMaxShingleDf: Long = 1024L
+
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
     val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
     // inverted-index rows, exploded in the SAME projection that builds the
     // distinct-shingle array: anything else (its size, the array itself)
@@ -182,15 +189,18 @@ object Dedup {
       .where(maxShingleDf.map(size(col("ms")) <= _).getOrElse(lit(true)))
     // singleton shingles generate no pairs (but DO count toward per-doc
     // sizes in the capped recount below — any cap ≥ 1 retains them)
+    // two-level streaming expansion: the outer loop is its own Generate
+    // (posexplode of the sorted member list, the list riding along — one
+    // O(df) array copy per row), and the inner explode slices the ordered
+    // tail per row. The largest single VALUE anywhere is O(df), never the
+    // O(df²) flat pair array a flatten(transform×transform) would build,
+    // so an uncapped stop-shingle degrades to a slow streamed task instead
+    // of a single-allocation OOM / 2 GB array-limit failure.
     val pairs = kept
       .where(size(col("ms")) > 1)
       .select(array_sort(col("ms")).as("ms"))
-      .select(explode(expr(
-        """flatten(transform(ms, (a, i) ->
-          |  transform(slice(ms, i + 2, size(ms)), b ->
-          |    struct(a AS a_id, b AS b_id))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a_id")))
+      .select(col("a_id"), explode(expr("slice(ms, i + 2, size(ms))")).as("b_id"))
     // per-doc set sizes over the relevant shingle universe: all shingles
     // when uncut, the retained groups under a df-cut (that recount shares
     // the groupBy("s") exchange with `pairs` via ReuseExchange). Either

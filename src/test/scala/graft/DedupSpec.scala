@@ -68,15 +68,36 @@ class DedupSpec extends AnyFunSuite {
     .toDF("doc_id", "text")
 
   test("shingle df-cut bounds candidate pairs against a universal shingle") {
-    val noCut = Dedup.ngramJaccardPairs(stopShingleCorpus, "doc_id", "text", n = 3).count()
+    val noCut = Dedup
+      .ngramJaccardPairs(stopShingleCorpus, "doc_id", "text", n = 3, maxShingleDf = None)
+      .count()
     assert(noCut == 12L * 11 / 2) // every pair shares 'aa bb cc'
     val cut = Dedup.ngramJaccardPairs(
       stopShingleCorpus, "doc_id", "text", n = 3, maxShingleDf = Some(4L)).count()
     assert(cut == 0) // the only shared shingle has df=12 > 4 → no pairs
   }
 
+  test("library default caps the df — a shingle hotter than DefaultMaxShingleDf pairs nothing") {
+    val n = Dedup.DefaultMaxShingleDf.toInt + 1
+    val hot = (1L to n.toLong).map(i => (i, s"aa bb cc unique$i tail$i end$i")).toDF("doc_id", "text")
+    // default call (no maxShingleDf argument) must apply the cap
+    assert(Dedup.ngramJaccardPairs(hot, "doc_id", "text", n = 3).count() == 0)
+  }
+
+  test("uncapped stop-shingle expansion streams: 300-doc universal shingle completes exactly") {
+    // 300 docs sharing 'aa bb cc' → 44 850 pairs through ONE group; the
+    // posexplode+slice expansion keeps every single value O(df), so this
+    // completes where a flat O(df²) in-row array would be the hazard
+    val hot = (1L to 300L).map(i => (i, s"aa bb cc unique$i tail$i end$i")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(hot, "doc_id", "text", n = 3, maxShingleDf = None)
+    assert(got.count() == 300L * 299 / 2)
+    // each doc has 4 shingles, pairs share exactly 1 → jaccard = 1/7
+    val j = got.select("jaccard").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(j.size == 1 && math.abs(j.head - 1.0 / 7) < 1e-12)
+  }
+
   test("df-cut jaccard equals the uncut value when no shingle exceeds the cap") {
-    val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3)
+    val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, maxShingleDf = None)
       .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq
     val cut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, maxShingleDf = Some(100L))
       .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq
