@@ -82,17 +82,28 @@ object Mice {
     val targets = usable.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
 
-    // working frame: doubles + observed flags; start from mean-fill
-    val means = df
-      .agg(
-        avg(col(numericCols.head).cast(DoubleType)).as(numericCols.head),
-        numericCols.tail.map(c => avg(Cols.q(c).cast(DoubleType)).as(c)): _*)
-      .collect()(0)
+    // working frame: doubles + observed flags; start from mean-fill.
+    // Observed min/max per target bound the draws below (PMM boundedness):
+    // statsmodels MICEData imputes with PMM, i.e. draws observed DONOR
+    // values (tasks.py:451), so a reference imputation can never leave the
+    // observed support — while an unbounded Gaussian draw can diverge when
+    // mutually-missing cells form an expansive linear map (the airquality
+    // fixture's row 9 does exactly that). Truncating the draw to the
+    // observed range is the distributional skeleton of PMM.
+    val statAggs =
+      numericCols.map(c => avg(Cols.q(c).cast(DoubleType)).as(s"__avg_$c")) ++
+        targets.flatMap(c =>
+          Seq(
+            min(Cols.q(c).cast(DoubleType)).as(s"__min_$c"),
+            max(Cols.q(c).cast(DoubleType)).as(s"__max_$c")))
+    val stats = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val means = numericCols.map(c => c -> stats.getAs[Double](s"__avg_$c")).toMap
+    val loHi  = targets.map(c => c -> (stats.getAs[Double](s"__min_$c"), stats.getAs[Double](s"__max_$c"))).toMap
     var work = df.select(
       (Cols.q(rowId) +:
         numericCols.map { c =>
           if (usable.contains(c))
-            coalesce(Cols.q(c).cast(DoubleType), lit(means.getAs[Double](c))).as(c)
+            coalesce(Cols.q(c).cast(DoubleType), lit(means(c))).as(c)
           else Cols.q(c).cast(DoubleType).as(c) // all-null: passes through
         }) ++
         targets.map(c => Cols.q(c).isNotNull.as(s"__obs_$c")): _*)
@@ -105,14 +116,16 @@ object Mice {
     def predictorsFor(target: String): Seq[Column] =
       lit(1.0) +: usable.filterNot(_ == target).map(col(_).cast(DoubleType))
 
-    // deterministic posterior draw keyed by (row, col, sweep, seed)
+    // deterministic posterior draw keyed by (row, col, sweep, seed),
+    // truncated to the target's observed support (PMM boundedness, above)
     def drawCol(target: String, sweep: Int, fit: RunModel.GramFit): Column = {
       val sigma = math.sqrt(math.max(fit.sigma2, 0.0))
       val pred  = predictorsFor(target).zip(fit.beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
       val u = (pmod(
         hash(Cols.q(rowId), lit(target), lit(sweep), lit(seed)).cast("long"),
         lit(1000000L)).cast(DoubleType) + lit(0.5)) / lit(1000000.0)
-      pred + lit(sigma) * ProbitFunctions.probitInv(u)
+      val (lo, hi) = loHi(target)
+      least(greatest(pred + lit(sigma) * ProbitFunctions.probitInv(u), lit(lo)), lit(hi))
     }
 
     for (sweep <- 1 to totalSweeps) {

@@ -98,6 +98,66 @@ class MiceSpec extends AnyFunSuite {
     assert(err < 3.0, s"chained imputations far from conditional mean: $err")
   }
 
+  /** airquality_na, reference test_tasks.py:78–92, typed as clean_data
+    * leaves it. Rows 3/4/9 carry the NAs; row 9 (Ozone+Wind+dummy all
+    * missing) couples three cells into an expansive linear map — the
+    * divergence case the PMM support clamp exists for.
+    */
+  private def airquality = {
+    val rows = Seq(
+      (0L, Option(41.0), Option(190.0), Option(7.4), Option(false)),
+      (1L, Option(36.0), Option(118.0), Option(8.0), Option(false)),
+      (2L, Option(12.0), Option(149.0), Option(12.6), Option(false)),
+      (3L, Option.empty[Double], Option(313.0), Option(11.5), Option(true)),
+      (4L, Option.empty[Double], Option.empty[Double], Option(14.3), Option(true)),
+      (5L, Option(28.0), Option.empty[Double], Option(14.9), Option(true)),
+      (6L, Option(23.0), Option(299.0), Option(8.6), Option(true)),
+      (7L, Option(19.0), Option(99.0), Option(13.8), Option(true)),
+      (8L, Option(8.0), Option(19.0), Option(20.1), Option(true)),
+      (9L, Option.empty[Double], Option(194.0), Option.empty[Double], Option.empty[Boolean]))
+    GraftFrame(rows.toDF("row_id", "Ozone", "Solar_R", "Wind", "fake_dummy"))
+  }
+
+  test("airquality external golden: PMM support bounds, cc-OLS centers, reference KL contract") {
+    // all golden numbers derived OUTSIDE this engine by tools/mice_golden.py
+    // (numpy normal equations over the fixture's complete cases) and the
+    // reference's documented values (test_tasks.py:78-80, 465-470)
+    val out = Mice(airquality, "row_id", nBurnin = 20, nImputations = 10, nSpread = 20)
+
+    // 1. PMM boundedness: statsmodels imputes observed donor VALUES, so
+    // nothing may leave the observed support of its column
+    for ((c, lo, hi) <- Seq(("Ozone", 8.0, 41.0), ("Solar_R", 19.0, 313.0), ("Wind", 7.4, 20.1)))
+      assert(out.where(col(c) < lo || col(c) > hi).count() == 0, s"$c left observed support")
+
+    // 2. cc-OLS centers for the cells whose predictors are all observed;
+    // both tolerance bands REJECT the reference's documented mean-fill
+    // values (Ozone 23.857143, Solar.R 172.625), so a MICE that ignores
+    // the conditional model cannot pass
+    val oz3 = out.where(col("row_id") === 3).agg(avg("Ozone")).as[Double].collect().head
+    assert(math.abs(oz3 - 10.047373) <= 1.5 * 7.173981,
+      s"Ozone[3] mean $oz3 off the external cc-OLS center 10.047373")
+    val so5 = out.where(col("row_id") === 5).agg(avg("Solar_R")).as[Double].collect().head
+    assert(math.abs(so5 - 54.770921) <= 2.0 * 52.454160,
+      s"Solar_R[5] mean $so5 off the external cc-OLS center 54.770921")
+
+    // 3. the reference's intended contract (its empty test's docstring,
+    // test_tasks.py:465-470): each imputed dataset has KL divergence < 1
+    // w.r.t. the original dataset — Gaussian closed form per numeric col
+    val obs = airquality.df
+    for (iter <- 0 until 10; c <- Seq("Ozone", "Solar_R", "Wind")) {
+      val o = obs.select(col(c)).where(col(c).isNotNull).as[Double].collect()
+      val i = out.where(col("iter") === iter).select(col(c)).as[Double].collect()
+      def ms(xs: Array[Double]) = {
+        val m = xs.sum / xs.length
+        (m, math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)))
+      }
+      val (m0, s0) = ms(o)
+      val (m1, s1) = ms(i)
+      val kl = math.log(s0 / s1) + (s1 * s1 + (m1 - m0) * (m1 - m0)) / (2 * s0 * s0) - 0.5
+      assert(kl < 1.0, s"iter $iter col $c: KL $kl ≥ 1")
+    }
+  }
+
   test("reference 20/10/20 schedule completes on a small frame (one job per Jacobi sweep)") {
     val rows = (0 until 50).map { i =>
       val x = (i % 25).toDouble
