@@ -12,44 +12,50 @@ class AnnMultimodalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("LSH ANN reaches useful recall vs the exact top-5 oracle") {
-    val exact = SimilarityQueries.q19SimilarityTopk
-      .run(spark, dir)
-      .select("a_id", "b_id")
-      .as[(Long, Long)]
-      .collect()
-      .toSet
-    val approx = AnnBuckets
-      .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 4)
-      .select("a_id", "b_id")
-      .as[(Long, Long)]
-      .collect()
-      .toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall > 0.25, s"recall too low: $recall")
-    // candidate volume actually shrinks vs brute force (the scale point)
+  /** Exact top-5 oracle pairs, computed once per suite. */
+  private lazy val exactTop5: Set[(Long, Long)] = SimilarityQueries.q19SimilarityTopk
+    .run(spark, dir)
+    .select("a_id", "b_id")
+    .as[(Long, Long)]
+    .collect()
+    .toSet
+
+  // gates are measured-minus-margin, not catastrophe floors: across seeds
+  // {42, 7, 1234} at BOTH sf0.001 and sf0.1 the observed recalls were
+  // LSH 0.428–0.488 and IVF 0.636–0.665 (nBits=4/nTables=4, nCells=8/
+  // nProbe=3), so 0.35 / 0.60 catch real drift (a bucketing or probe
+  // regression) while tolerating seed variance
+  test("LSH ANN recall ≥ 0.35 vs the exact top-5 oracle across 3 seeds") {
     val n = Tables(spark, dir).embeddings.count()
-    assert(approx.size < n * n / 2)
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      val approx = AnnBuckets
+        .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+          k = 5, nBits = 4, nTables = 4, seed = seed)
+        .select("a_id", "b_id")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      val recall = (exactTop5 intersect approx).size.toDouble / exactTop5.size
+      assert(recall >= 0.35, s"LSH recall too low at seed $seed: $recall")
+      // candidate volume actually shrinks vs brute force (the scale point)
+      assert(approx.size < n * n / 2)
+    }
   }
 
-  test("IVF ANN reaches useful recall vs the exact top-5 oracle") {
-    val exact = SimilarityQueries.q19SimilarityTopk
-      .run(spark, dir)
-      .select("a_id", "b_id")
-      .as[(Long, Long)]
-      .collect()
-      .toSet
-    val approx = graft.llm.IvfIndex
-      .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
-        k = 5, nCells = 8, nProbe = 3)
-      .select("a_id", "b_id")
-      .as[(Long, Long)]
-      .collect()
-      .toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall > 0.4, s"IVF recall too low: $recall")
+  test("IVF ANN recall ≥ 0.60 vs the exact top-5 oracle across 3 seeds") {
     val n = Tables(spark, dir).embeddings.count()
-    assert(approx.size < n * n / 2)
+    for (seed <- Seq(42, 7, 1234)) {
+      val approx = graft.llm.IvfIndex
+        .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 3, seed = seed)
+        .select("a_id", "b_id")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+      val recall = (exactTop5 intersect approx).size.toDouble / exactTop5.size
+      assert(recall >= 0.60, s"IVF recall too low at seed $seed: $recall")
+      assert(approx.size < n * n / 2)
+    }
   }
 
   test("IVF centroids are deterministic and cover all cells") {
