@@ -84,6 +84,10 @@ object BruteForce {
     java.util.Arrays.sort(rows, Ordering.by((t: (Long, Array[Double])) => t._1))
     val n    = rows.length
     val dims = if (n == 0) 0 else rows(0)._2.length
+    require(
+      n.toLong * dims <= Int.MaxValue,
+      s"flat matrix of $n rows × $dims dims exceeds a single array's Int range — " +
+        "lower broadcastRows/blockRows so each packed side stays under 2^31 doubles")
     val ids  = new Array[Long](n)
     val flat = new Array[Double](n * dims)
     val nrm  = new Array[Double](n)
@@ -118,7 +122,26 @@ object BruteForce {
     s
   }
 
-  /** Normalized (id, vector) pairs — the one projection both kernels read. */
+  /** SplitMix64 finalizer: decorrelates block assignment from the id
+    * distribution, so strided id sets (all multiples of 256, say) still
+    * spread evenly over blocks instead of collapsing the blocked kernel
+    * into a few giant groups. Duplicate ids still co-locate (same hash).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def blockOf(id: Long, nb: Int): Int =
+    java.lang.Math.floorMod(mix64(id), nb.toLong).toInt
+
+  /** Normalized (id, vector) pairs — the one projection both kernels read.
+    * Self-match exclusion in every kernel is BY ID (`b_id != a_id`), so a
+    * duplicated id never scores against itself regardless of which physical
+    * strategy the size dispatch picks; ids are expected unique upstream.
+    */
   private[graft] def vecs(emb: DataFrame, idCol: String, embCol: String): Dataset[(Long, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -193,17 +216,18 @@ object BruteForce {
           var w = 0
           var b = 0
           while (b < ids.length) {
-            if (b != a) {
+            if (ids(b) != ids(a)) {
               cand(w) = (round6(dot(flat, a, flat, b, dims) / (nrm(a) * nrm(b))), ids(b))
               w += 1
             }
             b += 1
           }
+          val filled = if (w == cand.length) cand else java.util.Arrays.copyOf(cand, w)
           // rounded score desc (NaN first), id asc — matches the window order
           scala.util.Sorting.stableSort(
-            cand,
+            filled,
             (x: (Double, Long), y: (Double, Long)) => ranksBefore(x._1, x._2, y._1, y._2))
-          cand.take(k).zipWithIndex.map { case ((cs, bid), r) => (ids(a), bid, r + 1, cs) }
+          filled.take(k).zipWithIndex.map { case ((cs, bid), r) => (ids(a), bid, r + 1, cs) }
         }
       }
       .toDF("a_id", "b_id", "rn", "cos_sim")
@@ -224,11 +248,15 @@ object BruteForce {
         val (ids, flat, nrm) = bc.value
         it.flatMap { ai =>
           val a = ai.toInt
-          // ids are sorted, so j > a ⇔ id_j > id_a: the a<b halving with
-          // no comparison on the pair output
+          // ids are sorted, so j > a ⇒ id_j ≥ id_a: the a<b halving with
+          // no comparison on the pair output; equal ids (duplicates) skip,
+          // keeping the a_id < b_id contract and matching the blocked path
           (a + 1 until ids.length).iterator.flatMap { b =>
-            val cs = round6(dot(flat, a, flat, b, dims) / (nrm(a) * nrm(b)))
-            if (nanGte(cs, tau)) Iterator.single((ids(a), ids(b), cs)) else Iterator.empty
+            if (ids(b) == ids(a)) Iterator.empty
+            else {
+              val cs = round6(dot(flat, a, flat, b, dims) / (nrm(a) * nrm(b)))
+              if (nanGte(cs, tau)) Iterator.single((ids(a), ids(b), cs)) else Iterator.empty
+            }
           }
         }
       }
@@ -270,7 +298,7 @@ object BruteForce {
     val nb = math.max(1, nBlocks)
     val cand = v
       .flatMap { case (id, e) =>
-        val blk = java.lang.Math.floorMod(id, nb.toLong).toInt
+        val blk = blockOf(id, nb)
         // A-side (query) in every (blk, j); B-side (candidate) in every
         // (i, blk) except the diagonal, which reuses the A list for both
         (0 until nb).iterator.flatMap { j =>
@@ -324,7 +352,7 @@ object BruteForce {
     import spark.implicits._
     val nb = math.max(1, nBlocks)
     v.flatMap { case (id, e) =>
-        val blk = java.lang.Math.floorMod(id, nb.toLong).toInt
+        val blk = blockOf(id, nb)
         // block b is A-side for keys (b, j≥b), B-side for keys (i<b, b)
         val asA = (blk until nb).iterator.map(j => (blk, j, 0: Byte, id, e))
         val asB = (0 until blk).iterator.map(i => (i, blk, 1: Byte, id, e))
@@ -342,8 +370,11 @@ object BruteForce {
         if (pi == pj) {
           (0 until aIds.length).iterator.flatMap { a =>
             (a + 1 until aIds.length).iterator.flatMap { b =>
-              val cs = round6(dot(aFlat, a, aFlat, b, dims) / (aNrm(a) * aNrm(b)))
-              if (nanGte(cs, tau)) Iterator.single((aIds(a), aIds(b), cs)) else Iterator.empty
+              if (aIds(b) == aIds(a)) Iterator.empty
+              else {
+                val cs = round6(dot(aFlat, a, aFlat, b, dims) / (aNrm(a) * aNrm(b)))
+                if (nanGte(cs, tau)) Iterator.single((aIds(a), aIds(b), cs)) else Iterator.empty
+              }
             }
           }
         } else {

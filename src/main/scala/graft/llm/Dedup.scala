@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Observed-metric names must be unique within a query plan; a composed
+    * pipeline may call [[ngramJaccardPairs]] more than once.
+    */
+  private val ObserveSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup by content hash: first row per digest survives (ties
     * broken by the id column for determinism).
     */
@@ -183,9 +188,28 @@ object Dedup {
     // group-size filter BEFORE pair expansion. The sorted list is hoisted
     // into its own projection: a HOF re-evaluates captured expressions per
     // element, so an inlined array_sort would re-sort per pair.
-    val kept = sh
+    val grouped = sh
       .groupBy("s")
       .agg(collect_list(col("__id")).as("ms"))
+    // a capped run silently changes semantics (Jaccard over the retained
+    // universe), so make the cut ATTRIBUTABLE: an observed metric counts
+    // the shingles the cap actually dropped (free — piggybacks the agg, no
+    // extra job; read it via QueryExecutionListener / Observation), and a
+    // construction-time log names the metric
+    val observed = maxShingleDf match {
+      case Some(cap) =>
+        val metric = s"ngram_jaccard_df_cap_${ObserveSeq.incrementAndGet()}"
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .info(s"ngramJaccardPairs: maxShingleDf=$cap — Jaccard is over the retained-shingle " +
+            s"universe; dropped-shingle count surfaces as observed metric '$metric'")
+        grouped.observe(
+          metric,
+          sum(when(size(col("ms")) > cap, 1L).otherwise(0L)).as("dropped_shingles"),
+          max(size(col("ms"))).as("max_df"))
+      case None => grouped
+    }
+    val kept = observed
       .where(maxShingleDf.map(size(col("ms")) <= _).getOrElse(lit(true)))
     // singleton shingles generate no pairs (but DO count toward per-doc
     // sizes in the capped recount below — any cap ≥ 1 retains them)

@@ -58,21 +58,25 @@ object IvfIndex {
       iters: Int = 3,
       seed: Int = 42,
       trainSample: Int = 4096): Array[Array[Double]] = {
-    val e = emb.select(Cols.q(idCol).as("id"), Cols.q(embCol).cast("array<double>").as("emb"))
-    val sample: Array[Array[Double]] = e
+    val e   = emb.select(Cols.q(idCol).as("id"), Cols.q(embCol).cast("array<double>").as("emb"))
+    val cap = math.max(k, trainSample)
+    // probe cap+1 rows so "corpus is larger than the sample" is a fact, not
+    // an inference from exact equality (which also fires when |corpus|==cap)
+    val probed: Array[Array[Double]] = e
       .orderBy(pmod(hash(col("id"), lit(seed)), lit(1000003)), col("id"))
-      .limit(math.max(k, trainSample))
+      .limit(cap + 1)
       .select("emb")
       .collect()
       .map(_.getSeq[Double](0).toArray)
     // the sampled-vs-full decision changes the centroids (and thus recall)
     // for any corpus above trainSample — log it so a recall drop at larger
     // SFs is attributable to this cut rather than silent
-    if (sample.length == math.max(k, trainSample))
+    if (probed.length > cap)
       org.slf4j.LoggerFactory
         .getLogger(getClass)
-        .info(s"IVF centroids trained on a ${sample.length}-row sample " +
+        .info(s"IVF centroids trained on a $cap-row sample " +
           s"(trainSample=$trainSample) — corpus is larger; recall depends on sample coverage")
+    val sample    = probed.take(cap)
     var centroids = sample.take(k)
 
     def nearest(v: Array[Double]): Int = {

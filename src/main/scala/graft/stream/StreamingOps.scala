@@ -22,7 +22,10 @@ object StreamingOps {
     * sinks resolve) in `df.sparkSession`, NOT the caller's session. Read
     * sink tables via `stream.sparkSession.table(name)`.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // isolated child session (see Tables.nanosSession) — the legacy conf
     // must not leak into the caller's other parquet reads
     val s = graft.core.Tables.nanosSession(spark)
@@ -33,8 +36,9 @@ object StreamingOps {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    s.readStream
-      .schema(schema)
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
   * quadratically inflate dedup-style pair counts; embeddings keep their
   * vectors (cosine work per pair is value-independent).
   *
+  * `--skew` additionally redirects ~20% of scaled orders (o_orderkey ≡ 0
+  * mod 5, deterministic) onto ONE hot customer key, so the orders⋈customer
+  * side of q02/q03-style plans carries a single giant key — the shape AQE
+  * skew-join / salting exists for. Only o_custkey is rewritten; orderkeys
+  * (and thus lineitem joins and row counts) are unchanged, and the hot key
+  * is printed so bench notes can name it.
+  *
   * Bench-only: the generated dir serves TimeOne/Bench at the new scale;
   * correctness stays gated on the driver's own testdata.
   *
-  * Usage: GenScale <srcDir> <outDir> <factor>
+  * Usage: GenScale <srcDir> <outDir> <factor> [--skew]
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val skew = args.contains("--skew")
+    val Array(srcDir, outDir, factorS) = args.filterNot(_ == "--skew")
     val factor = factorS.toInt
     val spark = SparkSession
       .builder()
@@ -63,10 +71,18 @@ object GenScale {
     write(scale(src.customer, "c_custkey" -> custS), "customer", 4)
     write(scale(src.supplier, "s_suppkey" -> suppS), "supplier", 1)
     write(scale(src.part, "p_partkey" -> partS), "part", 4)
-    write(
-      scale(src.orders, "o_orderkey" -> ordS, "o_custkey" -> custS),
-      "orders",
-      8)
+    val ordersScaled = scale(src.orders, "o_orderkey" -> ordS, "o_custkey" -> custS)
+    val orders =
+      if (!skew) ordersScaled
+      else {
+        // hot key must exist in the scaled customer table: copy-0 custkey 1
+        val hot = 1L
+        println(s"[genscale] --skew: ~20% of orders redirected to o_custkey=$hot")
+        ordersScaled.withColumn(
+          "o_custkey",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, lit(hot)).otherwise(col("o_custkey")))
+      }
+    write(orders, "orders", 8)
     write(
       scale(src.lineitem, "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS),
       "lineitem",

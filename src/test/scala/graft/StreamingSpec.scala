@@ -66,6 +66,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding window agg across 3+ micro-batches matches the batch plan") {
+    // stage the events into three parquet files (raw nanos-as-long ts, the
+    // on-disk encoding readEventStream declares) and trigger one file per
+    // micro-batch, so window accumulation must merge state across batches
+    val d = java.nio.file.Files.createTempDirectory("events_stream3").toString
+    graft.core.Tables
+      .nanosSession(spark)
+      .read
+      .parquet(s"$dir/events.parquet")
+      .repartition(3)
+      .write
+      .mode("overwrite")
+      .parquet(d)
+    val stream = StreamingOps.slidingCounts(
+      StreamingOps.readEventStream(spark, d, maxFilesPerTrigger = Some(1)))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("sliding3_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(
+        q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      val got = stream.sparkSession.table("sliding3_out")
+      val want = graft.core.Tables(spark, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(
+          col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("streaming dedup-within-watermark passes distinct events through") {
     val stream = StreamingOps.dedupedEvents(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
