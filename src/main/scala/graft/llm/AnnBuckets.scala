@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object AnnBuckets {
 
+  /** Sentinel: size the index from the corpus (see [[autoBits]]). */
+  val Auto: Int = -1
+
+  /** Hyperplane count for a target mean bucket occupancy. A FIXED nBits is
+    * a scale bug: bucket occupancy grows linearly with the corpus, so
+    * same-bucket candidate work (Σ_b occ_b²) grows QUADRATICALLY — the sf1
+    * full-suite bench measured 14× growth for 10× data at nBits=4. Sizing
+    * bits as log₂(n / target) holds occupancy (and thus per-bucket work)
+    * constant: candidate volume then scales linearly with n, which is the
+    * posture a 100 TB corpus needs. Clamped to [4, 24].
+    */
+  def autoBits(n: Long, targetBucketRows: Int = 128): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1, targetBucketRows))
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
     * literals; no RNG at executor time). Exposed within the package so the
     * bucket-assignment oracle can embed the same constants in its SQL.
@@ -46,26 +62,39 @@ object AnnBuckets {
   /** Approximate cosine top-k: candidates restricted to same-bucket pairs,
     * unioned over `nTables` independent hash tables, then ranked exactly on
     * the surviving candidate set.
+    *
+    * `nBits = Auto` (the default) counts the corpus once and sizes the
+    * index via [[autoBits]]; pass an explicit value for reproducible
+    * small-scale runs (the declared q41/q67 queries do).
     */
   def approxTopK(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       k: Int = 5,
-      nBits: Int = 8,
+      nBits: Int = Auto,
       dims: Int = 64,
       nTables: Int = 2,
       seed: Long = 42L): DataFrame = {
     val e = emb
       .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val bits =
+      if (nBits != Auto) nBits
+      else {
+        val b = autoBits(e.count())
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .info(s"approxTopK: auto-sized LSH index to nBits=$b")
+        b
+      }
 
     // cosine is computed INSIDE each table's bucket join so only
     // (a_id, b_id, cos_sim) crosses the union/dedup shuffle — never the
     // embedding arrays (at 64 dims that's a ~30× smaller shuffle).
     val candidates = (0 until nTables)
       .map { t =>
-        val bucketed = withBucket(e, "emb", nBits, dims, seed + t)
+        val bucketed = withBucket(e, "emb", bits, dims, seed + t)
         val a = bucketed.select(
           col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
         val b = bucketed.select(

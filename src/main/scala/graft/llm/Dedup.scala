@@ -228,7 +228,12 @@ object Dedup {
     // per-doc set sizes over the relevant shingle universe: all shingles
     // when uncut, the retained groups under a df-cut (that recount shares
     // the groupBy("s") exchange with `pairs` via ReuseExchange). Either
-    // way `cnt` is doc-count-sized, so both joins broadcast.
+    // way `cnt` is doc-count-sized BY CONSTRUCTION, so broadcast it
+    // EXPLICITLY: Catalyst's size estimate through the Generate → agg
+    // chain undershoots on the pair side, and at sf1 the planner chose to
+    // build the pair-count table (Σ df² rows) as the broadcast — a
+    // driver OOM, not a slow job. The hint pins the build side to the one
+    // that is small no matter the corpus.
     val cnt = (maxShingleDf match {
       case None    => sh
       case Some(_) => kept.select(explode(col("ms")).as("__id"))
@@ -236,8 +241,8 @@ object Dedup {
     pairs
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("c"))
-      .join(cnt.select(col("id").as("a_id"), col("nn").as("na")), Seq("a_id"))
-      .join(cnt.select(col("id").as("b_id"), col("nn").as("nb")), Seq("b_id"))
+      .join(broadcast(cnt.select(col("id").as("a_id"), col("nn").as("na"))), Seq("a_id"))
+      .join(broadcast(cnt.select(col("id").as("b_id"), col("nn").as("nb"))), Seq("b_id"))
       .select(
         col("a_id"),
         col("b_id"),

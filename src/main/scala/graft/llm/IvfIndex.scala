@@ -119,19 +119,50 @@ object IvfIndex {
     centroids
   }
 
+  /** Sentinel: size the index from the corpus (see [[autoCells]]). */
+  val Auto: Int = -1
+
+  /** Cell count for a corpus of `n` vectors: the FAISS √n rule. A FIXED
+    * nCells is a scale bug — cell occupancy grows linearly with the
+    * corpus, so probe-join candidate work (n · nProbe · n/nCells) grows
+    * QUADRATICALLY; the sf1 full-suite bench measured 31× growth for 10×
+    * data at nCells=16. √n sizing makes both occupancy and cell count grow
+    * as √n, keeping candidate volume at n^1.5 · nProbe — the IVF trade.
+    * Clamped to [16, 1024]: past ~1024 cells the per-centroid expression
+    * tree stops being codegen-friendly and the assignment should move to a
+    * broadcast-matrix kernel instead.
+    */
+  def autoCells(n: Long): Int =
+    math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** Approximate cosine top-k: probe the `nProbe` nearest cells per vector,
     * rank candidates exactly (rounded score + id tie-break).
+    *
+    * `nCells = Auto` (the default) counts the corpus once, sizes the index
+    * via [[autoCells]], and scales the training sample to 16 rows per
+    * centroid (min 4096); pass explicit values for reproducible
+    * small-scale runs (the declared q50 query does).
     */
   def approxTopK(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       k: Int = 5,
-      nCells: Int = 16,
+      nCells: Int = Auto,
       nProbe: Int = 4,
       iters: Int = 3,
       seed: Int = 42): DataFrame = {
-    val centroids = trainCentroids(emb, idCol, embCol, nCells, iters, seed)
+    val (cells, sampleRows) =
+      if (nCells != Auto) (nCells, 4096)
+      else {
+        val n = emb.count()
+        val c = autoCells(n)
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .info(s"approxTopK: auto-sized IVF index to nCells=$c for n=$n")
+        (c, math.max(4096, 16 * c))
+      }
+    val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
 
     // ONE pass computes all centroid distances; the sorted (dist, cell)
     // array yields both the home cell (element 1) and the probe list. The

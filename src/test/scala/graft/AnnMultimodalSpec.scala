@@ -58,6 +58,37 @@ class AnnMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN auto-sizing holds per-bucket/per-cell occupancy as the corpus grows") {
+    // LSH: occupancy n/2^bits stays ~targetBucketRows across scale jumps
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val bits = AnnBuckets.autoBits(n)
+      val occ  = n.toDouble / (1L << bits)
+      assert(bits >= 4 && bits <= 24)
+      assert(occ <= 128.0 || bits == 24, s"n=$n bits=$bits occ=$occ")
+    }
+    assert(AnnBuckets.autoBits(10) == 4)          // floor
+    assert(AnnBuckets.autoBits(Long.MaxValue) == 24) // ceiling
+    // IVF: √n cells, clamped
+    assert(graft.llm.IvfIndex.autoCells(100) == 16)
+    assert(graft.llm.IvfIndex.autoCells(50000) == 224)
+    assert(graft.llm.IvfIndex.autoCells(10000000) == 1024)
+    // monotone: bigger corpora never get a smaller index
+    val bitSeq  = Seq(1000L, 10000L, 100000L, 1000000L).map(AnnBuckets.autoBits(_))
+    val cellSeq = Seq(1000L, 10000L, 100000L, 1000000L).map(graft.llm.IvfIndex.autoCells)
+    assert(bitSeq == bitSeq.sorted && cellSeq == cellSeq.sorted)
+  }
+
+  test("auto-sized ANN paths run end-to-end and return ranked rows") {
+    val lsh = AnnBuckets
+      .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 3)
+    assert(lsh.columns.toSeq == Seq("a_id", "b_id", "rn", "cos_sim"))
+    assert(lsh.where(col("rn") > 3).count() == 0 && lsh.count() > 0)
+    val ivf = graft.llm.IvfIndex
+      .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(ivf.columns.toSeq == Seq("a_id", "b_id", "rn", "cos_sim"))
+    assert(ivf.where(col("rn") > 3).count() == 0 && ivf.count() > 0)
+  }
+
   test("IVF centroids are deterministic and cover all cells") {
     val c1 = graft.llm.IvfIndex.trainCentroids(
       Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
