@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: connected components over a near-dup
+  * pair list (reference behavior: the pairwise dedup ops in
+  * `/root/reference/src/tasks.py` stop at pairs; cluster formation is the
+  * standard production step after them — every doc in a connected group
+  * of near-dups shares one cluster id, and keep-one-per-cluster is then a
+  * trivial filter).
+  *
+  * Algorithm: hash-min label propagation — every vertex starts labelled
+  * with its own id; each round every vertex takes the min of its label
+  * and its neighbours' labels; fixpoint = components labelled by their
+  * min member id. This is the classic Spark-scale CC formulation:
+  *
+  *  - state per round is ONE (id, lbl) table, shuffled by join key — no
+  *    driver-side graph, no per-vertex state bigger than a long;
+  *  - rounds = O(component diameter), and near-dup graphs are
+  *    short-diameter (dup groups are near-cliques), so the loop
+  *    terminates in a handful of rounds;
+  *  - each round `localCheckpoint`s the label table, cutting lineage so
+  *    the plan does not grow with iterations (same pattern as
+  *    [[IvfIndex]]'s index materialization);
+  *  - convergence is detected with one O(1) count per round (changed
+  *    labels), not a collect.
+  *
+  * For adversarial long-chain graphs at 100 TB the alternating
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") converges in O(log n) rounds with the same
+  * per-round shape; the simple hash-min here is the right trade for
+  * dedup graphs.
+  */
+object DupClusters {
+
+  /** @param vertices one column `id` — every vertex that should appear in
+    *                 the output (isolated vertices label themselves)
+    * @param edges    two columns `a_id`, `b_id` — undirected pairs
+    * @return (id, cluster_id) with cluster_id = min id reachable
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    // symmetrize once: propagation must flow both directions
+    val sym = edges
+      .select(col("a_id").as("s"), col("b_id").as("d"))
+      .union(edges.select(col("b_id").as("s"), col("a_id").as("d")))
+      .localCheckpoint(true)
+
+    var labels = vertices
+      .select(col("id").cast("long").as("id"), col("id").cast("long").as("lbl"))
+      .localCheckpoint(true)
+
+    var it      = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "d_id"), col("d") === col("d_id"))
+        .groupBy(col("s").as("id"))
+        .agg(min("lbl").as("nlbl"))
+      val next = labels
+        .withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.where(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -580,6 +580,78 @@ object TextQueries {
       .orderBy("probe")
   }
 
+  /** OOV `<unk>` rewrite against the top-20 vocabulary: per-doc replaced
+    * count and the md5 of the rewritten text — the rewrite itself is
+    * hash-checked cross-engine, not just counted. Vocabulary rule is the
+    * q53 order (count desc, token asc).
+    */
+  val q68UnkRewrite: Declared = Declared.sql(
+    "q68_unk_rewrite",
+    """WITH vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 20),
+      |vl AS (SELECT list(tok) AS vs FROM vocab)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split(d.text, ' '),
+      |           t -> NOT list_contains(vl.vs, t))) AS BIGINT) AS n_unk,
+      |  md5(array_to_string(list_transform(string_split(d.text, ' '),
+      |        t -> CASE WHEN list_contains(vl.vs, t) THEN t ELSE '<unk>' END),
+      |      ' ')) AS text_unk_md5
+      |FROM documents d CROSS JOIN vl
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Vocab
+      .unkRewrite(t(spark, dir).documents, "doc_id", "text", k = 20)
+      .select(
+        col("doc_id"),
+        col("n_unk"),
+        md5(col("text_unk").cast("binary")).as("text_unk_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup clusters: connected components (hash-min label propagation,
+    * [[DupClusters]]) over the n-gram-Jaccard ≥ 0.8 pair graph; every
+    * document gets the min doc_id of its component (isolated docs label
+    * themselves). The DuckDB oracle replays the fixpoint as a recursive
+    * CTE, so the component labelling itself is hash-checked.
+    */
+  val q69DupClusters: Declared = Declared.sql(
+    "q69_dup_clusters",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) x
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id)
+      |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val edges = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+      .where(col("jaccard") >= 0.8)
+      .select("a_id", "b_id")
+    DupClusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -600,5 +672,7 @@ object TextQueries {
     q59Repetition,
     q60MixtureWeights,
     q61TfidfTop,
-    q63FuzzyMatch)
+    q63FuzzyMatch,
+    q68UnkRewrite,
+    q69DupClusters)
 }

@@ -50,4 +50,45 @@ object Vocab {
     val rdd    = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Out-of-vocabulary normalization: rewrite every token outside the
+    * top-`k` vocabulary (count desc, token asc — the [[topK]] order) to
+    * `unk`, returning the original frame plus `text_unk` (the rewritten
+    * string) and `n_unk` (tokens replaced). The vocabulary is a bounded
+    * driver-side list (O(k), like [[Decontamination]]'s eval set)
+    * embedded as an array literal, so the rewrite itself is one
+    * codegen'd projection — `transform` + `array_contains` over the
+    * split tokens, no join, no shuffle beyond the vocab aggregation.
+    * For vocabularies too big for a literal (≫10⁵), switch to a
+    * posexplode + broadcast-join + re-assembly plan; at the k this op is
+    * for (unk-scrubbing uses small working vocabularies), the literal
+    * wins: per-token work is a k-element scan inside one stage.
+    */
+  def unkRewrite(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      unk: String = "<unk>"): DataFrame = {
+    import graft.core.Cols
+    val vocab: Seq[String] = docs
+      .select(explode(split(Cols.q(textCol), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+      .select("tok")
+      .collect()
+      .toSeq
+      .map(_.getString(0))
+    val vlit = typedLit(vocab)
+    val tks  = split(Cols.q(textCol), " ")
+    docs
+      .withColumn(
+        "text_unk",
+        concat_ws(" ", transform(tks, t => when(array_contains(vlit, t), t).otherwise(lit(unk)))))
+      .withColumn(
+        "n_unk",
+        size(filter(tks, t => !array_contains(vlit, t))).cast("long"))
+  }
 }

@@ -113,4 +113,55 @@ class DedupSpec extends AnyFunSuite {
       corpus, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.0, maxBandDf = Some(100L))
     assert(open.count() >= 2) // same pairs as the uncapped run
   }
+
+  test("connected components label chains, cliques and isolated vertices by min id") {
+    import graft.llm.DupClusters
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // clique {10,11,12}, isolated 20
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a_id", "b_id")
+    val got = DupClusters
+      .connectedComponents(verts, edges)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L))
+  }
+
+  test("connected components fails loudly when the iteration cap is too low") {
+    import graft.llm.DupClusters
+    // a 6-vertex path labelled from the far end needs ~5 rounds
+    val verts = (1L to 6L).toDF("id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalArgumentException] {
+      DupClusters.connectedComponents(verts, edges, maxIters = 1)
+    }
+    // and converges with a sane cap
+    val ok = DupClusters.connectedComponents(verts, edges).as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
+  test("unk rewrite replaces exactly the out-of-vocab tokens") {
+    import graft.llm.Vocab
+    // "a" (4x) and "b" (3x) are the top-2; "x" and "y" fall out
+    val docs = Seq(
+      (1L, "a b a x"),
+      (2L, "b a y b a"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val got = Vocab
+      .unkRewrite(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "text_unk", "n_unk")
+      .as[(Long, String, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got == Seq(
+      (1L, "a b a <unk>", 1L),
+      (2L, "b a <unk> b a", 1L),
+      (3L, "<unk> <unk>", 2L)))
+  }
 }

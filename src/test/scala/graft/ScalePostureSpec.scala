@@ -102,6 +102,29 @@ class ScalePostureSpec extends AnyFunSuite {
       "no per-l_orderkey aggregate below a join — lineitem is joined unreduced")
   }
 
+  test("capped n-gram Jaccard builds its per-doc-size joins from the cnt side") {
+    // the sf1 driver-OOM regression: Catalyst's estimate through the
+    // Generate→agg chain undershoots the Σ df²-row pair-count side, so an
+    // unhinted plan broadcast THAT; pin the explicit hint — both joins
+    // must be broadcast-built from the doc-count-sized cnt subtree (whose
+    // lineage contains the collect_list inverted index), never the
+    // pair-count side (plain count over a_id/b_id)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.llm.Dedup.ngramJaccardPairs(
+      Tables(spark, dir).documents, "doc_id", "text")
+    val joins = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size == 2, s"expected 2 broadcast joins, got ${joins.size}")
+    joins.foreach { j =>
+      val build = j.buildSide.toString match {
+        case "BuildRight" => j.right
+        case _            => j.left
+      }
+      assert(
+        build.toString.contains("collect_list"),
+        s"broadcast build side is not the cnt subtree:\n${build.toString.take(600)}")
+    }
+  }
+
   test("join-heavy queries survive with broadcast disabled (sort-merge fallback)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val checks = Seq("q02_mktsegment_revenue", "q06_region_sales", "q14_events_asof_order")
