@@ -145,6 +145,31 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    import graft.llm.DupClusters
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nV = 30 + trial * 10
+      val vs = (1L to nV.toLong).toSeq
+      val es = Seq.fill(nV / 2)((rnd.nextInt(nV) + 1L, rnd.nextInt(nV) + 1L))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = vs.map(v => v -> find(v)).toMap
+      val got = DupClusters
+        .connectedComponents(vs.toDF("id"), es.toDF("a_id", "b_id"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      assert(got == want, s"trial $trial: CC diverges from union-find")
+    }
+  }
+
   test("unk rewrite replaces exactly the out-of-vocab tokens") {
     import graft.llm.Vocab
     // "a" (4x) and "b" (3x) are the top-2; "x" and "y" fall out
