@@ -128,12 +128,24 @@ object IvfIndex {
     * QUADRATICALLY; the sf1 full-suite bench measured 31× growth for 10×
     * data at nCells=16. √n sizing makes both occupancy and cell count grow
     * as √n, keeping candidate volume at n^1.5 · nProbe — the IVF trade.
-    * Clamped to [16, 1024]: past ~1024 cells the per-centroid expression
-    * tree stops being codegen-friendly and the assignment should move to a
-    * broadcast-matrix kernel instead.
+    * Clamped to [16, 65536]: above [[KernelCellThreshold]] cells the
+    * assignment switches from per-centroid expressions to the
+    * broadcast-matrix kernel, so large cell counts stay cheap.
     */
   def autoCells(n: Long): Int =
-    math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Above this many cells, centroid assignment runs as a broadcast-
+    * matrix mapPartitions kernel instead of per-centroid Catalyst
+    * expressions: an expression tree with hundreds of 64-dim dot
+    * products splinters codegen (and at thousands of cells falls back to
+    * interpreted eval), while the kernel is one flat-array scan per row
+    * with an O(nProbe) insertion top-k — the [[BruteForce]] pattern. The
+    * two paths produce IDENTICAL assignments: same ‖c‖² − 2·e·c
+    * expansion with the same index-order double summation, same
+    * (dist, cell) lexicographic tie-break (spec-pinned).
+    */
+  val KernelCellThreshold: Int = 128
 
   /** Approximate cosine top-k: probe the `nProbe` nearest cells per vector,
     * rank candidates exactly (rounded score + id tie-break).
@@ -164,28 +176,36 @@ object IvfIndex {
       }
     val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
 
-    // ONE pass computes all centroid distances; the sorted (dist, cell)
-    // array yields both the home cell (element 1) and the probe list. The
-    // indexed table is materialized (localCheckpoint) because both sides of
-    // the candidate self-join derive from it — this IS the inverted index;
-    // at cluster scale it would be a persisted bucketed table.
-    val distArr = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
-    }: _*)
-    val indexed = emb
+    // ONE pass computes per-vector probe cells (nProbe nearest, nearest
+    // first — so element 0 is the home cell). The indexed table is
+    // materialized (localCheckpoint) because both sides of the candidate
+    // self-join derive from it — this IS the inverted index; at cluster
+    // scale it would be a persisted bucketed table.
+    val base = emb
       .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-      .withColumn("dists", array_sort(distArr))
-      .withColumn("cell", col("dists").getItem(0).getField("cell"))
+    val withProbes =
+      if (centroids.length <= KernelCellThreshold) {
+        val distArr = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+          struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
+        }: _*)
+        base
+          .withColumn(
+            "probe_cells",
+            transform(slice(array_sort(distArr), 1, nProbe), p => p.getField("cell")))
+      } else {
+        assignProbesKernel(base, centroids, nProbe)
+      }
+    val indexed = withProbes
+      .withColumn("cell", col("probe_cells").getItem(0))
       .localCheckpoint(true)
 
     val probes = indexed
-      .withColumn("probe", explode(slice(col("dists"), 1, nProbe)))
       .select(
         col("vec_id").as("a_id"),
         col("emb").as("a_emb"),
         col("nrm").as("a_nrm"),
-        col("probe.cell").as("cell"))
+        explode(col("probe_cells")).as("cell"))
 
     val lists = indexed.select(
       col("cell"),
@@ -205,5 +225,66 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("a_id", "b_id", "rn", "cos_sim")
+  }
+
+  /** Broadcast-matrix probe assignment: centroids as one flat primitive
+    * array shared across tasks, each row scanning it with an O(nProbe)
+    * insertion top-k. Arithmetic parity with [[distTo]]: distance is
+    * ‖c‖² − Σ_j e_j·(2c_j) summed in index order in doubles, ties break
+    * (dist, cell) lexicographic — bit-identical to the expression path.
+    */
+  private[graft] def assignProbesKernel(
+      base: DataFrame,
+      centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val nc   = centroids.length
+    val dims = if (nc == 0) 0 else centroids(0).length
+    val twoC = new Array[Double](nc * dims)
+    val c2   = new Array[Double](nc)
+    var ci = 0
+    while (ci < nc) {
+      val c = centroids(ci)
+      var j = 0
+      while (j < dims) { twoC(ci * dims + j) = c(j) * 2.0; j += 1 }
+      c2(ci) = c.map(x => x * x).sum
+      ci += 1
+    }
+    val bc = spark.sparkContext.broadcast((twoC, c2))
+    base
+      .select(col("vec_id").cast("long"), col("emb"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val (twoC, c2) = bc.value
+        val nc   = c2.length
+        val take = math.min(nProbe, nc)
+        it.map { case (id, e, nrm) =>
+          val d  = math.min(e.length, if (nc == 0) 0 else twoC.length / nc)
+          val ds = new Array[Double](take)
+          val cs = new Array[Int](take)
+          var size = 0
+          var c = 0
+          while (c < nc) {
+            var s = 0.0
+            var j = 0
+            while (j < d) { s += e(j) * twoC(c * d + j); j += 1 }
+            val dist = c2(c) - s
+            // (dist, cell) lex insertion — cell ids scan ascending, so on
+            // equal dist the earlier (smaller) cell id stays ahead
+            if (size < take || dist < ds(size - 1)) {
+              var i = math.min(size, take - 1)
+              while (i > 0 && dist < ds(i - 1)) {
+                ds(i) = ds(i - 1); cs(i) = cs(i - 1); i -= 1
+              }
+              ds(i) = dist; cs(i) = c
+              if (size < take) size += 1
+            }
+            c += 1
+          }
+          (id, e, nrm, cs.take(size).toSeq)
+        }
+      }
+      .toDF("vec_id", "emb", "nrm", "probe_cells")
   }
 }

@@ -71,7 +71,8 @@ class AnnMultimodalSpec extends AnyFunSuite {
     // IVF: √n cells, clamped
     assert(graft.llm.IvfIndex.autoCells(100) == 16)
     assert(graft.llm.IvfIndex.autoCells(50000) == 224)
-    assert(graft.llm.IvfIndex.autoCells(10000000) == 1024)
+    assert(graft.llm.IvfIndex.autoCells(10000000) == 3163) // √n, kernel path
+    assert(graft.llm.IvfIndex.autoCells(Long.MaxValue) == 65536) // ceiling
     // monotone: bigger corpora never get a smaller index
     val bitSeq  = Seq(1000L, 10000L, 100000L, 1000000L).map(AnnBuckets.autoBits(_))
     val cellSeq = Seq(1000L, 10000L, 100000L, 1000000L).map(graft.llm.IvfIndex.autoCells)
@@ -87,6 +88,39 @@ class AnnMultimodalSpec extends AnyFunSuite {
       .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 3, nProbe = 2)
     assert(ivf.columns.toSeq == Seq("a_id", "b_id", "rn", "cos_sim"))
     assert(ivf.where(col("rn") > 3).count() == 0 && ivf.count() > 0)
+  }
+
+  test("IVF kernel assignment ≡ expression assignment (same probes, same top-k)") {
+    import graft.functions.GraftFunctions.dot
+    import graft.llm.IvfIndex
+    val emb = Tables(spark, dir).embeddings
+    // pin bit-identical assignment parity between the mapPartitions
+    // kernel (> KernelCellThreshold cells) and the Catalyst expression
+    // path: same centroids, same nProbe, probe lists must match exactly
+    val cents = IvfIndex.trainCentroids(emb, "vec_id", "embedding", k = 24, trainSample = 4096)
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val kernel = IvfIndex
+      .assignProbesKernel(base, cents, nProbe = 3)
+      .select(col("vec_id"), col("probe_cells"))
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    // expression-path probes recomputed the same way approxTopK does
+    val distArr = array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((lit(c.map(x => x * x).sum) - dot(col("emb"), typedLit(c.map(_ * 2.0).toSeq)))
+        .as("d"), lit(i).as("cell"))
+    }: _*)
+    val exprMap = base
+      .withColumn("pc", transform(slice(array_sort(distArr), 1, 3), p => p.getField("cell")))
+      .select(col("vec_id"), col("pc"))
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    assert(kernel.keySet == exprMap.keySet)
+    val diffs = kernel.keys.filter(k => kernel(k) != exprMap(k))
+    assert(diffs.isEmpty, s"probe mismatch for ids ${diffs.take(5).toSeq}")
   }
 
   test("IVF centroids are deterministic and cover all cells") {

@@ -38,6 +38,21 @@ class BruteForceSpec extends AnyFunSuite {
     TestSpark.assertFrameEqual(blocked, bcast)
   }
 
+  test("strided ids (shared factor with block count) still agree with broadcast") {
+    // all ids multiples of 8 with nBlocks=8: un-hashed floorMod would
+    // collapse every row into block 0; hashed assignment must both
+    // balance and stay correct
+    val v8 = BruteForce
+      .vecs(emb, "vec_id", "embedding")
+      .map { case (id, e) => (id * 8, e) }
+    TestSpark.assertFrameEqual(
+      BruteForce.topKBlocked(spark, v8, k = 3, nBlocks = 8),
+      BruteForce.topKBroadcast(spark, v8, k = 3))
+    TestSpark.assertFrameEqual(
+      BruteForce.neardupPairsBlocked(spark, v8, tau = 0.4, nBlocks = 8),
+      BruteForce.neardupPairsBroadcast(spark, v8, tau = 0.4))
+  }
+
   test("size guard fails fast and names the ANN scale paths") {
     val err = intercept[IllegalArgumentException] {
       BruteForce.topK(spark, emb, "vec_id", "embedding", k = 5, maxExactRows = 3)
