@@ -46,18 +46,21 @@ object AnnBuckets {
     Array.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
+  /** Sign-bit bucket id as a pure Column — a stateless projection, so it
+    * composes onto batch AND streaming frames alike.
+    */
+  private[graft] def bucketCol(embCol: Column, nBits: Int, dims: Int, seed: Long): Column =
+    planes(nBits, dims, seed).zipWithIndex
+      .map { case (p, b) =>
+        when(dot(embCol, typedLit(p.toSeq)) > 0, lit(1 << b)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
   /** Adds `bucket` (int) to an embedding frame: sign bits of the plane dot
     * products.
     */
-  def withBucket(emb: DataFrame, embCol: String, nBits: Int = 8, dims: Int = 64, seed: Long = 42L): DataFrame = {
-    val ps = planes(nBits, dims, seed)
-    val bucket: Column = ps.zipWithIndex
-      .map { case (p, b) =>
-        when(dot(Cols.q(embCol), typedLit(p.toSeq)) > 0, lit(1 << b)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-    emb.withColumn("bucket", bucket)
-  }
+  def withBucket(emb: DataFrame, embCol: String, nBits: Int = 8, dims: Int = 64, seed: Long = 42L): DataFrame =
+    emb.withColumn("bucket", bucketCol(Cols.q(embCol), nBits, dims, seed))
 
   /** Approximate cosine top-k: candidates restricted to same-bucket pairs,
     * unioned over `nTables` independent hash tables, then ranked exactly on

@@ -159,6 +159,78 @@ object StreamingOps {
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming embedding source (vec_id, embedding float[], label). */
+  def readEmbeddingStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** ONLINE similarity search: match an embedding stream against a static
+    * reference corpus through the same multi-table LSH buckets as the
+    * batch [[graft.llm.AnnBuckets.approxTopK]]. The bucket id is a pure
+    * projection ([[graft.llm.AnnBuckets.bucketCol]] — sign bits of seeded
+    * hyperplane dots), so it applies statelessly per micro-batch; the
+    * corpus side is bucketed ONCE here and broadcast per batch
+    * (stream-static join), so each arriving vector only scores against
+    * its bucket's candidates — never the whole corpus.
+    *
+    * Emits (a_id = stream vector, b_id = corpus vector, cos_sim) with
+    * rounded cos_sim ≥ tau; a pair matching in several tables emits once
+    * per table — dedupe downstream if needed (same contract as
+    * [[nearDupPairsStream]]'s per-band emits). Corpus rows with the same
+    * id as the probe are skipped, so a corpus that contains the stream's
+    * own vectors (self-indexing) does not match itself.
+    *
+    * Scale posture: corpus per bucket-table is |corpus|·nTables rows of
+    * (bucket, id, emb, nrm) — the broadcast bound is the CORPUS, the
+    * declared static side; for corpora past broadcast size, swap the
+    * broadcast for a bucket-partitioned static table and let the join
+    * shuffle the (small) stream side.
+    */
+  def similarCandidatesStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      tau: Double,
+      nBits: Int = 8,
+      dims: Int = 64,
+      nTables: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    import graft.llm.AnnBuckets
+    def prep(df: DataFrame, side: String): DataFrame = {
+      val e = df.select(
+        col(idCol).cast("long").as(s"${side}_id"),
+        col(embCol).cast("array<double>").as(s"${side}_emb"))
+      val withNrm = e.withColumn(s"${side}_nrm", sqrt(dot(col(s"${side}_emb"), col(s"${side}_emb"))))
+      // one row per (table, bucket): posexplode of the per-table bucket ids
+      withNrm.select(
+        posexplode(array((0 until nTables).map(t =>
+          AnnBuckets.bucketCol(col(s"${side}_emb"), nBits, dims, seed + t)): _*))
+          .as(Seq("tbl", "bucket")),
+        col(s"${side}_id"),
+        col(s"${side}_emb"),
+        col(s"${side}_nrm"))
+    }
+    prep(stream, "a")
+      .join(broadcast(prep(corpus, "b")), Seq("tbl", "bucket"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= tau)
+  }
+
   /** Idempotent per-batch parquet write: batch `id` keys a partition
     * directory written with OVERWRITE, so a replayed micro-batch (failure
     * between sink write and checkpoint commit — the foreachBatch

@@ -197,6 +197,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming similarity search over 2+ micro-batches matches the batch bucket join") {
+    // stage embeddings into two files → two micro-batches; the corpus is
+    // the full static table (self-indexing: same-id matches are skipped)
+    val d = java.nio.file.Files.createTempDirectory("emb_stream").toString
+    spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .repartition(2)
+      .write
+      .mode("overwrite")
+      .parquet(d)
+    val corpus = graft.core.Tables(spark, dir).embeddings
+    val stream = StreamingOps.similarCandidatesStream(
+      StreamingOps.readEmbeddingStream(spark, d, maxFilesPerTrigger = Some(1)),
+      corpus, "vec_id", "embedding", tau = 0.5)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("sim_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+      val got = spark.table("sim_out").distinct()
+      val want = StreamingOps
+        .similarCandidatesStream(corpus, corpus, "vec_id", "embedding", tau = 0.5)
+        .distinct()
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join matches the batch enrichment") {
     val dim = graft.core.Tables(spark, dir).customer
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
