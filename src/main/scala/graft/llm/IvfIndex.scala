@@ -179,24 +179,9 @@ object IvfIndex {
     // ONE pass computes per-vector probe cells (nProbe nearest, nearest
     // first — so element 0 is the home cell). The indexed table is
     // materialized (localCheckpoint) because both sides of the candidate
-    // self-join derive from it — this IS the inverted index; at cluster
-    // scale it would be a persisted bucketed table.
-    val base = emb
-      .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val withProbes =
-      if (centroids.length <= KernelCellThreshold) {
-        val distArr = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-          struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
-        }: _*)
-        base
-          .withColumn(
-            "probe_cells",
-            transform(slice(array_sort(distArr), 1, nProbe), p => p.getField("cell")))
-      } else {
-        assignProbesKernel(base, centroids, nProbe)
-      }
-    val indexed = withProbes
+    // self-join derive from it — this IS the inverted index; the
+    // persisted form is [[writeIndex]]'s cell-partitioned table.
+    val indexed = withProbeCells(vecBase(emb, idCol, embCol), centroids, nProbe)
       .withColumn("cell", col("probe_cells").getItem(0))
       .localCheckpoint(true)
 
@@ -213,6 +198,37 @@ object IvfIndex {
       col("emb").as("b_emb"),
       col("nrm").as("b_nrm"))
 
+    rankCandidates(probes, lists, k)
+  }
+
+  /** The one projection every IVF path reads. */
+  private def vecBase(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb
+      .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** Adds `probe_cells` (nProbe nearest cells, nearest first) via the
+    * expression path or the broadcast-matrix kernel, by cell count.
+    */
+  private def withProbeCells(
+      base: DataFrame,
+      centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame =
+    if (centroids.length <= KernelCellThreshold) {
+      val distArr = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        struct(distTo(col("emb"), c).as("d"), lit(i).as("cell"))
+      }: _*)
+      base.withColumn(
+        "probe_cells",
+        transform(slice(array_sort(distArr), 1, nProbe), p => p.getField("cell")))
+    } else {
+      assignProbesKernel(base, centroids, nProbe)
+    }
+
+  /** Shared scoring tail: exact cosine over the candidate join, ranked by
+    * (rounded score desc, id asc), top k per query.
+    */
+  private def rankCandidates(probes: DataFrame, lists: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     probes
       .join(lists, Seq("cell"))
@@ -225,6 +241,91 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("a_id", "b_id", "rn", "cos_sim")
+  }
+
+  /** Persist the inverted index: vectors written as a CELL-PARTITIONED
+    * parquet table (`<outDir>/cells/cell=<id>/…`) plus a centroid sidecar
+    * (`<outDir>/centroids`). This is the durable form of the index
+    * [[approxTopK]] materializes per run — at cluster scale the partition
+    * directory IS the inverted list: a probe join touches only the
+    * probed cells' files (partition pruning), so query cost scales with
+    * cells-probed, not corpus size, and the index is built once and
+    * shared across query sessions.
+    */
+  def writeIndex(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDir: String,
+      nCells: Int = Auto,
+      iters: Int = 3,
+      seed: Int = 42): Unit = {
+    val spark = emb.sparkSession
+    val (cells, sampleRows) =
+      if (nCells != Auto) (nCells, 4096)
+      else {
+        val n = emb.count()
+        val c = autoCells(n)
+        (c, math.max(4096, 16 * c))
+      }
+    val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
+    withProbeCells(vecBase(emb, idCol, embCol), centroids, nProbe = 1)
+      .select(col("probe_cells").getItem(0).as("cell"), col("vec_id"), col("emb"), col("nrm"))
+      .write
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(s"$outDir/cells")
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/centroids")
+  }
+
+  /** Query a [[writeIndex]] index: assign probe cells to the query
+    * vectors with the persisted centroids, join against the partitioned
+    * cell table, rank exactly. The join key is the PARTITION column, and
+    * the union of probed cells is bounded by nCells (≤ [[autoCells]]'s
+    * 65536 ceiling), so it is collected (one bounded aggregation over
+    * the query side) and applied as a STATIC partition filter — the
+    * index scan then reads only the probed cells' files regardless of
+    * index size, without relying on DPP's selectivity heuristics. At
+    * 100 TB that is nProbe/nCells of the index, spec-pinned via the
+    * executed scan's partition count.
+    */
+  def approxTopKIndexed(
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[Array[Double]] = spark.read
+      .parquet(s"$indexDir/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probes = withProbeCells(vecBase(queries, idCol, embCol), centroids, nProbe)
+      .select(
+        col("vec_id").as("a_id"),
+        col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"),
+        explode(col("probe_cells")).as("cell"))
+    val probedCells: Seq[Int] =
+      probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read
+      .parquet(s"$indexDir/cells")
+      .where(col("cell").isin(probedCells: _*))
+      .select(
+        col("cell"),
+        col("vec_id").as("b_id"),
+        col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"))
+    rankCandidates(probes, lists, k)
   }
 
   /** Broadcast-matrix probe assignment: centroids as one flat primitive

@@ -123,6 +123,43 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"probe mismatch for ids ${diffs.take(5).toSeq}")
   }
 
+  test("persisted IVF index reproduces the in-memory path and prunes cells") {
+    import graft.llm.IvfIndex
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", idx, nCells = 16)
+    // same corpus as queries (self-indexing) must equal the in-memory
+    // plan: identical centroids (deterministic training), same probes,
+    // same ranking
+    val fromIndex = IvfIndex.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5, nProbe = 3)
+    val inMemory  = IvfIndex.approxTopK(emb, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3)
+    TestSpark.assertFrameEqual(fromIndex, inMemory)
+    // a single-vector query against the partitioned cell table must not
+    // scan all 16 cells: with nProbe=2 the executed scan reads 2
+    // partitions (dynamic partition pruning on the cell join)
+    val one = emb.limit(1)
+    val res = IvfIndex.approxTopKIndexed(idx, one, "vec_id", "embedding", k = 3, nProbe = 2)
+    res.collect()
+    // AQE wraps materialized stages in QueryStageExec whose subtree
+    // TreeNode.collect does not descend into — unwrap recursively
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivf_idx")))
+    assert(scans.nonEmpty, "no file scan over the index found")
+    val partitionsRead = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(
+      partitionsRead <= 2,
+      s"expected <=2 pruned cell partitions, scanned $partitionsRead")
+  }
+
   test("IVF centroids are deterministic and cover all cells") {
     val c1 = graft.llm.IvfIndex.trainCentroids(
       Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
