@@ -117,4 +117,99 @@ object AnnBuckets {
       .where(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("rn"), col("cos_sim"))
   }
+
+  /** One row per (table, bucket) with the combined partition key
+    * `tb = tbl · 2^nBits + bucket`.
+    */
+  private def bucketedRows(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nBits: Int,
+      dims: Int,
+      nTables: Int,
+      seed: Long): DataFrame = {
+    val e = df
+      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    e.select(
+      posexplode(array((0 until nTables).map(t =>
+        bucketCol(col("emb"), nBits, dims, seed + t)): _*)).as(Seq("tbl", "bucket")),
+      col("vec_id"),
+      col("emb"),
+      col("nrm"))
+      .select(
+        (col("tbl") * (1 << nBits) + col("bucket")).as("tb"),
+        col("vec_id"),
+        col("emb"),
+        col("nrm"))
+  }
+
+  /** Persist the LSH index: vectors written once per hash table as a
+    * `tb`-partitioned parquet table (`<outDir>/buckets/tb=<id>/…`) plus a
+    * parameter sidecar (`<outDir>/meta`: nBits, dims, nTables, seed) so
+    * queries re-bucket with the exact same hyperplanes. The durable form
+    * of [[approxTopK]]'s per-run bucketing — build once, probe many.
+    */
+  def writeBuckets(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDir: String,
+      nBits: Int = Auto,
+      dims: Int = 64,
+      nTables: Int = 2,
+      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    val bits  = if (nBits != Auto) nBits else autoBits(emb.count())
+    bucketedRows(emb, idCol, embCol, bits, dims, nTables, seed)
+      .write
+      .partitionBy("tb")
+      .mode("overwrite")
+      .parquet(s"$outDir/buckets")
+    import spark.implicits._
+    Seq((bits, dims, nTables, seed))
+      .toDF("nBits", "dims", "nTables", "seed")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/meta")
+  }
+
+  /** Probe a [[writeBuckets]] index with a query batch: re-bucket the
+    * queries from the persisted parameters, collect the bounded probed
+    * (table, bucket) set — ≤ |queries| · nTables keys, the online-batch
+    * use case this index exists for — and apply it as a STATIC partition
+    * filter, so the index scan reads only the probed buckets' files. For
+    * a full-corpus self-join prefer [[approxTopK]], whose single-run
+    * bucketing avoids the probe-set collect.
+    */
+  def approxTopKIndexed(
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val meta  = spark.read.parquet(s"$indexDir/meta").head()
+    val (bits, dims, nTables, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    val probes = bucketedRows(queries, idCol, embCol, bits, dims, nTables, seed)
+      .select(
+        col("tb"),
+        col("vec_id").as("a_id"),
+        col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"))
+    val probedTbs: Seq[Int] =
+      probes.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read
+      .parquet(s"$indexDir/buckets")
+      .where(col("tb").isin(probedTbs: _*))
+      .select(
+        col("tb"),
+        col("vec_id").as("b_id"),
+        col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"))
+    IvfIndex.rankCandidates(probes, lists, k, key = "tb")
+  }
 }

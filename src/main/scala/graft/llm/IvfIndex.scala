@@ -225,13 +225,18 @@ object IvfIndex {
       assignProbesKernel(base, centroids, nProbe)
     }
 
-  /** Shared scoring tail: exact cosine over the candidate join, ranked by
-    * (rounded score desc, id asc), top k per query.
+  /** Shared scoring tail (also used by [[AnnBuckets.approxTopKIndexed]]):
+    * exact cosine over the candidate join, ranked by (rounded score desc,
+    * id asc), top k per query.
     */
-  private def rankCandidates(probes: DataFrame, lists: DataFrame, k: Int): DataFrame = {
+  private[llm] def rankCandidates(
+      probes: DataFrame,
+      lists: DataFrame,
+      k: Int,
+      key: String = "cell"): DataFrame = {
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     probes
-      .join(lists, Seq("cell"))
+      .join(lists, Seq(key))
       .where(col("a_id") =!= col("b_id"))
       .select(
         col("a_id"),

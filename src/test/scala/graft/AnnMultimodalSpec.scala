@@ -160,6 +160,31 @@ class AnnMultimodalSpec extends AnyFunSuite {
       s"expected <=2 pruned cell partitions, scanned $partitionsRead")
   }
 
+  test("persisted LSH buckets reproduce the in-memory path and prune buckets") {
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2)
+    val fromIndex = AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5)
+    val inMemory  = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2)
+    TestSpark.assertFrameEqual(fromIndex, inMemory)
+    // one probe vector touches one bucket per table → ≤2 partitions read
+    val res = AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scanned = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_idx")))
+      .map(_.selectedPartitions.partitionCount)
+      .sum
+    assert(scanned <= 2, s"expected <=2 pruned bucket partitions, scanned $scanned")
+  }
+
   test("IVF centroids are deterministic and cover all cells") {
     val c1 = graft.llm.IvfIndex.trainCentroids(
       Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
