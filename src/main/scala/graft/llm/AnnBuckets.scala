@@ -151,6 +151,15 @@ object AnnBuckets {
     * queries re-bucket with the exact same hyperplanes. The durable form
     * of [[approxTopK]]'s per-run bucketing — build once, probe many.
     */
+  /** Auto-sized PERSISTED buckets cap at 2^14 dirs per table: a partition
+    * directory per bucket is the index layout, and a 2^24-bit in-memory
+    * bucketing would mean 16M+ directories — a file-count explosion no
+    * filesystem tolerates. Past this corpus size the right durable layout
+    * is a bucketed table (`bucketBy`, fixed file count) or coarser
+    * partition dirs over a finer in-file bucket column.
+    */
+  val MaxPersistedBits: Int = 14
+
   def writeBuckets(
       emb: DataFrame,
       idCol: String,
@@ -161,7 +170,17 @@ object AnnBuckets {
       nTables: Int = 2,
       seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
-    val bits  = if (nBits != Auto) nBits else autoBits(emb.count())
+    val bits =
+      if (nBits != Auto) nBits
+      else {
+        val b = math.min(autoBits(emb.count()), MaxPersistedBits)
+        if (b == MaxPersistedBits)
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .info(s"writeBuckets: auto bits clamped to $b — partition-dir count bound; " +
+              "bucket occupancy grows past this corpus size (see MaxPersistedBits)")
+        b
+      }
     bucketedRows(emb, idCol, embCol, bits, dims, nTables, seed)
       .write
       .partitionBy("tb")

@@ -266,11 +266,15 @@ object IvfIndex {
       iters: Int = 3,
       seed: Int = 42): Unit = {
     val spark = emb.sparkSession
+    // persisted layout = one partition dir per cell, so auto sizing caps
+    // at 4096 dirs (the in-memory 65536 ceiling would be a file-count
+    // hazard as a directory tree); past this corpus size use a bucketed
+    // table or coarser dirs over a finer in-file cell column
     val (cells, sampleRows) =
       if (nCells != Auto) (nCells, 4096)
       else {
         val n = emb.count()
-        val c = autoCells(n)
+        val c = math.min(4096, autoCells(n))
         (c, math.max(4096, 16 * c))
       }
     val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
