@@ -108,6 +108,22 @@ object TextAnalysis {
     * `list_reduce`, q38's oracle); the accumulator stays < 2⁶¹ so the
     * arithmetic is ANSI-safe in a long.
     */
+  /** Overlapping token-window chunking (the RAG / context-window prep
+    * op): chunk i covers tokens [i·stride, i·stride + size). Emitted as
+    * an array of (chunk_idx, chunk_tokens) structs from ONE codegen'd
+    * projection — `sequence` for the starts, `slice` per start — so
+    * chunking a corpus is explode-of-a-projection, no shuffle, no UDF.
+    * Tail chunks are partial (every token belongs to ≥1 chunk); callers
+    * explode and hash/pack downstream.
+    */
+  def chunkWindows(tk: Column, size: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(org.apache.spark.sql.functions.size(tk) - 1, lit(0)), lit(stride)),
+      start =>
+        struct(
+          (start / stride).cast("long").as("chunk_idx"),
+          slice(tk, start + 1, lit(size)).as("chunk_tokens")))
+
   def rollingFingerprint(text: Column): Column =
     aggregate(
       split(text, " "),

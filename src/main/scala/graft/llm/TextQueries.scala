@@ -652,6 +652,33 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** RAG-style overlapping chunking (64-token windows, stride 48): one
+    * row per chunk with its token count and content md5 — the chunk
+    * CONTENT is hash-checked cross-engine, not just counted.
+    */
+  val q70Chunking: Declared = Declared.sql(
+    "q70_chunking",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |s AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, 48)) AS start FROM t)
+      |SELECT doc_id,
+      |  CAST(start / 48 AS BIGINT) AS chunk_idx,
+      |  CAST(len(tk[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5
+      |FROM s
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    t(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 1)
+      .select(col("doc_id"), explode(TextAnalysis.chunkWindows(col("tk"), 64, 48)).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.chunk_tokens")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.chunk_tokens")).cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -674,5 +701,6 @@ object TextQueries {
     q61TfidfTop,
     q63FuzzyMatch,
     q68UnkRewrite,
-    q69DupClusters)
+    q69DupClusters,
+    q70Chunking)
 }
