@@ -47,7 +47,7 @@ object Vocab {
     val spark  = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd    = sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    val rdd    = sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
   }
 
