@@ -172,5 +172,42 @@ object Bench {
     // run/outputStrategy := StdoutOutput so sbt passes it through bare
     // instead of wrapping it in an [info] prefix
     println(json)
+
+    // The driver keeps only the LAST ~2000 chars of stdout; with 70+ cases
+    // the full line above is ~4 KB, so its head is cut and it never parses
+    // (BENCH_r05..r07 all landed with "parsed": null). Print a second,
+    // COMPACT JSON line last: if the full line fits the window it is
+    // reprinted verbatim, otherwise the "queries" map is curated down to
+    // the BASELINE.md-aligned cases plus the slowest declared queries and
+    // a "full":"BENCH.out" pointer to the complete per-case data.
+    val tailWindow = 1700 // leave headroom for sbt's trailing [success] line
+    val compact =
+      if (json.length <= tailWindow) json
+      else {
+        val baselineKeys = Seq(
+          "q01_pricing_summary", "q02_mktsegment_revenue",
+          "q03_top2_orders_per_cust", "q11_events_tumbling_1h",
+          "q15_text_lang_stats") ++ stageCases.map(_._1)
+        val slowest = med.toSeq
+          .filterNot { case (n, _) => baselineKeys.contains(n) }
+          .sortBy(-_._2).map(_._1)
+        def render(keys: Seq[String]): String = {
+          val qsC = keys
+            .flatMap(n => med.get(n).map(v => "\"" + n + "\":" + r4(v)))
+            .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"n_cases":${names.size},"full":"BENCH.out","errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+        }
+        // grow the slowest-query list while the line still fits the window
+        var keep  = baselineKeys.filter(med.contains)
+        var line  = render(keep)
+        var idx   = 0
+        while (idx < slowest.length && render(keep :+ slowest(idx)).length <= tailWindow) {
+          keep = keep :+ slowest(idx)
+          line = render(keep)
+          idx += 1
+        }
+        line
+      }
+    println(compact)
   }
 }

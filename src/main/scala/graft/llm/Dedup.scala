@@ -248,4 +248,67 @@ object Dedup {
         col("b_id"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
+
+  /** Boilerplate / duplicated-span removal (the C4 "repeated lines" pass,
+    * re-expressed over token windows because the corpus has no line
+    * structure): split each document into NON-overlapping `window`-token
+    * spans, drop every span that occurs in ≥ `minDocs` distinct
+    * documents, and reassemble the survivors (plus the <window-token
+    * tail, which is always kept) in original order.
+    *
+    * Scale shape: one shuffled `countDistinct` builds the frequent-span
+    * table (output is bounded by total_windows / minDocs and skewed
+    * small in practice — boilerplate is by definition concentrated), a
+    * left-anti join removes flagged spans, and one regroup rebuilds the
+    * documents. No driver-side state, no broadcast of corpus-sized data;
+    * Catalyst/AQE picks broadcast-anti when the frequent table is small.
+    *
+    * Returns (idCol, text_clean, n_removed) — one row per input document
+    * (documents whose every span was removed come back as just their
+    * tail, possibly empty).
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      minDocs: Long = 10L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tk   = split(Cols.q(textCol), " ")
+    val base = docs.select(
+      Cols.q(idCol).as("__id"),
+      tk.as("tk"),
+      (size(tk) / window).cast("int").as("nwin"))
+    // sequence(0, -1) would count DOWN (Spark defaults the step to -1
+    // when start > stop), so guard the no-window case explicitly
+    val spansExpr = when(
+      col("nwin") >= 1,
+      expr(s"transform(sequence(0, nwin - 1), i -> concat_ws(' ', slice(tk, i * $window + 1, $window)))")
+    ).otherwise(array().cast("array<string>"))
+    val spans = base.select(col("__id"), posexplode(spansExpr).as(Seq("pos", "w")))
+    val frequent = spans
+      .groupBy("w")
+      .agg(countDistinct("__id").as("df"))
+      .where(col("df") >= minDocs)
+      .select("w")
+    val kept = spans
+      .join(frequent, Seq("w"), "left_anti")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("ks"))
+      .select(col("__id"), expr("transform(ks, k -> k.w)").as("kept"))
+    base
+      .join(kept, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        concat_ws(
+          " ",
+          concat(
+            flatten(transform(
+              coalesce(col("kept"), array().cast("array<string>")),
+              w => split(w, " "))),
+            expr(s"slice(tk, nwin * $window + 1, size(tk) - nwin * $window)"))
+        ).as("text_clean"),
+        (col("nwin").cast("long") -
+          coalesce(size(col("kept")), lit(0)).cast("long")).as("n_removed"))
+  }
 }

@@ -35,4 +35,25 @@ object Sampling {
   /** Deterministic train/test split column ("cc" ≈ 80% train). */
   def trainTestSplit(id: Column, trainThreshold: String = "cc", salt: String = "split"): Column =
     when(hashBucket(id, salt) < lit(trainThreshold), lit("train")).otherwise(lit("test"))
+
+  /** Exact-count stratified take: the `n` rows per stratum with the
+    * smallest salted-md5 rank (id tiebreak) — "give me exactly 1 000 docs
+    * per source", deterministic and cluster-size-invariant, vs
+    * [[stratifiedSample]]'s rate-based keep. One shuffle on the stratum
+    * key; the per-group sort is top-n-bounded by the window's rank
+    * filter, never a full materialized sort per group. Adds `sample_rank`
+    * (1..n within the stratum).
+    */
+  def stratifiedTake(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      n: Int,
+      salt: String = "take"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(Cols.q(strataCol))
+      .orderBy(md5(concat(lit(salt + "|"), Cols.q(idCol).cast("string")).cast("binary")), Cols.q(idCol))
+    df.withColumn("sample_rank", row_number().over(w)).where(col("sample_rank") <= n)
+  }
 }

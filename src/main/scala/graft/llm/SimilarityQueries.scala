@@ -190,7 +190,35 @@ object SimilarityQueries {
     }
   }
 
+  /** Embedding outlier screen: the 5 farthest-from-label-centroid vectors
+    * per label (euclidean, rounded to 6 dp BEFORE ranking so near-tie rank
+    * order is engine-independent; vec_id breaks exact ties).
+    */
+  val q74EmbeddingOutliers: Declared = Declared.sql(
+    "q74_embedding_outliers",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT vec_id, label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e),
+      |c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY label, pos),
+      |d AS (SELECT x.vec_id, x.label, round(sqrt(sum((x.v - c.cv) * (x.v - c.cv))), 6) AS dist
+      |      FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      |      GROUP BY x.vec_id, x.label),
+      |r AS (SELECT vec_id, label, dist,
+      |             row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rk
+      |      FROM d)
+      |SELECT label, CAST(rk AS BIGINT) AS rk, CAST(vec_id AS BIGINT) AS vec_id, dist
+      |FROM r WHERE rk <= 5
+      |ORDER BY label, rk""".stripMargin) { (spark, dir) =>
+    EmbeddingStats
+      .labelOutliers(t(spark, dir).embeddings, "vec_id", "label", "embedding", k = 5)
+      .select(
+        col("label"),
+        col("rk").cast("long").as("rk"),
+        col("vec_id").cast("long").as("vec_id"),
+        col("dist"))
+      .orderBy("label", "rk")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
-      q58QuantizeInt8, q67AnnBucketAssign)
+      q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers)
 }

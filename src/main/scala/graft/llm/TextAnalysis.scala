@@ -132,4 +132,26 @@ object TextAnalysis {
         pmod(
           acc * lit(31L) + conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long"),
           lit(2147483647L)))
+
+  /** PII masking rules, applied in order: (pattern, replacement). The
+    * patterns are a conservative regex subset — no `\b`, no lookaround,
+    * no backreferences — so the SAME string is valid under Java regex
+    * (Spark codegen) and RE2 (DuckDB oracle). Emails go first because
+    * their local part may contain digits that the phone/IP patterns
+    * would otherwise bite into.
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>")
+
+  /** Redact all PII occurrences (one chained codegen'd `regexp_replace`
+    * per rule — a pure projection, no shuffle, scales linearly).
+    */
+  def redactPii(text: Column): Column =
+    piiRules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Occurrence count for one PII rule's pattern (BIGINT). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 }

@@ -679,6 +679,127 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** PII redaction (email / IPv4 / phone masking). The corpus tables carry
+    * no real PII, so the contact strings are SYNTHESIZED deterministically
+    * from customer keys on both engines — the operator under test is the
+    * [[TextAnalysis.redactPii]] masking chain, whose full redacted output
+    * is md5-checked cross-engine (Java regex vs RE2), plus per-rule
+    * occurrence counts. custkey-mod cases vary the PII mix per row so the
+    * counts are non-constant.
+    */
+  val q71PiiRedaction: Declared = Declared.sql(
+    "q71_pii_redaction",
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    'Contact ' || c_name || ' <user' || c_custkey || '@example.com>'
+      |    || CASE WHEN c_custkey % 3 <> 0
+      |            THEN ' call ' || printf('%03d-%03d-%04d', c_custkey % 1000,
+      |                                    (c_custkey * 7) % 1000, c_custkey % 10000)
+      |            ELSE '' END
+      |    || CASE WHEN c_custkey % 5 = 0 THEN ' alt u' || c_custkey || '@alt.org' ELSE '' END
+      |    || ' ip ' || printf('10.%d.%d.%d', c_nationkey, c_custkey % 256, (c_custkey * 3) % 256)
+      |      AS txt
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(txt, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |        '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM t ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val ck = col("c_custkey")
+    val phone = format_string(
+      "%03d-%03d-%04d", pmod(ck, lit(1000)), pmod(ck * 7, lit(1000)), pmod(ck, lit(10000)))
+    val ip = format_string(
+      "10.%d.%d.%d", col("c_nationkey"), pmod(ck, lit(256)), pmod(ck * 3, lit(256)))
+    val txt = concat(
+      lit("Contact "), col("c_name"),
+      lit(" <user"), ck.cast("string"), lit("@example.com>"),
+      when(ck % 3 =!= 0, concat(lit(" call "), phone)).otherwise(lit("")),
+      when(ck % 5 === 0, concat(lit(" alt u"), ck.cast("string"), lit("@alt.org"))).otherwise(lit("")),
+      lit(" ip "), ip)
+    val Seq(emailPat, ipPat, phonePat) = TextAnalysis.piiRules.map(_._1)
+    t(spark, dir).customer
+      .select(col("c_custkey"), txt.as("txt"))
+      .select(
+        col("c_custkey"),
+        TextAnalysis.piiCount(col("txt"), emailPat).as("n_emails"),
+        TextAnalysis.piiCount(col("txt"), ipPat).as("n_ips"),
+        TextAnalysis.piiCount(col("txt"), phonePat).as("n_phones"),
+        md5(TextAnalysis.redactPii(col("txt")).cast("binary")).as("redacted_md5"))
+      .orderBy("c_custkey")
+  }
+
+  /** Boilerplate removal: drop every non-overlapping 2-token span that
+    * occurs in ≥ 10 distinct documents, reassemble, and hash the cleaned
+    * text — the rebuilt CONTENT is checked cross-engine, not just counts.
+    */
+  val q72DupspanRemoval: Declared = Declared.sql(
+    "q72_dupspan_removal",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |wi AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) // 2)) AS i FROM t),
+      |w AS (SELECT doc_id, i, array_to_string(tk[(i-1)*2+1 : i*2], ' ') AS w FROM wi),
+      |freq AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 10),
+      |kept AS (SELECT w.doc_id, w.i, w.w FROM w ANTI JOIN freq USING (w)),
+      |kl AS (SELECT doc_id, flatten(list(string_split(w, ' ') ORDER BY i)) AS ks
+      |       FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  md5(coalesce(array_to_string(
+      |        list_concat(coalesce(kl.ks, []), tk[len(tk)//2*2+1 : len(tk)]), ' '), '')) AS clean_md5,
+      |  CAST(len(tk)//2 - coalesce(len(kl.ks), 0)//2 AS BIGINT) AS n_removed
+      |FROM t LEFT JOIN kl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup
+      .removeDuplicatedSpans(t(spark, dir).documents, "doc_id", "text", window = 2, minDocs = 10L)
+      .select(
+        col("doc_id"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"),
+        col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-count stratified take: the 20 salted-md5-smallest docs per
+    * source (deterministic data-mixing draw; rank and membership both
+    * hash-checked).
+    */
+  val q73StratifiedTake: Declared = Declared.sql(
+    "q73_stratified_take",
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('take|' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      |  FROM documents)
+      |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, CAST(doc_id AS BIGINT) AS doc_id
+      |FROM r WHERE sample_rank <= 20
+      |ORDER BY source, sample_rank""".stripMargin) { (spark, dir) =>
+    Sampling
+      .stratifiedTake(t(spark, dir).documents, "doc_id", "source", n = 20)
+      .select(col("source"), col("sample_rank").cast("long"), col("doc_id").cast("long"))
+      .orderBy("source", "sample_rank")
+  }
+
+  /** Corpus-unigram log-probability quality score per document (KenLM-
+    * shaped junk screen): mean ln p(token) under the corpus unigram
+    * distribution.
+    */
+  val q75UnigramLogprob: Declared = Declared.sql(
+    "q75_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+      |lp AS (SELECT tok, ln(CAST(n AS DOUBLE) / total) AS lp FROM cnt CROSS JOIN tot)
+      |SELECT t.doc_id, round(avg(l.lp), 6) AS logprob, CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM tok t JOIN lp l USING (tok)
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    Vocab
+      .unigramLogProb(t(spark, dir).documents, "doc_id", "text")
+      .select(col("doc_id"), round(col("logprob"), 6).as("logprob"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -702,5 +823,9 @@ object TextQueries {
     q63FuzzyMatch,
     q68UnkRewrite,
     q69DupClusters,
-    q70Chunking)
+    q70Chunking,
+    q71PiiRedaction,
+    q72DupspanRemoval,
+    q73StratifiedTake,
+    q75UnigramLogprob)
 }

@@ -91,4 +91,28 @@ object Vocab {
         "n_unk",
         size(filter(tks, t => !array_contains(vlit, t))).cast("long"))
   }
+
+  /** Per-document corpus-unigram log-probability — the KenLM-shaped
+    * quality score LLM pipelines threshold on (low mean log-prob ⇒
+    * out-of-distribution / junk): score(d) = mean over d's tokens of
+    * ln(count(t) / total_tokens), counts taken over the whole corpus.
+    *
+    * Scale shape: one shuffled token-count aggregation (vocab-sized
+    * output), total via a single-row agg crossed in, then the token
+    * stream joins the vocab table (Catalyst broadcasts it while it
+    * fits; vocab is sublinear in corpus size) and one regroup by doc.
+    * Every token is in-vocabulary by construction, so the join is
+    * inner and lossless.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.core.Cols
+    val toks = docs.select(Cols.q(idCol).as("__id"), explode(split(Cols.q(textCol), " ")).as("tok"))
+    val cnt  = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val tot  = cnt.agg(sum("n").as("total"))
+    val lp   = cnt.crossJoin(tot).select(col("tok"), log(col("n").cast("double") / col("total")).as("lp"))
+    toks
+      .join(lp, Seq("tok"))
+      .groupBy(col("__id").as(idCol))
+      .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
+  }
 }

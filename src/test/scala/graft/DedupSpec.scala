@@ -189,4 +189,41 @@ class DedupSpec extends AnyFunSuite {
       (2L, "b a <unk> b a", 1L),
       (3L, "<unk> <unk>", 2L)))
   }
+
+  test("removeDuplicatedSpans drops corpus-frequent spans, keeps tails and rare spans") {
+    // span "x y" (windows 1 of docs 1..3) is in 3 distinct docs → dropped
+    // at minDocs=3; everything else is kept; odd-length tails survive
+    val docs = Seq(
+      (1L, "x y a b c"),   // windows: "x y","a b"; tail "c"
+      (2L, "x y d e"),     // windows: "x y","d e"
+      (3L, "q r x y"),     // windows: "q r","x y"
+      (4L, "x y"),         // the span is doc 4's ENTIRE text → rebuilt empty
+      (5L, "z"))           // no window at all, tail only
+      .toDF("doc_id", "text")
+    // doc 4 text "x y" is its only window; with docs 1-4 all containing
+    // "x y", df("x y") = 4
+    val got = Dedup
+      .removeDuplicatedSpans(docs, "doc_id", "text", window = 2, minDocs = 3L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (1L, "a b c", 1L),
+      (2L, "d e", 1L),
+      (3L, "q r", 1L),
+      (4L, "", 1L),
+      (5L, "z", 0L)))
+  }
+
+  test("removeDuplicatedSpans is the identity when nothing is frequent") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h")).toDF("doc_id", "text")
+    val got = Dedup
+      .removeDuplicatedSpans(docs, "doc_id", "text", window = 2, minDocs = 2L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq((1L, "a b c d e", 0L), (2L, "f g h", 0L)))
+  }
 }

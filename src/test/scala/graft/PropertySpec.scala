@@ -146,6 +146,23 @@ class PropertySpec extends AnyFunSuite {
     assert(!gated.cats.contains("s"))
   }
 
+  test("stratifiedTake draws exactly min(n, |stratum|) rows, deterministically") {
+    import graft.llm.Sampling
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a  = Sampling.stratifiedTake(df, "id", "src", n = 10).orderBy("src", "sample_rank")
+    val b  = Sampling.stratifiedTake(df, "id", "src", n = 10).orderBy("src", "sample_rank")
+    val ra = a.collect().map(_.toSeq).toSeq
+    assert(ra == b.collect().map(_.toSeq).toSeq) // deterministic
+    val perStratum = a.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // small stratum: takes all of it
+    val tiny = Sampling.stratifiedTake(df.where(col("id") < 2), "id", "src", n = 10)
+    assert(tiny.count() == 2L)
+    // ranks are 1..n within each stratum
+    val ranks = a.where(col("src") === "s0").select("sample_rank").as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 10))
+  }
+
   test("gelman standardization yields mean ≈ 0 and sample sd ≈ 0.5") {
     samples(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 5)
       .filter(_.distinct.size > 1)

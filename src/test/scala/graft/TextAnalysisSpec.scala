@@ -120,4 +120,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     // abc | 123 | def | , | xyz | !  → 6
     assert(n == 6)
   }
+
+  test("redactPii masks emails, IPv4s and phones, in that order, all occurrences") {
+    val in = "mail a.b+c@x-corp.co.uk or bob@y.org, host 10.0.255.3, call 555-123-4567 then 800-000-1111"
+    val got = Seq(in).toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(got == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> then <PHONE>")
+  }
+
+  test("piiCount counts per rule on the raw text; digits inside an email are not a phone") {
+    val Seq(emailPat, ipPat, phonePat) = TextAnalysis.piiRules.map(_._1)
+    val in  = "u123@a.io 1.2.3.4 999-888-7777"
+    val got = Seq(in)
+      .toDF("text")
+      .select(
+        TextAnalysis.piiCount(col("text"), emailPat).as("e"),
+        TextAnalysis.piiCount(col("text"), ipPat).as("i"),
+        TextAnalysis.piiCount(col("text"), phonePat).as("p"))
+      .as[(Long, Long, Long)]
+      .head()
+    assert(got == ((1L, 1L, 1L)))
+    // the email's redaction must win before the phone rule sees its digits
+    val red = Seq("x 123-456-7890@mail.com y")
+      .toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(red == "x <EMAIL> y")
+  }
 }

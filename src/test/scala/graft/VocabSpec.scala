@@ -37,4 +37,19 @@ class VocabSpec extends AnyFunSuite {
     assert(got.map(_._2) == (1L to 8L))
     assert(got.map(_._1) == Seq("the", "a", "dog", "fox", "brown", "quick", "lazy", "zig"))
   }
+
+  test("unigramLogProb matches the hand-computed corpus distribution") {
+    // corpus: a a a b  → p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Vocab
+      .unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)]
+      .collect()
+      .toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(got(0)._2 - math.log(0.75)) < 1e-12)
+    assert(math.abs(got(1)._2 - math.log(0.25)) < 1e-12)
+    assert(got.map(_._3) == Seq(3L, 1L))
+  }
 }
