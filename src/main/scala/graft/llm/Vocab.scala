@@ -99,10 +99,13 @@ object Vocab {
     *
     * Scale shape: one shuffled token-count aggregation (vocab-sized
     * output), total via a single-row agg crossed in, then the token
-    * stream joins the vocab table (Catalyst broadcasts it while it
-    * fits; vocab is sublinear in corpus size) and one regroup by doc.
-    * Every token is in-vocabulary by construction, so the join is
-    * inner and lossless.
+    * stream joins the vocab table and one regroup by doc. The vocab
+    * side is broadcast EXPLICITLY: Catalyst costs the token stream by
+    * its (tiny, compressed) parquet scan and otherwise builds the
+    * exploded corpus-sized side (observed BuildLeft at sf1 — the 100 TB
+    * failure mode), while vocab is the side that is sublinear in corpus
+    * size by construction. Every token is in-vocabulary by
+    * construction, so the join is inner and lossless.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.core.Cols
@@ -111,7 +114,7 @@ object Vocab {
     val tot  = cnt.agg(sum("n").as("total"))
     val lp   = cnt.crossJoin(tot).select(col("tok"), log(col("n").cast("double") / col("total")).as("lp"))
     toks
-      .join(lp, Seq("tok"))
+      .join(broadcast(lp), Seq("tok"))
       .groupBy(col("__id").as(idCol))
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
   }

@@ -125,6 +125,27 @@ class ScalePostureSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramLogProb broadcasts the vocab side, never the token stream") {
+    // unhinted, Catalyst costs the exploded token stream by its (tiny,
+    // compressed) parquet scan and builds THAT (observed BuildLeft at
+    // sf1) — broadcast of a corpus-sized side, the 100 TB failure mode.
+    // The explicit hint pins the build to the vocab subtree, whose
+    // lineage contains the log() projection.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.llm.Vocab.unigramLogProb(
+      Tables(spark, dir).documents, "doc_id", "text")
+    val joins = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size == 1, s"expected 1 broadcast hash join, got ${joins.size}")
+    val j = joins.head
+    val build = j.buildSide.toString match {
+      case "BuildRight" => j.right
+      case _            => j.left
+    }
+    assert(
+      build.toString.contains("ln("),
+      s"broadcast build side is not the vocab/log-prob subtree:\n${build.toString.take(600)}")
+  }
+
   test("join-heavy queries survive with broadcast disabled (sort-merge fallback)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val checks = Seq("q02_mktsegment_revenue", "q06_region_sales", "q14_events_asof_order")
