@@ -191,19 +191,30 @@ object Bench {
         val slowest = med.toSeq
           .filterNot { case (n, _) => baselineKeys.contains(n) }
           .sortBy(-_._2).map(_._1)
+        // the errors list needs the same budgeting as the queries map: a
+        // mass-failure round (bad SF dir → ~80 errored cases) would
+        // otherwise overflow the window with error names alone — exactly
+        // the diagnostic case this line exists for
+        val errsC =
+          if (errored.size <= 5) errs
+          else (errored.take(5).map("\"" + _ + "\"").toSeq :+ s""""+${errored.size - 5} more"""")
+            .mkString("[", ",", "]")
         def render(keys: Seq[String]): String = {
           val qsC = keys
             .flatMap(n => med.get(n).map(v => "\"" + n + "\":" + r4(v)))
             .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"n_cases":${names.size},"full":"BENCH.out","errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"n_cases":${names.size},"full":"BENCH.out","errors":$errsC,"loadavg":$load,"sf":"$sfDir"}"""
         }
         // grow the slowest-query list while the line still fits the window
-        var keep  = baselineKeys.filter(med.contains)
-        var line  = render(keep)
-        var idx   = 0
-        while (idx < slowest.length && render(keep :+ slowest(idx)).length <= tailWindow) {
+        var keep = baselineKeys.filter(med.contains)
+        var idx  = 0
+        var next = render(keep)
+        var line = next
+        while (idx < slowest.length && {
+            next = render(keep :+ slowest(idx)); next.length <= tailWindow
+          }) {
           keep = keep :+ slowest(idx)
-          line = render(keep)
+          line = next
           idx += 1
         }
         line

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The one salted-hash definition every sampling op derives from —
+    * a single site so the salting scheme (separator, cast) can never
+    * silently diverge between ops or from the documented oracle SQL.
+    */
+  private def saltedMd5(id: Column, salt: String): Column =
+    md5(concat(lit(salt + "|"), id.cast("string")).cast("binary"))
+
   /** Two-hex-digit bucket of the salted id (uniform over "00".."ff"). */
   def hashBucket(id: Column, salt: String): Column =
-    substring(md5(concat(lit(salt + "|"), id.cast("string")).cast("binary")), 1, 2)
+    substring(saltedMd5(id, salt), 1, 2)
 
   /** Keep rows whose bucket falls under the stratum's threshold. */
   def stratifiedSample(
@@ -53,7 +60,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy(Cols.q(strataCol))
-      .orderBy(md5(concat(lit(salt + "|"), Cols.q(idCol).cast("string")).cast("binary")), Cols.q(idCol))
+      .orderBy(saltedMd5(Cols.q(idCol), salt), Cols.q(idCol))
     df.withColumn("sample_rank", row_number().over(w)).where(col("sample_rank") <= n)
   }
 }

@@ -99,22 +99,33 @@ object Vocab {
     *
     * Scale shape: one shuffled token-count aggregation (vocab-sized
     * output), total via a single-row agg crossed in, then the token
-    * stream joins the vocab table and one regroup by doc. The vocab
-    * side is broadcast EXPLICITLY: Catalyst costs the token stream by
-    * its (tiny, compressed) parquet scan and otherwise builds the
-    * exploded corpus-sized side (observed BuildLeft at sf1 — the 100 TB
-    * failure mode), while vocab is the side that is sublinear in corpus
-    * size by construction. Every token is in-vocabulary by
-    * construction, so the join is inner and lossless.
+    * stream joins the vocab table and one regroup by doc. The join
+    * strategy must NOT be left to Catalyst: it costs the token stream
+    * by its (tiny, compressed) parquet scan and builds the exploded
+    * corpus-sized side (observed BuildLeft at sf1 — a corpus-sized
+    * broadcast at scale). With `broadcastVocab=true` (default) the
+    * vocab side is broadcast — right whenever the working vocabulary
+    * is bounded (it is sublinear in corpus size, but an OPEN whitespace
+    * vocabulary over web-scale text still reaches tens of GB). For that
+    * open-vocabulary regime pass `broadcastVocab=false`: a shuffle-hash
+    * hint on the vocab side makes the join a hash join with NO
+    * broadcast of either side, degrading to one extra shuffle of the
+    * token stream instead of a driver OOM. Every token is
+    * in-vocabulary by construction, so the join is inner and lossless.
     */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
     import graft.core.Cols
     val toks = docs.select(Cols.q(idCol).as("__id"), explode(split(Cols.q(textCol), " ")).as("tok"))
     val cnt  = toks.groupBy("tok").agg(count(lit(1)).as("n"))
     val tot  = cnt.agg(sum("n").as("total"))
     val lp   = cnt.crossJoin(tot).select(col("tok"), log(col("n").cast("double") / col("total")).as("lp"))
+    val vocabSide = if (broadcastVocab) broadcast(lp) else lp.hint("shuffle_hash")
     toks
-      .join(broadcast(lp), Seq("tok"))
+      .join(vocabSide, Seq("tok"))
       .groupBy(col("__id").as(idCol))
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
   }

@@ -52,4 +52,19 @@ class VocabSpec extends AnyFunSuite {
     assert(math.abs(got(1)._2 - math.log(0.25)) < 1e-12)
     assert(got.map(_._3) == Seq(3L, 1L))
   }
+
+  test("unigramLogProb open-vocabulary mode broadcasts NEITHER side and agrees with default") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = (0L until 50L).map(i => (i, s"t$i t${i % 7} t${i % 3} common")).toDF("doc_id", "text")
+    val bc   = Vocab.unigramLogProb(docs, "doc_id", "text")
+    val sh   = Vocab.unigramLogProb(docs, "doc_id", "text", broadcastVocab = false)
+    assert(
+      sh.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "open-vocabulary mode must not broadcast either join side")
+    val a = bc.orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    val b = sh.orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    assert(a.map(_._1) == b.map(_._1))
+    assert(a.map(_._3) == b.map(_._3))
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._2 - y._2) < 1e-12) }
+  }
 }
