@@ -48,6 +48,17 @@ object NgramCapBench {
       time("capped_default")(graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
       time("uncapped_oracle")(
         graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = None))
+      // q69's PRODUCTION path: capped edge generation + hash-min label
+      // propagation (the declared q69 runs uncapped for oracle parity)
+      time("clusters_capped") {
+        import org.apache.spark.sql.functions.col
+        val edges = graft.llm.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text")
+          .where(col("jaccard") >= 0.8)
+          .select("a_id", "b_id")
+        graft.llm.DupClusters
+          .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      }
     }
     spark.stop()
   }
