@@ -800,6 +800,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection: walk the quality ranking (q32's
+    * score; ties → doc_id) keeping documents while the inclusive running
+    * token total stays ≤ 10 000 — membership, rank order and the running
+    * totals are all hash-checked against a windowed-cumsum replay.
+    */
+  val q76TokenBudget: Declared = Declared.sql(
+    "q76_token_budget",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    round(least(n_chars / 500.0, 1.0) * 0.4
+      |          + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' '))) * 0.3
+      |          + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1)) * 0.3, 6) AS quality,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, quality, n_tokens,
+      |             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+      |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM s)
+      |SELECT doc_id, quality, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 10000
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    CorpusSelect
+      .tokenBudget(
+        docs,
+        TextAnalysis.qualityScore(col("text"), col("n_chars")),
+        "doc_id",
+        "text",
+        budget = 10000L)
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
+        col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage curve: fraction of token occurrences covered by
+    * the k most frequent types, k ∈ {1,2,4,…,128} — the "how big a vocab"
+    * tokenizer-design op.
+    */
+  val q77VocabCoverage: Declared = Declared.sql(
+    "q77_vocab_coverage",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |rk AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS token_id FROM cnt),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+      |g AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS k)
+      |SELECT g.k AS k,
+      |  CAST(count(rk.token_id) AS BIGINT) AS n_types,
+      |  round(sum(rk.n) / max(tot.total), 6) AS coverage
+      |FROM g JOIN rk ON rk.token_id <= g.k CROSS JOIN tot
+      |GROUP BY g.k
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    Vocab
+      .coverageCurve(t(spark, dir).documents, "text", Seq(1, 2, 4, 8, 16, 32, 64, 128))
+      .orderBy("k")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -827,5 +888,7 @@ object TextQueries {
     q71PiiRedaction,
     q72DupspanRemoval,
     q73StratifiedTake,
-    q75UnigramLogprob)
+    q75UnigramLogprob,
+    q76TokenBudget,
+    q77VocabCoverage)
 }

@@ -129,4 +129,50 @@ object Vocab {
       .groupBy(col("__id").as(idCol))
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
   }
+
+  /** Vocabulary coverage curve — for each cutoff k in `ks`, the fraction
+    * of all corpus TOKEN OCCURRENCES covered by the k most frequent
+    * types (the tokenizer-design question "how big a vocab do we
+    * need"). Returns (k, n_types, coverage): `n_types` = how many types
+    * actually rank ≤ k (< k when the vocabulary is smaller).
+    *
+    * Scale shape: token counts are one shuffled agg; ranking is
+    * [[denseIds]] (two-phase, no global window over the vocab); each
+    * type is then assigned to the SMALLEST grid cutoff that admits it
+    * and the curve is a running sum over the grid-sized aggregate —
+    * the only ordered window runs over ≤ |ks| rows regardless of
+    * corpus or vocabulary size.
+    */
+  def coverageCurve(docs: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    import graft.core.Cols
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"cutoffs must be >= 1, got $ks")
+    val spark    = docs.sparkSession
+    val sortedKs = ks.distinct.sorted
+    val cnt = docs
+      .select(explode(split(Cols.q(textCol), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    val ranked = denseIds(cnt, Seq(col("n").desc, col("tok").asc), "token_id")
+    val total  = cnt.agg(sum("n").cast("double").as("total"))
+    // smallest grid cutoff admitting this type (null → beyond the grid)
+    val bucket = sortedKs.reverse.foldLeft(lit(null).cast("int")) { (acc, k) =>
+      when(col("token_id") <= k, lit(k)).otherwise(acc)
+    }
+    val perBucket = ranked
+      .where(bucket.isNotNull)
+      .groupBy(bucket.as("k"))
+      .agg(sum("n").as("bn"), count(lit(1)).as("bt"))
+    import spark.implicits._
+    val grid = sortedKs.toDF("k")
+    // the partition-less window is over ≤ |ks| grid rows by construction
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(perBucket, Seq("k"), "left")
+      .select(col("k"), coalesce(col("bn"), lit(0L)).as("bn"), coalesce(col("bt"), lit(0L)).as("bt"))
+      .withColumn("n_types", sum("bt").over(w))
+      .withColumn("cum_n", sum("bn").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_types"), round(col("cum_n") / col("total"), 6).as("coverage"))
+  }
 }

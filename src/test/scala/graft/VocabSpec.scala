@@ -53,6 +53,44 @@ class VocabSpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(3L, 1L))
   }
 
+  test("coverageCurve matches hand-computed coverage on a tiny corpus") {
+    // counts: a×4, b×2, c×1, d×1 → ranked a(1), b(2), c(3), d(4); total 8
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val got = Vocab
+      .coverageCurve(docs, "text", Seq(1, 2, 4, 8))
+      .orderBy("k")
+      .as[(Int, Long, Double)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (1, 1L, 0.5),      // top-1 = a: 4/8
+      (2, 2L, 0.75),     // +b: 6/8
+      (4, 4L, 1.0),      // whole vocab
+      (8, 4L, 1.0)))     // grid beyond vocab: n_types stays 4
+  }
+
+  test("tokenBudget keeps whole documents greedily by quality rank within the budget") {
+    import graft.llm.CorpusSelect
+    // score by explicit column; ranking: d3 (0.9), d1 (0.8), d2 (0.7)
+    // tokens: d3=2, d1=3, d2=4 → cum 2, 5, 9; budget 5 keeps d3, d1
+    val docs = Seq(
+      (1L, "w w w", 0.8),
+      (2L, "x x x x", 0.7),
+      (3L, "y y", 0.9))
+      .toDF("doc_id", "text", "score")
+    val got = CorpusSelect
+      .tokenBudget(docs, col("score"), "doc_id", "text", budget = 5L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq((1L, 3L, 5L), (3L, 2L, 2L)))
+    // zero budget selects nothing; huge budget selects everything
+    assert(CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 0L).count() == 0L)
+    assert(CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 100L).count() == 3L)
+  }
+
   test("unigramLogProb open-vocabulary mode broadcasts NEITHER side and agrees with default") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val docs = (0L until 50L).map(i => (i, s"t$i t${i % 7} t${i % 3} common")).toDF("doc_id", "text")
