@@ -249,6 +249,50 @@ object Dedup {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 
+  /** Cross-corpus contamination matrix: n-gram Jaccard overlap between
+    * GROUPS of documents (sources / datasets / splits), the
+    * dataset-level sibling of [[ngramJaccardPairs]] — "how much does
+    * dataset A leak into dataset B". Shingles are first deduplicated per
+    * group (a group's set is the UNION of its documents' shingles), then
+    * ordered group pairs are generated in place per shingle, exactly the
+    * single-shuffle inverted-index plan of the document-level op. The
+    * group count is small by definition (datasets, not documents), so
+    * per-shingle member lists are bounded by the group count — no df cap
+    * needed.
+    */
+  def groupOverlapMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+    val sh = docs
+      .select(Cols.q(groupCol).as("__g"), split(Cols.q(textCol), " ").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(
+        col("__g"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"))).as("s"))
+      .distinct() // a group's shingle set is the union over its documents
+    val cnt = sh.groupBy(col("__g").as("g")).agg(count(lit(1)).as("nn"))
+    val pairs = sh
+      .groupBy("s")
+      .agg(array_sort(collect_set(col("__g"))).as("gs"))
+      .where(size(col("gs")) > 1)
+      .select(col("gs"), posexplode(col("gs")).as(Seq("i", "a_group")))
+      .select(col("a_group"), explode(expr("slice(gs, i + 2, size(gs))")).as("b_group"))
+    pairs
+      .groupBy("a_group", "b_group")
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(cnt.select(col("g").as("a_group"), col("nn").as("na"))), Seq("a_group"))
+      .join(broadcast(cnt.select(col("g").as("b_group"), col("nn").as("nb"))), Seq("b_group"))
+      .select(
+        col("a_group"),
+        col("b_group"),
+        col("shared"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+  }
+
   /** Boilerplate / duplicated-span removal (the C4 "repeated lines" pass,
     * re-expressed over token windows because the corpus has no line
     * structure): split each document into NON-overlapping `window`-token

@@ -861,6 +861,37 @@ object TextQueries {
       .orderBy("k")
   }
 
+  /** Cross-source contamination matrix: distinct-3-gram Jaccard overlap
+    * between every pair of sources — the dataset-level leak report
+    * (shared shingle counts AND the Jaccard both hash-checked).
+    */
+  val q78SourceOverlap: Declared = Declared.sql(
+    "q78_source_overlap",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT source, unnest(list_distinct(list_transform(
+      |               generate_series(1, len(tk) - 2),
+      |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |        FROM toks),
+      |sh AS (SELECT DISTINCT source, s FROM sh0),
+      |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |p AS (SELECT a.source AS a_group, b.source AS b_group, count(*) AS shared
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT a_group, b_group, CAST(shared AS BIGINT) AS shared,
+      |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+      |FROM p JOIN cnt ca ON ca.source = a_group JOIN cnt cb ON cb.source = b_group
+      |ORDER BY a_group, b_group""".stripMargin) { (spark, dir) =>
+    Dedup
+      .groupOverlapMatrix(t(spark, dir).documents, "source", "text", n = 3)
+      .select(
+        col("a_group"),
+        col("b_group"),
+        col("shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_group", "b_group")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -890,5 +921,6 @@ object TextQueries {
     q73StratifiedTake,
     q75UnigramLogprob,
     q76TokenBudget,
-    q77VocabCoverage)
+    q77VocabCoverage,
+    q78SourceOverlap)
 }

@@ -216,6 +216,29 @@ class DedupSpec extends AnyFunSuite {
       (5L, "z", 0L)))
   }
 
+  test("groupOverlapMatrix computes dataset-level shingle Jaccard with per-group dedup") {
+    // group A docs: "a b c d" → {abc, bcd}; "a b c" → {abc} (dup within A)
+    //   A's set = {abc, bcd} (2)
+    // group B: "b c d e" → {bcd, cde} (2); group C: "x y z" → {xyz} (1)
+    val docs = Seq(
+      ("A", "a b c d"),
+      ("A", "a b c"),
+      ("B", "b c d e"),
+      ("C", "x y z"))
+      .toDF("src", "text")
+    val got = graft.llm.Dedup
+      .groupOverlapMatrix(docs, "src", "text", n = 3)
+      .orderBy("a_group", "b_group")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // A∩B = {bcd} (1), |A∪B| = 3 → 1/3; C overlaps nothing → absent
+    assert(got.size == 1)
+    val (a, b, shared, j) = got.head
+    assert((a, b, shared) == (("A", "B", 1L)))
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
   test("removeDuplicatedSpans is the identity when nothing is frequent") {
     val docs = Seq((1L, "a b c d e"), (2L, "f g h")).toDF("doc_id", "text")
     val got = Dedup
