@@ -159,26 +159,41 @@ object Dedup {
     */
   val DefaultMaxShingleDf: Long = 1024L
 
+  /** Per-key distinct-shingle rows (key, s) — the ONE place the shingle
+    * construction lives: both the document-level pair op and the
+    * dataset-level overlap matrix (and their oracles) depend on this
+    * exact formatting, so it must not fork. The explode happens in the
+    * SAME projection that builds the distinct-shingle array: anything
+    * else (its size, the array itself) carried past the Generate either
+    * re-runs the transform per row or copies the whole array onto every
+    * exploded row — measured 5× the scan cost at sf0.1.
+    */
+  private def shingleRows(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int,
+      outKey: String): DataFrame = {
+    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+    docs
+      .select(Cols.q(keyCol).as(outKey), split(Cols.q(textCol), " ").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(
+        col(outKey),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"))).as("s"))
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       maxShingleDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
-    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
-    // inverted-index rows, exploded in the SAME projection that builds the
-    // distinct-shingle array: anything else (its size, the array itself)
-    // carried past the Generate either re-runs the transform per row or
-    // copies the whole array onto every exploded row — measured 5× the
-    // scan cost at sf0.1. Per-doc set sizes are recovered afterwards by a
-    // count over these rows instead (doc-count-sized, broadcastable).
-    val sh = docs
-      .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("tk"))
-      .where(size(col("tk")) >= n)
-      .select(
-        col("__id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"))).as("s"))
+    // inverted-index rows from the shared shingle projection; per-doc set
+    // sizes are recovered afterwards by a count over these rows instead
+    // (doc-count-sized, broadcastable)
+    val sh = shingleRows(docs, idCol, textCol, n, "__id")
     // invert: shingle -> member docs, sorted by id so ordered (a<b) pairs
     // can be generated IN PLACE — no self-join, so the shingle rows cross
     // exactly one shuffle and the quadratic expansion happens inside the
@@ -253,26 +268,19 @@ object Dedup {
     * GROUPS of documents (sources / datasets / splits), the
     * dataset-level sibling of [[ngramJaccardPairs]] — "how much does
     * dataset A leak into dataset B". Shingles are first deduplicated per
-    * group (a group's set is the UNION of its documents' shingles), then
-    * ordered group pairs are generated in place per shingle, exactly the
-    * single-shuffle inverted-index plan of the document-level op. The
-    * group count is small by definition (datasets, not documents), so
-    * per-shingle member lists are bounded by the group count — no df cap
-    * needed.
+    * group (a group's set is the UNION of its documents' shingles — one
+    * extra exchange the document-level op avoids via in-projection
+    * `array_distinct`), then ordered group pairs are generated in place
+    * per shingle by the same inverted-index plan. The group count is
+    * small by definition (datasets, not documents), so per-shingle
+    * member lists are bounded by the group count — no df cap needed.
     */
   def groupOverlapMatrix(
       docs: DataFrame,
       groupCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
-    val sh = docs
-      .select(Cols.q(groupCol).as("__g"), split(Cols.q(textCol), " ").as("tk"))
-      .where(size(col("tk")) >= n)
-      .select(
-        col("__g"),
-        explode(array_distinct(expr(
-          s"transform(sequence(0, size(tk) - $n), i -> concat_ws(' ', $parts))"))).as("s"))
+    val sh = shingleRows(docs, groupCol, textCol, n, "__g")
       .distinct() // a group's shingle set is the union over its documents
     val cnt = sh.groupBy(col("__g").as("g")).agg(count(lit(1)).as("nn"))
     val pairs = sh

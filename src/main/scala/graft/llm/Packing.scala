@@ -30,15 +30,18 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
-  /** Per-document pack assignment: input columns plus `n_tokens` (whitespace
-    * tokens), `pack_id` (0-based). Deterministic for a fixed `orderCol`.
+  /** The shared two-phase scan: input columns plus `n_tokens` (whitespace
+    * tokens; null text counts 0) and `cum_tokens` (INCLUSIVE running total
+    * over `orderKeys`). The scaffold under both [[packSequences]] and
+    * [[CorpusSelect.tokenBudget]] — one definition so the null guard and
+    * the offset arithmetic can never diverge between them.
     */
-  def packSequences(
+  private[llm] def withRunningTokens(
       docs: DataFrame,
-      orderCol: String,
-      textCol: String,
-      capacity: Long): DataFrame = {
-    require(capacity > 0, s"capacity must be positive, got $capacity")
+      orderKeys: Seq[org.apache.spark.sql.Column],
+      textCol: String): DataFrame = {
+    Seq("n_tokens", "cum_tokens").foreach(c =>
+      require(!docs.columns.contains(c), s"input frame already has a '$c' column"))
     val spark = docs.sparkSession
     val withN = docs
       // null text counts 0 tokens (size(split(null)) is null, and a null
@@ -46,8 +49,8 @@ object Packing {
       .withColumn(
         "n_tokens",
         coalesce(size(split(Cols.q(textCol), " ")).cast(LongType), lit(0L)))
-      .repartitionByRange(Cols.q(orderCol))
-      .sortWithinPartitions(Cols.q(orderCol))
+      .repartitionByRange(orderKeys: _*)
+      .sortWithinPartitions(orderKeys: _*)
     val nIdx = withN.schema.fieldIndex("n_tokens")
 
     // job 1: per-partition token sums → prefix offsets (p longs on the driver)
@@ -62,17 +65,32 @@ object Packing {
       .map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
 
-    // job 2 (lazy): local running sum + partition offset → pack id
-    val schema = withN.schema.add("pack_id", LongType, nullable = false)
+    // job 2 (lazy): local running sum + partition offset
+    val schema = withN.schema.add("cum_tokens", LongType, nullable = false)
     val rdd = withN.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = offsets(pid)
       it.map { r =>
-        val n = r.getLong(nIdx)
-        cum += n
-        Row.fromSeq(r.toSeq :+ (cum - n) / capacity)
+        cum += r.getLong(nIdx)
+        Row.fromSeq(r.toSeq :+ cum)
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-document pack assignment: input columns plus `n_tokens` (whitespace
+    * tokens), `pack_id` (0-based). Deterministic for a fixed `orderCol`.
+    */
+  def packSequences(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    withRunningTokens(docs, Seq(Cols.q(orderCol)), textCol)
+      // `div` keeps the arithmetic integral end-to-end (a double division
+      // would be exact only below 2^53 accumulated tokens)
+      .withColumn("pack_id", expr(s"(cum_tokens - n_tokens) div ${capacity}L"))
+      .drop("cum_tokens")
   }
 
   /** Per-pack rollup: documents and token totals per pack (the shape a

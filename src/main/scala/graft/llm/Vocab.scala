@@ -154,7 +154,11 @@ object Vocab {
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))
     val ranked = denseIds(cnt, Seq(col("n").desc, col("tok").asc), "token_id")
-    val total  = cnt.agg(sum("n").cast("double").as("total"))
+    // total over RANKED, not cnt: denseIds materializes cnt's shuffle into
+    // an RDD-backed frame, so `cnt.agg` would compile to a FRESH subtree
+    // that re-reads the corpus and re-runs the vocab agg just for one
+    // scalar; aggregating the ranked frame reuses the materialized output
+    val total = ranked.agg(sum("n").cast("double").as("total"))
     // smallest grid cutoff admitting this type (null → beyond the grid)
     val bucket = sortedKs.reverse.foldLeft(lit(null).cast("int")) { (acc, k) =>
       when(col("token_id") <= k, lit(k)).otherwise(acc)
@@ -173,6 +177,9 @@ object Vocab {
       .withColumn("n_types", sum("bt").over(w))
       .withColumn("cum_n", sum("bn").over(w))
       .crossJoin(broadcast(total))
+      // empty corpus → total is null; return ZERO rows (the relational
+      // formulation's answer) instead of a grid of null coverages
+      .where(col("total").isNotNull)
       .select(col("k"), col("n_types"), round(col("cum_n") / col("total"), 6).as("coverage"))
   }
 }

@@ -67,6 +67,9 @@ class VocabSpec extends AnyFunSuite {
       (2, 2L, 0.75),     // +b: 6/8
       (4, 4L, 1.0),      // whole vocab
       (8, 4L, 1.0)))     // grid beyond vocab: n_types stays 4
+    // empty corpus: zero rows (the relational answer), not null coverages
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Vocab.coverageCurve(empty, "text", Seq(1, 2)).count() == 0L)
   }
 
   test("tokenBudget keeps whole documents greedily by quality rank within the budget") {
@@ -89,6 +92,11 @@ class VocabSpec extends AnyFunSuite {
     // zero budget selects nothing; huge budget selects everything
     assert(CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 0L).count() == 0L)
     assert(CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 100L).count() == 3L)
+    // TRUNCATION semantics: budget 4 fits d3 (2) but not d1 (cum 5);
+    // d2 (4 tokens, cum 9) is NOT revisited even though 2 remain unused
+    assert(
+      CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 4L)
+        .select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("unigramLogProb open-vocabulary mode broadcasts NEITHER side and agrees with default") {
