@@ -154,4 +154,49 @@ object TextAnalysis {
   /** Occurrence count for one PII rule's pattern (BIGINT). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  // ------------------------------------------------------------ Gopher rules
+  // The published document-quality rule battery of Gopher (Rae et al. 2021,
+  // appendix A1.1), reused by MassiveText/Dolma-style pipelines. Each metric
+  // is a pure codegen'd expression over a RESOLVED token/line array column
+  // (same multi-reference rule as trigramDupFracFromTokens: project the
+  // split once, reference it many times, so CollapseProject keeps it).
+
+  /** The required "stop words" of the Gopher rule set — a kept document
+    * must contain at least 2 of these 8.
+    */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Mean token length in characters (0 for empty text, where the token
+    * array is `[""]`).
+    */
+  def meanTokenLen(tk: Column): Column =
+    aggregate(tk, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(tk), lit(1)).cast("double")
+
+  /** Gopher symbol-to-word screen: '#' and '...' occurrences per token. */
+  def symbolRatio(text: Column, tk: Column): Column =
+    (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))).cast("double") /
+      greatest(size(tk), lit(1)).cast("double")
+
+  /** Fraction of lines matching `pat` (caller anchors the regex; the
+    * pattern must stay in the Java-regex ∩ RE2 subset so the oracle can
+    * replay it — same constraint as [[piiRules]]).
+    */
+  def lineFrac(lines: Column, pat: String): Column =
+    size(filter(lines, l => l.rlike(pat))).cast("double") /
+      greatest(size(lines), lit(1)).cast("double")
+
+  /** Fraction of tokens containing at least one ASCII letter. */
+  def alphaTokenFrac(tk: Column): Column =
+    size(filter(tk, w => w.rlike("[a-zA-Z]"))).cast("double") /
+      greatest(size(tk), lit(1)).cast("double")
+
+  /** How many distinct [[gopherRequiredWords]] appear among the tokens. */
+  def requiredWordHits(tk: Column): Column =
+    size(array_intersect(
+      transform(tk, w => lower(w)),
+      array(gopherRequiredWords.map(lit): _*))).cast("long")
 }

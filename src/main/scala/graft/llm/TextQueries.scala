@@ -892,6 +892,88 @@ object TextQueries {
       .orderBy("a_group", "b_group")
   }
 
+  /** Full Gopher document-quality rule battery (Rae et al. 2021 A1.1):
+    * word-count band, mean word length band, symbol-to-word ratio,
+    * bullet-line and ellipsis-line ratios, alpha-word fraction, and the
+    * required-stopword presence rule, plus the conjunction `keep` flag.
+    * The flag is computed from the ROUNDED metrics on both engines so a
+    * float at a rule boundary cannot flip it on one side only. One
+    * projection — no shuffle, scan-bound at any corpus size.
+    */
+  val q79GopherQuality: Declared = Declared.sql(
+    "q79_gopher_quality",
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |         string_split(text, ' ') AS tk,
+      |         string_split(text, chr(10)) AS ln
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    round(CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+      |          / greatest(len(tk), 1), 4) AS mean_word_len,
+      |    round(CAST(len(regexp_extract_all(text, '#')) +
+      |               len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+      |          / greatest(len(tk), 1), 6) AS symbol_ratio,
+      |    round(CAST(len(list_filter(ln, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+      |          / greatest(len(ln), 1), 6) AS bullet_ratio,
+      |    round(CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+      |          / greatest(len(ln), 1), 6) AS ellipsis_ratio,
+      |    round(CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      |          / greatest(len(tk), 1), 6) AS alpha_frac,
+      |    CAST(len(list_intersect(list_transform(tk, w -> lower(w)),
+      |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_req_words
+      |  FROM d)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+      |       ellipsis_ratio, alpha_frac, n_req_words,
+      |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+      |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+      |   AND alpha_frac >= 0.8 AND n_req_words >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val d = t(spark, dir).documents.select(
+      col("doc_id"),
+      col("text"),
+      split(col("text"), " ").as("tk"),
+      split(col("text"), "\n").as("ln"))
+    d.select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        round(TextAnalysis.meanTokenLen(col("tk")), 4).as("mean_word_len"),
+        round(TextAnalysis.symbolRatio(col("text"), col("tk")), 6).as("symbol_ratio"),
+        round(TextAnalysis.lineFrac(col("ln"), "^[-*•]"), 6).as("bullet_ratio"),
+        round(TextAnalysis.lineFrac(col("ln"), "(\\.\\.\\.|…)$"), 6).as("ellipsis_ratio"),
+        round(TextAnalysis.alphaTokenFrac(col("tk")), 6).as("alpha_frac"),
+        TextAnalysis.requiredWordHits(col("tk")).as("n_req_words"))
+      .withColumn(
+        "keep",
+        col("n_words").between(50, 100000) && col("mean_word_len").between(3, 10) &&
+          col("symbol_ratio") <= 0.1 && col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 && col("alpha_frac") >= 0.8 && col("n_req_words") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-count histogram on power-of-two buckets — the
+    * data-card length report a mixture planner reads. The bucket is the
+    * BIT LENGTH of the token count (`length(bin(n))`), not
+    * `floor(log2(n))`: integer-exact on both engines, where the
+    * float log2 rounds unpredictably at exact powers of two.
+    */
+  val q83TokenHistogram: Declared = Declared.sql(
+    "q83_token_histogram",
+    """WITH d AS (SELECT source,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents)
+      |SELECT source, CAST(length(bin(n_tokens)) AS INTEGER) AS bucket,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM d GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin) { (spark, dir) =>
+    t(spark, dir).documents
+      .select(col("source"), nTokens(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), length(bin(col("n_tokens"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+      .orderBy("source", "bucket")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -922,5 +1004,7 @@ object TextQueries {
     q75UnigramLogprob,
     q76TokenBudget,
     q77VocabCoverage,
-    q78SourceOverlap)
+    q78SourceOverlap,
+    q79GopherQuality,
+    q83TokenHistogram)
 }

@@ -144,4 +144,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toDF("text").select(TextAnalysis.redactPii(col("text"))).as[String].head()
     assert(red == "x <EMAIL> y")
   }
+
+  test("gopher metrics: each rule's signal computes and flips on crafted texts") {
+    def metrics(text: String): (Long, Double, Double, Double, Double, Long) = {
+      Seq(text)
+        .toDF("text")
+        .select(split(col("text"), " ").as("tk"), split(col("text"), "\n").as("ln"), col("text"))
+        .select(
+          size(col("tk")).cast("long").as("nw"),
+          TextAnalysis.meanTokenLen(col("tk")).as("mwl"),
+          TextAnalysis.symbolRatio(col("text"), col("tk")).as("sym"),
+          TextAnalysis.lineFrac(col("ln"), "^[\\-*•]").as("bullet"),
+          TextAnalysis.alphaTokenFrac(col("tk")).as("alpha"),
+          TextAnalysis.requiredWordHits(col("tk")).as("req"))
+        .as[(Long, Double, Double, Double, Double, Long)]
+        .head()
+    }
+    val clean = metrics("the cat sat with the dog and that was all they have seen of it")
+    assert(clean._1 == 15 && clean._3 == 0.0 && clean._4 == 0.0)
+    assert(clean._5 == 1.0, "all-alpha words")
+    assert(clean._6 == 6, "the/with/and/that/have/of present")
+
+    val symbols = metrics("x # y ... z ## w")
+    assert(symbols._3 == 4.0 / 7, "three #'s + one ellipsis over 7 tokens")
+
+    val bullets = metrics("- item one\n- item two\nplain line\n• third")
+    assert(math.abs(bullets._4 - 0.75) < 1e-12, "3 of 4 lines bullet-led")
+
+    val numeric = metrics("123 456 abc 789")
+    assert(numeric._5 == 0.25, "one alpha word of four")
+
+    // empty text: [\"\"] token array → zero mean length, no crash
+    val empty = metrics("")
+    assert(empty._1 == 1 && empty._2 == 0.0 && empty._6 == 0)
+  }
+
+  test("gopher required-word hits are case-insensitive and count types, not occurrences") {
+    val got = Seq("The THE the of of")
+      .toDF("text")
+      .select(TextAnalysis.requiredWordHits(split(col("text"), " ")))
+      .as[Long]
+      .head()
+    assert(got == 2L, "two distinct required words regardless of case/repeats")
+  }
 }
