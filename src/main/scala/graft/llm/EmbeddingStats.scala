@@ -56,4 +56,78 @@ object EmbeddingStats {
     val w = Window.partitionBy(Cols.q(labelCol)).orderBy(col("dist").desc, Cols.q(idCol).asc)
     d.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** Sample covariance matrix of the embedding columns — the input to
+    * PCA / whitening, the standard preprocessing before SemDedup-style
+    * clustering. Returns the upper triangle as (i, j, cov) with 1-based
+    * dims and `ddof=1`, cov rounded to `scale` dp.
+    *
+    * Scale shape: a relational formulation explodes every vector to d
+    * rows and self-joins to d² — a corpus-sized shuffle of d²/2 product
+    * rows per vector. Instead ONE `treeAggregate` pass accumulates
+    * (n, Σx, Σxy-upper-triangle) per partition — d(d+3)/2 doubles of
+    * state, ~17 KB at d=64 — and merges partials in a tree; nothing
+    * corpus-sized ever moves, and the driver only ever holds O(d²).
+    * The d² work per row runs over a primitive array, not Catalyst rows
+    * (the same dense-kernel justification as [[BruteForce]]).
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(Cols.q(vecCol).cast("array<double>")).as[Array[Double]]
+
+    // (n, sums[d], upper-triangle products[d(d+1)/2]); dims discovered on
+    // the first row each partition sees, merged null-safely
+    type Acc = (Long, Array[Double], Array[Double])
+    val zero: Acc = (0L, null, null)
+    def init(d: Int): Acc = (0L, new Array[Double](d), new Array[Double](d * (d + 1) / 2))
+    def seqOp(acc0: Acc, v: Array[Double]): Acc = {
+      val acc = if (acc0._2 == null) init(v.length) else acc0
+      val (n, s, p) = acc
+      require(v.length == s.length, s"ragged embedding: ${v.length} vs ${s.length} dims")
+      var i = 0
+      var w = 0
+      while (i < v.length) {
+        s(i) += v(i)
+        var j = i
+        while (j < v.length) {
+          p(w) += v(i) * v(j)
+          w += 1
+          j += 1
+        }
+        i += 1
+      }
+      (n + 1, s, p)
+    }
+    def combOp(a: Acc, b: Acc): Acc =
+      if (a._2 == null) b
+      else if (b._2 == null) a
+      else {
+        // ragged rows that never shared a partition still meet here
+        require(
+          a._2.length == b._2.length,
+          s"ragged embedding: ${a._2.length} vs ${b._2.length} dims")
+        var i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+        var w = 0
+        while (w < a._3.length) { a._3(w) += b._3(w); w += 1 }
+        (a._1 + b._1, a._2, a._3)
+      }
+
+    val (n, s, p) = vecs.rdd.treeAggregate(zero)(seqOp, combOp)
+    require(n >= 2, s"covariance needs at least 2 vectors, got $n")
+    val d = s.length
+    def round(x: Double): Double =
+      if (java.lang.Double.isFinite(x))
+        java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      else x
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val w = i * d - i * (i - 1) / 2 + (j - i)
+      (i + 1, j + 1, round((p(w) - s(i) * s(j) / n) / (n - 1)))
+    }
+    rows.toDF("i", "j", "cov")
+  }
 }

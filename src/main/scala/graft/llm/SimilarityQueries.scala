@@ -218,7 +218,30 @@ object SimilarityQueries {
       .orderBy("label", "rk")
   }
 
+  /** Embedding covariance matrix (upper triangle, ddof=1) — the PCA /
+    * whitening input. The Spark side is ONE treeAggregate pass carrying
+    * d(d+3)/2 doubles of state (see [[EmbeddingStats.covarianceMatrix]]);
+    * the oracle replays it relationally (unnest self-join), which is fine
+    * at verify scale and exactly what the kernel exists to avoid at
+    * corpus scale.
+    */
+  val q82CovarianceMatrix: Declared = Declared.sql(
+    "q82_covariance_matrix",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e),
+      |p AS (SELECT a.pos AS i, b.pos AS j,
+      |             sum(a.v * b.v) AS sxy, sum(a.v) AS sx, sum(b.v) AS sy, count(*) AS n
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      |      GROUP BY 1, 2)
+      |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      |       round((sxy - sx * sy / n) / (n - 1), 6) AS cov
+      |FROM p ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    EmbeddingStats
+      .covarianceMatrix(t(spark, dir).embeddings, "embedding")
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
-      q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers)
+      q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q82CovarianceMatrix)
 }

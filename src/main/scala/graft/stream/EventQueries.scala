@@ -197,7 +197,46 @@ object EventQueries {
       .orderBy("cohort", "week_n")
   }
 
+  /** Session transcript assembly — the conversation/interaction-history
+    * shape a chat-training pipeline materializes: per 30-min-gap session,
+    * the COMPLETE ordered event-type path as one string. One
+    * `session_window` agg; the ordering is done per group by
+    * `sort_array(collect_list(struct(ts, event_id, …)))` (event_id breaks
+    * equal timestamps on both engines), so no window function and no
+    * second shuffle — per-group state is bounded by the session length,
+    * the same bound any transcript materialization carries.
+    */
+  val q81SessionPaths: Declared = Declared.sql(
+    "q81_session_paths",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                      + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |       count(*) AS n_events,
+      |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    t(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            e => e("event_type")),
+          ">").as("path"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("path"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[Declared] =
     Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
-      q65Retention, q66EventsSliding)
+      q65Retention, q66EventsSliding, q81SessionPaths)
 }

@@ -49,4 +49,34 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     // label 1: both exactly 1.0 → ids 4, 5
     assert(got == Seq((0, 1, 2L), (0, 2, 3L), (1, 1, 4L), (1, 2, 5L)))
   }
+
+  test("covarianceMatrix matches hand-computed ddof=1 covariances, upper triangle only") {
+    import spark.implicits._
+    // columns: x = (1,2,3), y = (2,4,6), z = (5,5,5)
+    // var(x)=1, cov(x,y)=2, var(y)=4, cov(*,z)=0, var(z)=0
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 5.0)),
+      (2L, Seq(2.0, 4.0, 5.0)),
+      (3L, Seq(3.0, 6.0, 5.0))).toDF("id", "emb")
+    val got = EmbeddingStats
+      .covarianceMatrix(df, "emb")
+      .orderBy("i", "j")
+      .as[(Int, Int, Double)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (1, 1, 1.0), (1, 2, 2.0), (1, 3, 0.0),
+      (2, 2, 4.0), (2, 3, 0.0),
+      (3, 3, 0.0)))
+  }
+
+  test("covarianceMatrix rejects singleton and ragged inputs") {
+    import spark.implicits._
+    val one = Seq((1L, Seq(1.0, 2.0))).toDF("id", "emb")
+    assertThrows[IllegalArgumentException](EmbeddingStats.covarianceMatrix(one, "emb"))
+    // ragged rows may meet in seqOp (same partition → SparkException wraps
+    // the require) or only in combOp (driver-side merge → bare IAE)
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0))).toDF("id", "emb")
+    assertThrows[Exception](EmbeddingStats.covarianceMatrix(ragged, "emb"))
+  }
 }
