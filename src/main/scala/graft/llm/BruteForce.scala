@@ -58,7 +58,7 @@ object BruteForce {
   /** Target rows per block for the block-partitioned kernel (~8 MB/side). */
   val DefaultBlockRows: Int = 1 << 14
 
-  private def round6(x: Double): Double =
+  private[llm] def round6(x: Double): Double =
     if (java.lang.Double.isFinite(x))
       java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     else x // NaN/Inf pass through, as Catalyst Round leaves them
@@ -68,19 +68,19 @@ object BruteForce {
     * +Inf), id asc tie-break. `round6` folds -0.0 to 0.0, so the signed-zero
     * gap between `Double.compare` and SQL `=` cannot surface here.
     */
-  private def ranksBefore(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+  private[llm] def ranksBefore(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
     val c = java.lang.Double.compare(s1, s2)
     c > 0 || (c == 0 && id1 < id2)
   }
 
   /** `cs ≥ tau` with NaN passing, as both engines order NaN above tau. */
-  private def nanGte(cs: Double, tau: Double): Boolean =
+  private[llm] def nanGte(cs: Double, tau: Double): Boolean =
     cs >= tau || java.lang.Double.isNaN(cs)
 
   /** Flat row-major matrix + per-row L2 norms over (id, vector) pairs,
     * sorted by id for deterministic scan order.
     */
-  private def pack(rows: Array[(Long, Array[Double])]): (Array[Long], Array[Double], Array[Double], Int) = {
+  private[llm] def pack(rows: Array[(Long, Array[Double])]): (Array[Long], Array[Double], Array[Double], Int) = {
     java.util.Arrays.sort(rows, Ordering.by((t: (Long, Array[Double])) => t._1))
     val n    = rows.length
     val dims = if (n == 0) 0 else rows(0)._2.length
@@ -109,7 +109,7 @@ object BruteForce {
     (ids, flat, nrm, dims)
   }
 
-  private def dot(
+  private[llm] def dot(
       aFlat: Array[Double], a: Int,
       bFlat: Array[Double], b: Int,
       dims: Int): Double = {

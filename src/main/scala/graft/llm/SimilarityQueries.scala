@@ -241,7 +241,42 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
+  /** SemDedup (q80): semantic dedup = deterministic seed-point
+    * clustering + within-cell cosine drop list — see [[SemDedup]] for
+    * the full contract. k=8 / tau=0.4 are the declared oracle operating
+    * point (16 of 500 vectors drop at sf0.01); production uses k ~ √n.
+    * Every stage is hash-checked: seed pick (salted md5), cell
+    * assignment (rounded-cosine argmax), max-prev similarity, and the
+    * keep flag.
+    */
+  val q80SemDedup: Declared = Declared.sql(
+    "q80_semdedup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |sd AS (SELECT vec_id AS seed_id, emb AS semb, nrm AS snrm FROM n
+      |       ORDER BY md5('semdedup|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |a0 AS (SELECT n.vec_id, n.emb, n.nrm, s.seed_id,
+      |              round(list_dot_product(n.emb, s.semb) / (n.nrm * s.snrm), 6) AS cs
+      |       FROM n CROSS JOIN sd s),
+      |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                   ORDER BY cs DESC, seed_id ASC) AS rn
+      |      FROM a0),
+      |cell AS (SELECT vec_id, emb, nrm, seed_id AS cell FROM a WHERE rn = 1),
+      |p AS (SELECT y.vec_id,
+      |             max(round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6)) AS mx
+      |      FROM cell y JOIN cell x ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |      GROUP BY y.vec_id)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, p.mx AS max_sim_prev,
+      |       (p.mx IS NULL OR NOT p.mx >= 0.4) AS keep
+      |FROM cell c LEFT JOIN p ON p.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin) { (spark, dir) =>
+    SemDedup
+      .keepFlags(t(spark, dir).embeddings, "vec_id", "embedding", k = 8, tau = 0.4)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
-      q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q82CovarianceMatrix)
+      q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
+      q82CovarianceMatrix)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.llm.SemDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated directions; ids 1-3 are mutual near-dups (scaled
+  // copies, cos = 1), ids 10/11 are orthogonal-ish singletons
+  private def corpus = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, Seq(2.0, 0.0, 0.0, 0.0)),
+    (3L, Seq(0.5, 0.0, 0.0, 0.0)),
+    (10L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (11L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+
+  test("planted scaled copies drop behind the smallest id; singletons keep") {
+    val got = SemDedup
+      .keepFlags(corpus, "vec_id", "embedding", k = 2, tau = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Double], Boolean)]
+      .collect()
+      .toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    // ids 2 and 3 see id 1 (or each other) at cos 1.0 → dropped
+    assert(byId(2L)._3.contains(1.0) && !byId(2L)._4)
+    assert(byId(3L)._3.contains(1.0) && !byId(3L)._4)
+    // id 1 is the first of its near-dup set → kept (keep-first greedy)
+    assert(byId(1L)._4, "smallest id of the duplicate set survives")
+    // all three duplicates share a cell
+    assert(Set(byId(1L)._2, byId(2L)._2, byId(3L)._2).size == 1)
+    // exactly the two duplicates drop
+    assert(got.count(!_._4) == 2)
+  }
+
+  test("result is invariant to input partitioning") {
+    val base = SemDedup
+      .keepFlags(corpus, "vec_id", "embedding", k = 2, tau = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    val repart = SemDedup
+      .keepFlags(corpus.repartition(7), "vec_id", "embedding", k = 2, tau = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    assert(base == repart)
+  }
+
+  test("oversized cell fails fast naming the fix") {
+    val e = intercept[Exception] {
+      SemDedup
+        .keepFlags(corpus, "vec_id", "embedding", k = 1, tau = 0.9, maxCellRows = 3)
+        .collect()
+    }
+    // the cause chain carries the guard's message through Spark's task wrapper
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause).filter(_ != null))
+    assert(messages(e).exists(m => m != null && m.contains("raise k")))
+  }
+
+  test("pickSeeds is a pure function of (salt, id): stable ids, sorted-by-hash") {
+    val s1 = SemDedup.pickSeeds(corpus, "vec_id", "embedding", k = 3)
+    val s2 = SemDedup.pickSeeds(corpus.repartition(5), "vec_id", "embedding", k = 3)
+    assert(s1.map(_.id).toSeq == s2.map(_.id).toSeq)
+    val other = SemDedup.pickSeeds(corpus, "vec_id", "embedding", k = 3, salt = "other")
+    // a different salt reorders the pick (overwhelmingly likely on 5 ids)
+    assert(s1.map(_.id).toSeq != other.map(_.id).toSeq || s1.length == corpus.count())
+  }
+}
