@@ -52,6 +52,32 @@ object SemDedup {
     */
   val DefaultMaxCellRows: Int = 1 << 17
 
+  /** Sentinel: size k from the corpus (√n) inside [[keepFlags]]. */
+  val Auto: Int = -1
+
+  /** Seed count for a corpus of `n` vectors: the √n rule, the SemDedup
+    * operating point. A FIXED k is a scale bug for the same reason as
+    * IVF's fixed nCells — cell occupancy grows linearly with the corpus,
+    * so within-cell pair work (n · n/k) grows quadratically (the declared
+    * q80 keeps k=8 for oracle reproducibility and measured 7.9× growth
+    * for 10× data at sf1; the auto path restores the n^1.5 curve).
+    * Clamp matches [[IvfIndex.autoCells]].
+    */
+  def autoK(n: Long): Int =
+    math.min(65536, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Above this many seeds, assignment runs as a broadcast seed-matrix
+    * mapPartitions kernel instead of a k-branch expression fold: dozens
+    * of 64-dim dot-product expressions pay ~1 s of codegen compilation
+    * per ACTION and the fold tree grows O(k²) (the
+    * [[IvfIndex.KernelCellThreshold]] lesson), while the kernel scans one
+    * flat primitive array per row with no codegen growth. Results are
+    * bit-identical — same index-order dot, same 6-dp rounding, same
+    * (cos desc, id asc) argmax tie-break — so the dispatch is purely
+    * physical (spec-pinned).
+    */
+  val KernelSeedThreshold: Int = 16
+
   private def saltedMd5(id: Column, salt: String): Column =
     md5(concat(lit(salt + "|"), id.cast("string")).cast("binary"))
 
@@ -93,7 +119,18 @@ object SemDedup {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      seeds: Array[Seed]): DataFrame = {
+      seeds: Array[Seed]): DataFrame =
+    assignCellsVia(emb, idCol, vecCol, seeds, seeds.length > KernelSeedThreshold)
+
+  /** Dispatch body, path pinned — the spec drives both strategies over
+    * the same seeds to assert bit-equality.
+    */
+  private[graft] def assignCellsVia(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Array[Seed],
+      useKernel: Boolean): DataFrame = {
     require(seeds.nonEmpty, "no seeds")
     val sorted = seeds.sortBy(_.id)
     val base = emb.select(
@@ -102,35 +139,107 @@ object SemDedup {
     val withNrm = base.withColumn(
       "__nrm",
       sqrt(graft.functions.GraftFunctions.dot(col("__emb"), col("__emb"))))
-    def cosTo(s: Seed): Column =
-      round(
-        graft.functions.GraftFunctions.dot(col("__emb"), typedlit(s.vec.toSeq)) /
-          (col("__nrm") * lit(s.nrm)),
-        6)
-    val best = sorted.tail.foldLeft((lit(sorted.head.id), cosTo(sorted.head))) {
-      case ((bestId, bestCs), s) =>
-        val cs = cosTo(s)
-        (when(cs > bestCs, lit(s.id)).otherwise(bestId), greatest(cs, bestCs))
+    if (useKernel) assignCellsKernel(withNrm, sorted)
+    else {
+      def cosTo(s: Seed): Column =
+        round(
+          graft.functions.GraftFunctions.dot(col("__emb"), typedlit(s.vec.toSeq)) /
+            (col("__nrm") * lit(s.nrm)),
+          6)
+      // each seed's cosine becomes a REAL projected column before the
+      // argmax fold: folding over the cosTo expressions directly would
+      // re-embed the whole accumulated greatest(...) chain at every
+      // level (each bestCs appears in both the `when` and the next
+      // `greatest` — a ~2^k expression-tree blowup that measured
+      // seconds per action at k=45); over column references the fold
+      // tree is O(k²) leaf refs and stays in whole-stage codegen
+      val withCs = withNrm.select(
+        col("vec_id") +: col("__emb") +:
+          sorted.zipWithIndex.map { case (s, i) => cosTo(s).as(s"__cs_$i") }: _*)
+      val best = sorted.zipWithIndex.tail.foldLeft((lit(sorted.head.id), col("__cs_0"))) {
+        case ((bestId, bestCs), (s, i)) =>
+          val cs = col(s"__cs_$i")
+          (when(cs > bestCs, lit(s.id)).otherwise(bestId), greatest(cs, bestCs))
+      }
+      withCs.select(col("vec_id"), best._1.as("cell"), col("__emb").as("emb"))
     }
-    withNrm.select(col("vec_id"), best._1.as("cell"), col("__emb").as("emb"))
+  }
+
+  /** Broadcast seed-matrix assignment for large k: seeds as one flat
+    * primitive array shared across tasks, each row scanning it once.
+    * Bit-identical to the expression path: index-order dot, `round6`
+    * (Catalyst `Round` semantics), strict-> displacement over seeds in
+    * ascending id order so ties keep the smaller seed id. NaN parity:
+    * Spark SQL's `>` ranks NaN above every double (its total order),
+    * where Java's `>` is always false on NaN — so displacement uses
+    * `Double.compare`, whose total order matches Spark's (and DuckDB's
+    * NaN-greatest sort).
+    */
+  private def assignCellsKernel(withNrm: DataFrame, sorted: Array[Seed]): DataFrame = {
+    val spark = withNrm.sparkSession
+    import spark.implicits._
+    val k    = sorted.length
+    val dims = sorted(0).vec.length
+    val flat = new Array[Double](k * dims)
+    val nrms = new Array[Double](k)
+    val ids  = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      System.arraycopy(sorted(i).vec, 0, flat, i * dims, dims)
+      nrms(i) = sorted(i).nrm
+      ids(i) = sorted(i).id
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, flat, nrms))
+    withNrm
+      .select(col("vec_id"), col("__emb"), col("__nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val (ids, flat, nrms) = bc.value
+        val k = ids.length
+        val d = if (k == 0) 0 else flat.length / k
+        it.map { case (vid, e, nrm) =>
+          var bestId = ids(0)
+          var bestCs = Double.NaN
+          var s0 = 0.0
+          var j = 0
+          val dd = math.min(d, e.length)
+          while (j < dd) { s0 += e(j) * flat(j); j += 1 }
+          bestCs = BruteForce.round6(s0 / (nrm * nrms(0)))
+          var c = 1
+          while (c < k) {
+            var s = 0.0
+            var jj = 0
+            while (jj < dd) { s += e(jj) * flat(c * d + jj); jj += 1 }
+            val cs = BruteForce.round6(s / (nrm * nrms(c)))
+            if (java.lang.Double.compare(cs, bestCs) > 0) { bestCs = cs; bestId = ids(c) }
+            c += 1
+          }
+          (vid, bestId, e)
+        }
+      }
+      .toDF("vec_id", "cell", "emb")
   }
 
   /** Full SemDedup pass: (vec_id, cell, max_sim_prev, keep), where
     * `max_sim_prev` is the greatest rounded cosine to any SAME-CELL
     * vector with a smaller id (null when the vector is its cell's first)
     * and `keep = !(max_sim_prev ≥ tau)` with NaN passing the threshold.
+    * `k = Auto` sizes the seed count √n from a count job — the
+    * production default; a literal k is the oracle-reproducibility mode.
     */
   def keepFlags(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       tau: Double,
+      k: Int = Auto,
       salt: String = "semdedup",
       maxCellRows: Int = DefaultMaxCellRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val seeds = pickSeeds(emb, idCol, vecCol, k, salt)
+    val kk    = if (k == Auto) autoK(emb.count()) else k
+    val seeds = pickSeeds(emb, idCol, vecCol, kk, salt)
     assignCells(emb, idCol, vecCol, seeds)
       .as[(Long, Long, Array[Double])]
       .groupByKey(_._2)

@@ -44,6 +44,8 @@ object AnnScaleBench {
 
     time("lsh_auto")(graft.llm.AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5))
     time("ivf_auto")(graft.llm.IvfIndex.approxTopK(emb, "vec_id", "embedding", k = 5, nProbe = 3))
+    time("semdedup_auto")(
+      graft.llm.SemDedup.keepFlags(emb, "vec_id", "embedding", tau = 0.4))
     spark.stop()
   }
 }

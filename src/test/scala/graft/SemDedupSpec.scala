@@ -57,6 +57,23 @@ class SemDedupSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m != null && m.contains("raise k")))
   }
 
+  test("kernel assignment path is bit-identical to the expression fold") {
+    // 120 random-ish deterministic vectors, 20 seeds: same seeds through
+    // both physical strategies must give identical cells
+    val vecs = (1L to 120L).map { i =>
+      (i, (0 until 8).map(j => math.sin(i * 31 + j * 7).toDouble))
+    }.toDF("vec_id", "embedding")
+    val seeds = SemDedup.pickSeeds(vecs, "vec_id", "embedding", k = 20)
+    val expr = SemDedup
+      .assignCellsVia(vecs, "vec_id", "embedding", seeds, useKernel = false)
+      .select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    val kern = SemDedup
+      .assignCellsVia(vecs, "vec_id", "embedding", seeds, useKernel = true)
+      .select("vec_id", "cell").orderBy("vec_id").collect().toSeq
+    assert(expr == kern)
+    assert(expr.map(_.getLong(1)).distinct.size > 1, "multiple cells in use")
+  }
+
   test("pickSeeds is a pure function of (salt, id): stable ids, sorted-by-hash") {
     val s1 = SemDedup.pickSeeds(corpus, "vec_id", "embedding", k = 3)
     val s2 = SemDedup.pickSeeds(corpus.repartition(5), "vec_id", "embedding", k = 3)
