@@ -75,4 +75,27 @@ object DupClusters {
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
+
+  /** Canonical-document election — the decision a dedup pipeline actually
+    * ships: per cluster, keep the member with the highest score (rounded
+    * upstream by the caller so near-ties rank identically across engines;
+    * remaining ties → smallest id). Input is the member table with its
+    * cluster and score columns already attached; output adds
+    * `survivor_id` and `keep`. One window over the cluster key — cluster
+    * sizes are dup-set sizes, so the per-partition sort is tiny at any
+    * corpus scale.
+    */
+  def electSurvivors(
+      members: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    members
+      .withColumn("survivor_id", first(col(idCol)).over(w))
+      .withColumn("keep", col(idCol) === col("survivor_id"))
+  }
 }

@@ -974,6 +974,69 @@ object TextQueries {
       .orderBy("source", "bucket")
   }
 
+  /** Canonical-document election over the q69 near-dup clusters: per
+    * cluster keep the HIGHEST-QUALITY member (q32's score, rounded before
+    * ranking; doc_id breaks ties) — the dedup decision a pipeline ships,
+    * vs q69's raw cluster labels. Cluster assignment, survivor, and keep
+    * flag are all hash-checked.
+    */
+  val q84DupSurvivors: Declared = Declared.sql(
+    "q84_dup_survivors",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) x
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id),
+      |clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id,
+      |  round(least(n_chars / 500.0, 1.0) * 0.4
+      |        + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' '))) * 0.3
+      |        + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |           / greatest(length(text), 1)) * 0.3, 6) AS quality
+      |      FROM documents)
+      |SELECT CAST(c.doc_id AS BIGINT) AS doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+      |       q.quality,
+      |       CAST(first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+      |              ORDER BY q.quality DESC, c.doc_id ASC) AS BIGINT) AS survivor_id,
+      |       (c.doc_id = first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+      |              ORDER BY q.quality DESC, c.doc_id ASC)) AS keep
+      |FROM clusters c JOIN q ON q.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val edges = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+      .where(col("jaccard") >= 0.8)
+      .select("a_id", "b_id")
+    val clusters = DupClusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+    val q = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+    DupClusters
+      .electSurvivors(clusters.join(q, "doc_id"), "doc_id", "cluster_id", "quality")
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("survivor_id").cast("long"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1006,5 +1069,6 @@ object TextQueries {
     q77VocabCoverage,
     q78SourceOverlap,
     q79GopherQuality,
-    q83TokenHistogram)
+    q83TokenHistogram,
+    q84DupSurvivors)
 }

@@ -236,7 +236,65 @@ object EventQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Skip-gram pair extraction over sessions — the word2vec/item2vec
+    * training-pair shape: within each 30-min session's ordered event
+    * sequence, count (center, context, distance) co-occurrences for
+    * distances 1..2. The pair generation happens INSIDE the projection
+    * over the assembled session array (`sequence` over starts ×
+    * `sequence` over offsets, flattened, then ONE explode) — no
+    * self-join, so the window expansion never crosses a shuffle; the
+    * final count agg is pair-vocabulary-sized. The oracle replays it
+    * relationally (row_number self-join), the formulation the in-array
+    * plan exists to avoid at scale.
+    */
+  val q85SkipgramPairs: Declared = Declared.sql(
+    "q85_skipgram_pairs",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                      + INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |r AS (
+      |  SELECT user_id, sid, event_type,
+      |         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      |  FROM s)
+      |SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |       CAST(b.rn - a.rn AS INTEGER) AS dist, count(*) AS n
+      |FROM r a JOIN r b ON a.user_id = b.user_id AND a.sid = b.sid
+      |                  AND b.rn - a.rn BETWEEN 1 AND 2
+      |GROUP BY a_type, b_type, dist
+      |ORDER BY a_type, b_type, dist""".stripMargin) { (spark, dir) =>
+    val window = 2
+    val seqs = t(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e("event_type")).as("types"))
+    seqs
+      // single-event sessions emit no pairs — and must not reach the
+      // starts `sequence`, which DESCENDS for size-2 < 0 (the q59 guard)
+      .where(size(col("types")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("types")) - 2),
+        i =>
+          transform(
+            sequence(lit(1), least(lit(window), size(col("types")) - 1 - i)),
+            d => struct(
+              element_at(col("types"), i + 1).as("a_type"),
+              element_at(col("types"), i + d + 1).as("b_type"),
+              d.cast("int").as("dist")))))).as("p"))
+      .groupBy(col("p.a_type").as("a_type"), col("p.b_type").as("b_type"), col("p.dist").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("a_type", "b_type", "dist")
+  }
+
   val all: Seq[Declared] =
     Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
-      q65Retention, q66EventsSliding, q81SessionPaths)
+      q65Retention, q66EventsSliding, q81SessionPaths, q85SkipgramPairs)
 }

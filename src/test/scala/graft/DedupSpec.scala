@@ -249,4 +249,26 @@ class DedupSpec extends AnyFunSuite {
       .toSeq
     assert(got == Seq((1L, "a b c d e", 0L), (2L, "f g h", 0L)))
   }
+
+  test("electSurvivors keeps the best-quality member per cluster, id on ties") {
+    import graft.llm.DupClusters
+    val members = Seq(
+      // cluster 1: quality favors doc 3 over the min-id doc 1
+      (1L, 1L, 0.5), (3L, 1L, 0.9),
+      // cluster 2: exact quality tie → smaller id 4 wins
+      (4L, 2L, 0.7), (9L, 2L, 0.7),
+      // singleton keeps itself
+      (7L, 7L, 0.1)).toDF("doc_id", "cluster_id", "quality")
+    val got = DupClusters
+      .electSurvivors(members, "doc_id", "cluster_id", "quality")
+      .select("doc_id", "survivor_id", "keep")
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, false), (3L, 3L, true),
+      (4L, 4L, true), (7L, 7L, true),
+      (9L, 4L, false)))
+  }
 }
