@@ -1037,6 +1037,110 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus build ([[CorpusPipeline]]): filter → exact dedup →
+    * token-budget selection → packing, one lazy plan, replayed by the
+    * oracle as the same CTE chain. Membership, quality ranking, running
+    * totals AND pack boundaries are all hash-checked in one gate.
+    */
+  val q86CorpusBuild: Declared = Declared.sql(
+    "q86_corpus_build",
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    round(least(n_chars / 500.0, 1.0) * 0.4
+      |          + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' '))) * 0.3
+      |          + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1)) * 0.3, 6) AS quality,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    round(CAST(len(list_filter(string_split(text, ' '),
+      |                               w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      |          / greatest(len(string_split(text, ' ')), 1), 6) AS alpha_frac,
+      |    CAST(len(list_intersect(list_transform(string_split(text, ' '), w -> lower(w)),
+      |         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_req
+      |  FROM documents),
+      |f AS (SELECT doc_id, text, quality FROM m
+      |      WHERE n_words BETWEEN 20 AND 100000 AND alpha_frac >= 0.8 AND n_req >= 1),
+      |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f),
+      |u AS (SELECT doc_id, text, quality FROM d WHERE rn = 1),
+      |c AS (SELECT doc_id, quality,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |                  OVER (ORDER BY quality DESC, doc_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM u)
+      |SELECT doc_id, quality, n_tokens, cum_tokens,
+      |       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM c WHERE cum_tokens <= 10000
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    CorpusPipeline
+      .buildTrainingSet(
+        t(spark, dir).documents,
+        "doc_id",
+        "text",
+        "n_chars",
+        budget = 10000L,
+        capacity = 512L)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source corpus data card — the summary table a dataset release
+    * ships: volume, token mass, exact-dup rate, mean quality, and
+    * language-distribution entropy, one row per source. Two
+    * source-keyed aggregations (doc stats; lang histogram → entropy)
+    * joined on the source key — every input is source-partitioned, so
+    * at scale this is two map-side-combined shuffles over tiny keys.
+    */
+  val q87DataCard: Declared = Declared.sql(
+    "q87_data_card",
+    """WITH d AS (
+      |  SELECT source, lang, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    round(least(n_chars / 500.0, 1.0) * 0.4
+      |          + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' '))) * 0.3
+      |          + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1)) * 0.3, 6) AS quality
+      |  FROM documents),
+      |s AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |             CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes,
+      |             round(avg(quality), 6) AS avg_quality
+      |      FROM d GROUP BY source),
+      |lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang),
+      |lt AS (SELECT source, sum(c) AS t FROM lc GROUP BY source),
+      |e AS (SELECT lc.source,
+      |             round(-sum((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)), 6)
+      |               AS lang_entropy
+      |      FROM lc JOIN lt ON lc.source = lt.source GROUP BY lc.source)
+      |SELECT s.source, s.n_docs, s.total_tokens, s.n_dupes, s.avg_quality, e.lang_entropy
+      |FROM s JOIN e ON s.source = e.source
+      |ORDER BY s.source""".stripMargin) { (spark, dir) =>
+    val d = t(spark, dir).documents.select(
+      col("source"),
+      col("lang"),
+      col("text"),
+      nTokens(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val s = d
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).cast("long").as("n_dupes"),
+        round(avg("quality"), 6).as("avg_quality"))
+    val lc = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val e = lc
+      .withColumn("t", sum("c").over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(round(-sum((col("c").cast("double") / col("t")) *
+        log(col("c").cast("double") / col("t"))), 6).as("lang_entropy"))
+    s.join(e, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_dupes"),
+        col("avg_quality"), col("lang_entropy"))
+      .orderBy("source")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1070,5 +1174,7 @@ object TextQueries {
     q78SourceOverlap,
     q79GopherQuality,
     q83TokenHistogram,
-    q84DupSurvivors)
+    q84DupSurvivors,
+    q86CorpusBuild,
+    q87DataCard)
 }
