@@ -46,4 +46,82 @@ object CorpusSelect {
       .where(col("cum_tokens") <= budget)
       .drop("__score")
   }
+
+  /** Per-group variant — "the best `budget` tokens of EACH language /
+    * source", the draw a mixture plan actually executes. Same truncation
+    * semantics as [[tokenBudget]], applied independently within every
+    * `groupCol` value.
+    *
+    * Scale shape: the grouped generalization of the two-phase prefix-sum
+    * scan. Range-partition on (group, score desc, id) puts each group's
+    * ranking in contiguous runs; job 1 collects PER-(partition, group)
+    * token sums — driver state O(p × groups), groups being languages or
+    * sources, not documents — and job 2 seeds each partition's running
+    * totals with its group's prefix offsets. A `sum() OVER (PARTITION BY
+    * group ORDER BY score)` window would instead sort-and-scan each
+    * group through ONE task — a skew bomb when one source dominates the
+    * corpus, which is the normal case.
+    */
+  def tokenBudgetPerGroup(
+      docs: DataFrame,
+      scoreCol: Column,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Seq("__score", "__grp", "n_tokens", "cum_tokens").foreach(c =>
+      require(!docs.columns.contains(c), s"input frame already has a '$c' column"))
+    val spark = docs.sparkSession
+    val withN = docs
+      .withColumn("__score", scoreCol)
+      // group bookkeeping key as string: offsets are driver-side map
+      // lookups, and a stringly key sidesteps Row equality pitfalls for
+      // exotic group types (null → the literal "␀" sentinel)
+      .withColumn("__grp", coalesce(Cols.q(groupCol).cast("string"), lit("␀")))
+      .withColumn(
+        "n_tokens",
+        coalesce(size(split(Cols.q(textCol), " ")).cast(LongType), lit(0L)))
+      .repartitionByRange(col("__grp").asc, col("__score").desc, Cols.q(idCol).asc)
+      .sortWithinPartitions(col("__grp").asc, col("__score").desc, Cols.q(idCol).asc)
+    val nIdx = withN.schema.fieldIndex("n_tokens")
+    val gIdx = withN.schema.fieldIndex("__grp")
+
+    // job 1: per-(partition, group) token sums → per-group prefix offsets
+    val partSums: Array[(Int, Map[String, Long])] = withN.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val g = r.getString(gIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(nIdx))
+        }
+        Iterator((pid, m.toMap))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets: Array[Map[String, Long]] = partSums
+      .scanLeft(Map.empty[String, Long]) { case (acc, (_, m)) =>
+        m.foldLeft(acc) { case (a, (g, s)) => a.updated(g, a.getOrElse(g, 0L) + s) }
+      }
+      .dropRight(1)
+
+    // job 2 (lazy): per-group running sum seeded with the group's offset
+    val schema = withN.schema.add("cum_tokens", LongType, nullable = false)
+    val rdd = withN.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cums = scala.collection.mutable.HashMap.empty[String, Long]
+      val off  = offsets(pid)
+      it.map { r =>
+        val g   = r.getString(gIdx)
+        val cum = cums.getOrElse(g, off.getOrElse(g, 0L)) + r.getLong(nIdx)
+        cums.update(g, cum)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark
+      .createDataFrame(rdd, schema)
+      .where(col("cum_tokens") <= budget)
+      .drop("__score", "__grp")
+  }
 }

@@ -1141,6 +1141,47 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-language token-budget draw (the mixture-plan execution step):
+    * q76's greedy quality ranking applied independently within every
+    * language, 2 000 tokens each — grouped two-phase prefix-sum scan,
+    * no per-group window task ([[CorpusSelect.tokenBudgetPerGroup]]).
+    */
+  val q88LangBudget: Declared = Declared.sql(
+    "q88_lang_budget",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    round(least(n_chars / 500.0, 1.0) * 0.4
+      |          + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |             / len(string_split(text, ' '))) * 0.3
+      |          + (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1)) * 0.3, 6) AS quality,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, quality, n_tokens,
+      |             CAST(sum(n_tokens) OVER (PARTITION BY lang
+      |                                      ORDER BY quality DESC, doc_id ASC
+      |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |      FROM s)
+      |SELECT lang, doc_id, quality, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 2000
+      |ORDER BY lang, doc_id""".stripMargin) { (spark, dir) =>
+    CorpusSelect
+      .tokenBudgetPerGroup(
+        t(spark, dir).documents,
+        TextAnalysis.qualityScore(col("text"), col("n_chars")),
+        "doc_id",
+        "lang",
+        "text",
+        budget = 2000L)
+      .select(
+        col("lang"),
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
+        col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1176,5 +1217,6 @@ object TextQueries {
     q83TokenHistogram,
     q84DupSurvivors,
     q86CorpusBuild,
-    q87DataCard)
+    q87DataCard,
+    q88LangBudget)
 }

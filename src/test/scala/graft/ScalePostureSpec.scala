@@ -159,4 +159,27 @@ class ScalePostureSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q79 gopher projection prunes unused document columns at the scan") {
+    val plan = SparkEntry
+      .queries("q79_gopher_quality")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text"), s"text not read:\n$readSchema")
+    assert(
+      !readSchema.contains("source") && !readSchema.contains("lang"),
+      s"q79 reads columns it never uses:\n$readSchema")
+  }
+
+  test("q85 skip-gram pair generation plans NO join — pairs come from the array projection") {
+    val plan = SparkEntry
+      .queries("q85_skipgram_pairs")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+      .foreach(j => assert(!plan.contains(j), s"q85 unexpectedly plans a $j"))
+  }
 }

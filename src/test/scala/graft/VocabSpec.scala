@@ -99,6 +99,37 @@ class VocabSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("tokenBudgetPerGroup: independent budgets per group, invariant to partitioning") {
+    import graft.llm.CorpusSelect
+    // group A ranking: a3 (0.9, 2 tok), a1 (0.8, 3 tok), a2 (0.7, 4 tok)
+    // group B ranking: b5 (0.9, 4 tok), b4 (0.2, 1 tok)
+    val docs = Seq(
+      (1L, "A", "w w w", 0.8),
+      (2L, "A", "x x x x", 0.7),
+      (3L, "A", "y y", 0.9),
+      (4L, "B", "z", 0.2),
+      (5L, "B", "v v v v", 0.9))
+      .toDF("doc_id", "grp", "text", "score")
+    def run(df: org.apache.spark.sql.DataFrame) = CorpusSelect
+      .tokenBudgetPerGroup(df, col("score"), "doc_id", "grp", "text", budget = 5L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    // A: cum 2, 5, 9 → keeps 3 and 1. B: cum 4, 5 → keeps 5 and 4.
+    val want = Seq((1L, 3L, 5L), (3L, 2L, 2L), (4L, 1L, 5L), (5L, 4L, 4L))
+    assert(run(docs) == want)
+    // many tiny partitions force groups to SPAN partitions — the
+    // per-(partition, group) offset bookkeeping must still add up
+    assert(run(docs.repartition(11)) == want)
+    // single group degenerates to tokenBudget
+    val one = docs.withColumn("grp", lit("only"))
+    assert(
+      CorpusSelect.tokenBudgetPerGroup(one, col("score"), "doc_id", "grp", "text", 9L).count() ==
+        CorpusSelect.tokenBudget(docs, col("score"), "doc_id", "text", 9L).count())
+  }
+
   test("unigramLogProb open-vocabulary mode broadcasts NEITHER side and agrees with default") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val docs = (0L until 50L).map(i => (i, s"t$i t${i % 7} t${i % 3} common")).toDF("doc_id", "text")
