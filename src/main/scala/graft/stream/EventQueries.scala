@@ -223,16 +223,8 @@ object EventQueries {
       |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
-    t(spark, dir).events
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-            e => e("event_type")),
-          ">").as("path"))
-      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("path"))
+    StreamingOps
+      .sessionPaths(t(spark, dir).events)
       .orderBy("user_id", "session_start")
   }
 

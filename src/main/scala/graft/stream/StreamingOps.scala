@@ -54,6 +54,28 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Session transcript assembly — q81's aggregation, shared verbatim by
+    * the batch query and the streaming variant (one definition, so the
+    * sort/tie-break semantics cannot fork): per session-window, the
+    * COMPLETE ordered event-type path as one string, event_id breaking
+    * equal timestamps. Runs unchanged under `readStream` (the
+    * StreamingSpec case adds the watermark): per-open-session state is
+    * the collected (ts, event_id, type) list — the bound any transcript
+    * materialization carries — reclaimed as the watermark closes the
+    * session.
+    */
+  def sessionPaths(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            e => e("event_type")),
+          ">").as("path"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("path"))
+
   /** Watermarked SLIDING window aggregation (1 h window / 15 min slide by
     * default): each event contributes to windowDuration/slide overlapping
     * windows; Spark expands the assignment per row, so state stays bounded

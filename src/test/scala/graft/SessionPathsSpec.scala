@@ -15,15 +15,8 @@ class SessionPathsSpec extends AnyFunSuite {
     val df = rows
       .toDF("user_id", "ts_s", "event_id", "event_type")
       .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_id"), col("event_type"))
-    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-            e => e("event_type")),
-          ">").as("path"))
-      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("path"))
+    graft.stream.StreamingOps
+      .sessionPaths(df)
       .orderBy("user_id", "session_start")
       .as[(Long, java.sql.Timestamp, Long, String)]
       .collect()

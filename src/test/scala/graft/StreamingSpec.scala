@@ -139,6 +139,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session transcript assembly matches the batch q81 aggregation") {
+    val stream = StreamingOps
+      .sessionPaths(StreamingOps.readEventStream(spark, streamDir).withWatermark("ts", "10 minutes"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("paths_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got  = stream.sparkSession.table("paths_out")
+      val want = StreamingOps.sessionPaths(graft.core.Tables(spark, dir).events)
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink round-trips every event") {
     val outDir = java.nio.file.Files.createTempDirectory("sink").toString
     val q = StreamingOps
