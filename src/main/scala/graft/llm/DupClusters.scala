@@ -76,6 +76,24 @@ object DupClusters {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Leakage-safe train/test split: the split decision is drawn from the
+    * CLUSTER label, not the document id, so every member of a near-dup
+    * component lands on the same side — the standard guard against
+    * train/eval contamination through paraphrase duplicates (the same
+    * failure mode [[Decontamination]] screens for, closed off at split
+    * time instead of audit time). One codegen projection over the
+    * (id, cluster_id) table; the draw itself is [[Sampling.trainTestSplit]]
+    * (salted-md5 threshold — deterministic and cluster-size-invariant).
+    */
+  def leakSafeSplit(
+      clusters: DataFrame,
+      clusterCol: String = "cluster_id",
+      trainThreshold: String = "cc",
+      salt: String = "split"): DataFrame =
+    clusters.withColumn(
+      "split",
+      Sampling.trainTestSplit(col(clusterCol), trainThreshold, salt))
+
   /** Canonical-document election — the decision a dedup pipeline actually
     * ships: per cluster, keep the member with the highest score (rounded
     * upstream by the caller so near-ties rank identically across engines;

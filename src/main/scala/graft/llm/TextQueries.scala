@@ -652,6 +652,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a
+    * codegen'd Catalyst expression — Spark has no built-in). The corpus
+    * text is ASCII, so decomposed sequences are SYNTHESIZED
+    * deterministically on both engines (`e`→`e`+U+0301, `n`→`n`+U+0303)
+    * and the full recomposed output is md5-checked against DuckDB's
+    * `nfc_normalize` (JDK Normalizer vs utf8proc — both Unicode NFC).
+    */
+  val q89NfcNormalize: Declared = Declared.sql(
+    "q89_nfc_normalize",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, 'e', 'e' || chr(769)), 'n', 'n' || chr(771)) AS deco
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(deco) AS BIGINT) AS n_decomposed,
+      |  CAST(length(nfc_normalize(deco)) AS BIGINT) AS n_nfc,
+      |  deco <> nfc_normalize(deco) AS changed,
+      |  md5(nfc_normalize(deco)) AS nfc_md5
+      |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.NfcNormalize
+    t(spark, dir).documents
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "e", "e\u0301"),
+          "n",
+          "n\u0303").as("deco"))
+      .select(
+        col("doc_id"),
+        length(col("deco")).cast("long").as("n_decomposed"),
+        length(NfcNormalize(col("deco"))).cast("long").as("n_nfc"),
+        (col("deco") =!= NfcNormalize(col("deco"))).as("changed"),
+        md5(NfcNormalize(col("deco")).cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe train/test split ([[DupClusters.leakSafeSplit]]): the
+    * split is drawn from the near-dup CLUSTER label (q69's components),
+    * so paraphrase duplicates can never straddle train and test. The
+    * oracle replays the component fixpoint (recursive CTE) and the same
+    * salted-md5 threshold, hash-checking every document's assignment.
+    */
+  val q90LeakSafeSplit: Declared = Declared.sql(
+    "q90_leak_safe_split",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) x
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id),
+      |comp AS (SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |         FROM reach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+      |       THEN 'train' ELSE 'test' END AS split
+      |FROM comp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val edges = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+      .where(col("jaccard") >= 0.8)
+      .select("a_id", "b_id")
+    val comp = DupClusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+    DupClusters
+      .leakSafeSplit(comp)
+      .orderBy("doc_id")
+  }
+
   /** RAG-style overlapping chunking (64-token windows, stride 48): one
     * row per chunk with its token count and content md5 — the chunk
     * CONTENT is hash-checked cross-engine, not just counted.
@@ -1218,5 +1303,7 @@ object TextQueries {
     q84DupSurvivors,
     q86CorpusBuild,
     q87DataCard,
-    q88LangBudget)
+    q88LangBudget,
+    q89NfcNormalize,
+    q90LeakSafeSplit)
 }

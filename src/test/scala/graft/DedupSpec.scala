@@ -250,6 +250,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a b c d e", 0L), (2L, "f g h", 0L)))
   }
 
+  test("leakSafeSplit keeps every near-dup cluster on one side of the split") {
+    import graft.llm.{DupClusters, Sampling}
+    val comp = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 21L), (22L, 22L), (23L, 23L), (24L, 24L))
+      .toDF("doc_id", "cluster_id")
+    val got = DupClusters.leakSafeSplit(comp)
+    // no cluster straddles the split
+    val straddling = got
+      .groupBy("cluster_id")
+      .agg(countDistinct("split").as("k"))
+      .where(col("k") > 1)
+      .count()
+    assert(straddling == 0)
+    // the draw is the cluster-label draw, not a per-member draw
+    val want = comp.select(
+      col("doc_id"),
+      Sampling.trainTestSplit(col("cluster_id")).as("want"))
+    assert(got.join(want, "doc_id").where(col("split") =!= col("want")).count() == 0)
+    val vals = got.select("split").distinct().as[String].collect().toSet
+    assert(vals.subsetOf(Set("train", "test")) && vals.nonEmpty)
+  }
+
   test("electSurvivors keeps the best-quality member per cluster, id on ties") {
     import graft.llm.DupClusters
     val members = Seq(

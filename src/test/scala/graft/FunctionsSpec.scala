@@ -19,6 +19,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0))
   }
 
+  test("NfcNormalize composes decomposed sequences; identity on NFC; null-safe") {
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      Some("Cafe\u0301 pin\u0303a"), // decomposed: e+U+0301, n+U+0303
+      Some("Caf\u00e9 pi\u00f1a"),   // already precomposed
+      Some("plain ascii"),
+      None: Option[String]).toDF("s")
+    val got = df.select(NfcNormalize(col("s")).as("n")).collect()
+    assert(got(0).getString(0) == "Caf\u00e9 pi\u00f1a")
+    assert(got(1).getString(0) == "Caf\u00e9 pi\u00f1a")
+    assert(got(2).getString(0) == "plain ascii")
+    assert(got(3).isNullAt(0))
+    // idempotent over the corpus-shaped inputs
+    val twice = df
+      .where(col("s").isNotNull)
+      .where(NfcNormalize(NfcNormalize(col("s"))) === NfcNormalize(col("s")))
+      .count()
+    assert(twice == 3)
+    // interpreted (non-codegen filter) path agrees with projection codegen
+    assert(df.where(NfcNormalize(col("s")) === lit("Caf\u00e9 pi\u00f1a")).count() == 2)
+  }
+
   test("DotProduct interpreted eval agrees with codegen") {
     val df = Seq((Seq(0.5, -1.5, 2.0), Seq(2.0, 4.0, -1.0))).toDF("a", "b")
     val viaCodegen = df.select(dot(col("a"), col("b"))).as[Double].collect().head
