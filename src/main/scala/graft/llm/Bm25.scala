@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.core.Cols
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance scoring — the lexical-retrieval primitive a training-data
+  * pipeline uses to mine task-relevant documents from a web corpus (and the
+  * classic baseline next to the embedding retrieval in [[BruteForce]] /
+  * [[AnnBuckets]]). Extends the reference's keyword-filter surface
+  * (`/root/reference/src/tasks.py` stops at pandas `str.contains`) with the
+  * standard ranked variant.
+  *
+  * Scale shape — deliberately NOT the textbook inverted-index join: for a
+  * fixed small query-term set the tf of each term is a per-row array scan
+  * (`filter(tk, t -> t = term)`), so scoring is ONE codegen projection over
+  * the corpus plus ONE scalar aggregate (N, avgdl, per-term df — a single
+  * reduced row, broadcast back via crossJoin). No token explode, no
+  * vocabulary shuffle, and the result is a TakeOrdered top-k, never a
+  * global window. Cost is O(corpus tokens × |query|) map-side work with a
+  * one-row reduce — the same plan at any corpus size.
+  *
+  * Scoring is Okapi BM25 with the Lucene idf form
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` (always positive, so stopword-like
+  * query terms cannot flip rankings negative).
+  */
+object Bm25 {
+
+  /** Top-k documents for `queryTerms`, scored by BM25.
+    *
+    * @return (idCol, score, rn) — `score` rounded to 6 dp BEFORE ranking so
+    *         near-ties rank identically across engines; ties break on id.
+    */
+  def topK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms in $queryTerms")
+    import org.apache.spark.sql.expressions.Window
+
+    val tk = split(Cols.q(textCol), " ")
+    def tfCol(term: String) = s"__tf_$term"
+    // one projection: per-doc length + tf of each query term
+    val prepared = docs.select(
+      Seq(Cols.q(idCol), size(tk).cast("double").as("__dl")) ++
+        queryTerms.map(term => size(filter(tk, t => t === lit(term))).cast("double").as(tfCol(term))): _*)
+
+    // one reduced row: N, avgdl, df per term
+    val aggCols = Seq(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl")) ++
+      queryTerms.map(term => sum((col(tfCol(term)) > 0).cast("double")).as(s"__df_$term"))
+    val stats = prepared.agg(aggCols.head, aggCols.tail: _*)
+
+    val score = queryTerms
+      .map { term =>
+        val tf  = col(tfCol(term))
+        val df  = col(s"__df_$term")
+        val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * (lit(k1) + 1.0)) / (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+      }
+      .reduce(_ + _)
+
+    val ranked = prepared
+      .crossJoin(broadcast(stats))
+      .select(Cols.q(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, Cols.q(idCol).asc)
+      .limit(k)
+    // the partition-less window runs over <= k rows by construction
+    val w = Window.orderBy(col("score").desc, Cols.q(idCol).asc)
+    ranked.withColumn("rn", row_number().over(w))
+  }
+}

@@ -63,4 +63,42 @@ object Sampling {
       .orderBy(saltedMd5(Cols.q(idCol), salt), Cols.q(idCol))
     df.withColumn("sample_rank", row_number().over(w)).where(col("sample_rank") <= n)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * draw the `k` rows with the smallest exponential-jitter key
+    * `-ln(u)/w`, where `u` is the salted-md5 uniform of the id — the
+    * one-pass distributed formulation of "sample k docs proportional to
+    * weight, no repeats" (a mixture draw where bigger/better documents
+    * should win proportionally more often than [[stratifiedTake]]'s
+    * unweighted ranks allow).
+    *
+    * `u = (u32 + 0.5) / 2^32` with `u32` the first 8 md5 hex digits —
+    * strictly inside (0,1), so the log never overflows, and bit-exactly
+    * reproducible in any engine that can fold hex digits (same trick as
+    * the q38 fingerprint oracle). The key is rounded to 6 dp BEFORE
+    * ranking (id tie-break) so near-ties rank identically across engines.
+    *
+    * Scale shape: one codegen projection + a TakeOrdered top-k — no
+    * global window, no shuffle beyond the k-row merge. Rows with
+    * weight <= 0 or null are excluded (they have zero draw probability).
+    */
+  def weightedTake(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wtake"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u32 = conv(substring(saltedMd5(Cols.q(idCol), salt), 1, 8), 16, 10).cast("long")
+    val u   = (u32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(-log(u) / Cols.q(weightCol).cast("double"), 6)
+    val top = df
+      .where(Cols.q(weightCol).isNotNull && Cols.q(weightCol) > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").asc, Cols.q(idCol).asc)
+      .limit(k)
+    // the partition-less window runs over <= k rows by construction
+    val w = Window.orderBy(col("es_key").asc, Cols.q(idCol).asc)
+    top.withColumn("sample_rank", row_number().over(w))
+  }
 }

@@ -124,6 +124,24 @@ object TextAnalysis {
           (start / stride).cast("long").as("chunk_idx"),
           slice(tk, start + 1, lit(size)).as("chunk_tokens")))
 
+  /** Adjacent token pairs of a token array, in order — the shared
+    * building block of tokenizer-merge statistics ([[graft.llm.Vocab]]
+    * pair counts) and the bigram LM quality score. One codegen
+    * projection: `struct(tk[i], tk[i+1])` over an index `sequence`;
+    * arrays with fewer than two tokens yield an empty pair list
+    * (`sequence` would count DOWN from 1 to 0 otherwise — Spark
+    * sequences are bidirectional).
+    */
+  def adjacentPairs(tk: Column): Column = {
+    val empty = array().cast("array<struct<a:string,b:string>>")
+    when(
+      org.apache.spark.sql.functions.size(tk) >= 2,
+      transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(tk) - 1),
+        i => struct(element_at(tk, i).as("a"), element_at(tk, i + 1).as("b"))))
+      .otherwise(empty)
+  }
+
   def rollingFingerprint(text: Column): Column =
     aggregate(
       split(text, " "),

@@ -737,6 +737,123 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 lexical retrieval ([[Bm25.topK]]): top-20 documents for a fixed
+    * query-term set. The whole scorer is one projection + one reduced
+    * stats row + a TakeOrdered — no token explode, no vocabulary shuffle.
+    * The oracle replays the identical formula with the SAME operation
+    * order (constants written as the unfolded expressions, e.g.
+    * `(1.2 + 1.0)`, so both engines fold the same doubles); scores are
+    * rounded to 6 dp before ranking, id tie-break.
+    */
+  val q91Bm25Topk: Declared = Declared.sql(
+    "q91_bm25_topk",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf2,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS DOUBLE) AS tf3
+      |  FROM documents),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |        CAST(sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df1,
+      |        CAST(sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df2,
+      |        CAST(sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df3
+      |      FROM p),
+      |sc AS (SELECT doc_id, round(
+      |    ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+      |    6) AS score FROM p CROSS JOIN s),
+      |r AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |SELECT doc_id, score, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 20 ORDER BY rn""".stripMargin) {
+    (spark, dir) =>
+      Bm25
+        .topK(t(spark, dir).documents, "doc_id", "text", Seq("spark", "window", "merge"), k = 20)
+        .orderBy("rn")
+  }
+
+  /** Weighted sampling without replacement ([[Sampling.weightedTake]],
+    * Efraimidis–Spirakis): 50 documents drawn proportional to `n_chars`,
+    * deterministic via the salted-md5 uniform. The oracle refolds the md5
+    * hex prefix to the same u32 (the q38 trick) and replays the
+    * exponential-jitter key exactly.
+    */
+  val q92WeightedSample: Declared = Declared.sql(
+    "q92_weighted_sample",
+    """WITH u AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+      |    list_sum(list_transform(range(8), i ->
+      |      CAST(strpos('0123456789abcdef',
+      |             substr(md5('wtake|' || CAST(doc_id AS VARCHAR)), CAST(i+1 AS INTEGER), 1)) - 1 AS BIGINT)
+      |        << CAST(4*(7-i) AS INTEGER))) AS u32
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |k AS (SELECT doc_id,
+      |        round(-ln((CAST(u32 AS DOUBLE) + 0.5) / 4294967296.0) / w, 6) AS es_key FROM u),
+      |r AS (SELECT doc_id, es_key,
+      |        row_number() OVER (ORDER BY es_key ASC, doc_id ASC) AS sample_rank FROM k)
+      |SELECT doc_id, es_key, CAST(sample_rank AS INTEGER) AS sample_rank
+      |FROM r WHERE sample_rank <= 50 ORDER BY sample_rank""".stripMargin) { (spark, dir) =>
+    Sampling
+      .weightedTake(t(spark, dir).documents.select("doc_id", "n_chars"), "doc_id", "n_chars", k = 50)
+      .select(col("doc_id"), col("es_key"), col("sample_rank"))
+      .orderBy("sample_rank")
+  }
+
+  /** Tokenizer-merge statistics ([[TextAnalysis.adjacentPairs]]): the 50
+    * most frequent adjacent token pairs — the count table a BPE trainer's
+    * first merge step reads. Pair extraction is one projection (no
+    * self-join); the count agg is pair-vocabulary-sized; top-k is a
+    * TakeOrdered, never a global window over the pair vocabulary.
+    */
+  val q93BpePairs: Declared = Declared.sql(
+    "q93_bpe_pairs",
+    """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |ix AS (SELECT t, unnest(range(1, len(t))) AS i FROM tk),
+      |p AS (SELECT t[CAST(i AS INTEGER)] AS a, t[CAST(i + 1 AS INTEGER)] AS b FROM ix),
+      |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY a, b),
+      |r AS (SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn FROM c)
+      |SELECT a, b, cnt, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 50 ORDER BY rn""".stripMargin) {
+    (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = t(spark, dir).documents
+        .select(explode(TextAnalysis.adjacentPairs(split(col("text"), " "))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val top = pairs
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(50)
+      // the partition-less window runs over <= 50 rows by construction
+      val w = Window.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      top.withColumn("rn", row_number().over(w)).orderBy("rn")
+  }
+
+  /** Bigram-LM quality score ([[Vocab.bigramLogProb]], add-0.5
+    * smoothing): mean ln P(b|a) per document — catches word-salad that
+    * unigram scoring (q75) cannot. Model counts and the V scalar are
+    * replayed relationally by the oracle.
+    */
+  val q94BigramLogprob: Declared = Declared.sql(
+    "q94_bigram_logprob",
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
+      |p AS (SELECT doc_id, t[CAST(i AS INTEGER)] AS a, t[CAST(i + 1 AS INTEGER)] AS b FROM ix),
+      |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM p GROUP BY a, b),
+      |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+      |      FROM (SELECT unnest(t) AS tok FROM tk)),
+      |lp AS (SELECT a, b,
+      |         ln((CAST(cab AS DOUBLE) + 0.5) / (CAST(ca AS DOUBLE) + 0.5 * vs)) AS lp
+      |       FROM cab JOIN ca USING (a) CROSS JOIN v)
+      |SELECT p.doc_id, round(avg(lp.lp), 6) AS logprob, CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM p JOIN lp USING (a, b)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
+    Vocab
+      .bigramLogProb(t(spark, dir).documents, "doc_id", "text")
+      .select(col("doc_id"), round(col("logprob"), 6).as("logprob"), col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style overlapping chunking (64-token windows, stride 48): one
     * row per chunk with its token count and content md5 — the chunk
     * CONTENT is hash-checked cross-engine, not just counted.
@@ -1305,5 +1422,9 @@ object TextQueries {
     q87DataCard,
     q88LangBudget,
     q89NfcNormalize,
-    q90LeakSafeSplit)
+    q90LeakSafeSplit,
+    q91Bm25Topk,
+    q92WeightedSample,
+    q93BpePairs,
+    q94BigramLogprob)
 }

@@ -130,6 +130,53 @@ object Vocab {
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** Per-document bigram log-probability under an add-k-smoothed corpus
+    * bigram model — the next step up from [[unigramLogProb]]'s KenLM-shaped
+    * junk screen: word-salad documents whose unigrams look normal but whose
+    * transitions are noise score low. For each adjacent pair (a,b):
+    * `ln((c(a,b) + k) / (c(a) + k·V))` with `c(a) = Σ_b c(a,b)` (bigram
+    * prefix counts) and `V` the unigram type count; the score is the mean
+    * over the document's bigrams.
+    *
+    * Scale shape: pair extraction is one projection
+    * ([[TextAnalysis.adjacentPairs]]) + explode; the model is two shuffled
+    * aggs (bigram counts, prefix counts) joined back to the pair stream —
+    * broadcast by default (bigram vocabularies are usually executor-sized),
+    * `broadcastVocab = false` switches the rejoin to shuffle-hash for open
+    * vocabularies, same contract as [[unigramLogProb]]. Documents with no
+    * bigram (0–1 tokens) are absent from the output.
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5,
+      broadcastVocab: Boolean = true): DataFrame = {
+    import graft.core.Cols
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val toks = docs.select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("__tk"))
+    val pairs = toks
+      .select(col("__id"), explode(TextAnalysis.adjacentPairs(col("__tk"))).as("__p"))
+      .select(col("__id"), col("__p.a").as("a"), col("__p.b").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ca  = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val v = toks
+      .select(explode(col("__tk")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("vs"))
+    val lp = cab
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(
+        col("a"),
+        col("b"),
+        log((col("cab").cast("double") + lit(k)) / (col("ca").cast("double") + lit(k) * col("vs"))).as("lp"))
+    val modelSide = if (broadcastVocab) broadcast(lp) else lp.hint("shuffle_hash")
+    pairs
+      .join(modelSide, Seq("a", "b"))
+      .groupBy(col("__id").as(idCol))
+      .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_bigrams"))
+  }
+
   /** Vocabulary coverage curve — for each cutoff k in `ks`, the fraction
     * of all corpus TOKEN OCCURRENCES covered by the k most frequent
     * types (the tokenizer-design question "how big a vocab do we

@@ -187,4 +187,80 @@ class TextAnalysisSpec extends AnyFunSuite {
       .head()
     assert(got == 2L, "two distinct required words regardless of case/repeats")
   }
+
+  test("adjacentPairs: in-order pairs; 0- and 1-token arrays yield empty") {
+    val got = Seq("a b c b", "solo", "")
+      .toDF("text")
+      .select(TextAnalysis.adjacentPairs(split(col("text"), " ")).as("p"))
+      .as[Seq[(String, String)]]
+      .collect()
+    assert(got(0) == Seq(("a", "b"), ("b", "c"), ("c", "b")))
+    assert(got(1).isEmpty, "single token has no pairs")
+    assert(got(2).isEmpty, "empty text splits to [\"\"] — still no pairs")
+  }
+
+  test("bm25: exact-match doc outranks partial; absent terms contribute nothing") {
+    val docs = Seq(
+      (1L, "spark merge window spark"),
+      (2L, "spark scan scan scan"),
+      (3L, "scan filter join scan")).toDF("doc_id", "text")
+    val got = graft.llm.Bm25
+      .topK(docs, "doc_id", "text", Seq("spark", "window", "merge"), k = 3)
+      .orderBy("rn")
+      .select("doc_id", "score")
+      .as[(Long, Double)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0)._2 > got(1)._2, "doc with all three terms wins")
+    assert(got(2)._2 == 0.0, "no query terms → zero score")
+  }
+
+  test("bm25 idf is always positive (Lucene form), even for a term in every doc") {
+    val docs = Seq((1L, "the a"), (2L, "the b"), (3L, "the c")).toDF("doc_id", "text")
+    val got = graft.llm.Bm25
+      .topK(docs, "doc_id", "text", Seq("the"), k = 3)
+      .select("score")
+      .as[Double]
+      .collect()
+    assert(got.forall(_ > 0.0), s"df = N must still score positive, got ${got.toSeq}")
+  }
+
+  test("weightedTake: deterministic, excludes nonpositive weights, ranks by jittered key") {
+    import graft.llm.Sampling
+    val docs = (1L to 100L).map(i => (i, if (i <= 5) 0L else i)).toDF("id", "w")
+    val a = Sampling.weightedTake(docs, "id", "w", k = 10).select("id", "sample_rank")
+    val b = Sampling.weightedTake(docs, "id", "w", k = 10).select("id", "sample_rank")
+    assert(a.collect().toSeq == b.collect().toSeq, "same salt → same draw")
+    val ids = a.as[(Long, Int)].collect().map(_._1)
+    assert(ids.length == 10 && ids.forall(_ > 5L), "zero-weight rows never drawn")
+    val other = Sampling.weightedTake(docs, "id", "w", k = 10, salt = "other")
+    assert(
+      other.select("id").as[Long].collect().toSeq != ids.toSeq,
+      "different salt → different draw")
+  }
+
+  test("weightedTake favors heavy rows: total weight of the draw beats uniform expectation") {
+    import graft.llm.Sampling
+    // weights 1..200: weighted draw of 20 should carry well above the
+    // uniform-draw expected weight sum (20 * 100.5)
+    val docs = (1L to 200L).map(i => (i, i)).toDF("id", "w")
+    val drawn = Sampling.weightedTake(docs, "id", "w", k = 20).select("w").as[Long].collect()
+    assert(drawn.sum > 20 * 100.5, s"weighted draw too light: ${drawn.sum}")
+  }
+
+  test("bigramLogProb: higher-probability transitions score higher; short docs absent") {
+    import graft.llm.Vocab
+    val docs = Seq(
+      (1L, "a b a b a b"), // only ever a->b / b->a transitions
+      (2L, "a c b a x y"), // rare transitions
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = Vocab
+      .bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "1-token doc has no bigrams")
+    assert(got(0)._2 > got(1)._2, "repeated transitions beat one-off ones")
+    assert(got(0)._3 == 5L && got(1)._3 == 5L)
+  }
 }
