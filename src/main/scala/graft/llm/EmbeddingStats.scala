@@ -130,4 +130,150 @@ object EmbeddingStats {
     }
     rows.toDF("i", "j", "cov")
   }
+
+  /** Per-dimension robust scaling (median / IQR) — the feature
+    * normalization that survives the heavy-tailed junk vectors an outlier
+    * screen ([[labelOutliers]]) is about to flag (mean/stddev scaling
+    * would let those same outliers set the scale). Returns one row per
+    * (id, dim): `scaled = (v - median_dim) / iqr_dim`, IQR-zero dims
+    * divide by 1 instead.
+    *
+    * Scale shape: posexplode keeps shuffle rows scalar; the stats table
+    * is DIMS rows (one exact-percentile agg — [[graft.core.ScaleMode]]
+    * Approx swaps in `percentile_approx` for the 100 TB path, same
+    * contract as q28) and is broadcast back for the scaling projection.
+    */
+  def robustScale(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mode: graft.core.ScaleMode = graft.core.ScaleMode.Exact,
+      scale: Int = 4): DataFrame = {
+    import graft.core.Stats
+    val pe = df.select(
+      Cols.q(idCol),
+      posexplode(Cols.q(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+    val dims = pe.select(Cols.q(idCol), (col("pos") + 1).as("dim"), col("v"))
+    val iqrRaw = col("p75") - col("p25")
+    val stats = dims
+      .groupBy("dim")
+      .agg(
+        Stats.percentile(col("v"), 0.25, mode).as("p25"),
+        Stats.percentile(col("v"), 0.50, mode).as("med"),
+        Stats.percentile(col("v"), 0.75, mode).as("p75"))
+      .select(
+        col("dim"),
+        col("med"),
+        when(iqrRaw === 0.0, lit(1.0)).otherwise(iqrRaw).as("iqr"))
+    dims
+      .join(broadcast(stats), Seq("dim"))
+      .select(
+        Cols.q(idCol),
+        col("dim").cast("int").as("dim"),
+        round((col("v") - col("med")) / col("iqr"), scale).as("scaled"))
+  }
+
+  /** PCA basis of the embedding column: top-`k` eigenvectors of the
+    * covariance matrix by power iteration with deflation. The iteration
+    * runs on the DRIVER over the d×d matrix — O(d²) state from the one
+    * [[covarianceMatrix]] treeAggregate pass, exactly the bounded-driver
+    * pattern of [[IvfIndex]]'s sampled training: corpus size only ever
+    * changes the scan, never driver memory.
+    *
+    * Deterministic: fixed start vector (1/√d ones), fixed iteration
+    * count, sign normalized so each component's largest-|x| coordinate
+    * is positive.
+    *
+    * @return (means, components, eigenvalues) — components are unit
+    *         vectors, eigenvalues descending
+    */
+  def pcaBasis(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 100): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val cov = covarianceMatrix(df, vecCol, scale = 12).collect()
+    val d   = cov.iterator.map(_.getInt(1)).max
+    val m   = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    val means = df
+      .select(posexplode(Cols.q(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(avg("v").as("mean"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getDouble(1))
+    require(k >= 1 && k <= d, s"need 1 <= k <= $d components, got $k")
+
+    def matVec(a: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += a(i)(j) * x(j); j += 1 }
+        y(i) = s
+        i += 1
+      }
+      y
+    }
+    def norm(x: Array[Double]): Double = math.sqrt(x.map(v => v * v).sum)
+
+    val comps = Array.ofDim[Double](k, d)
+    val evs   = new Array[Double](k)
+    for (c <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = matVec(m, v)
+        val n = norm(w)
+        require(n > 0, s"power iteration collapsed at component $c (rank-deficient after deflation)")
+        v = w.map(_ / n)
+        it += 1
+      }
+      val mv     = matVec(m, v)
+      val lambda = v.zip(mv).map { case (a, b) => a * b }.sum
+      // deterministic sign: largest-|x| coordinate positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sign  = if (v(pivot) < 0) -1.0 else 1.0
+      comps(c) = v.map(_ * sign)
+      evs(c) = lambda
+      // deflate: m -= lambda v v^T
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    (means, comps, evs)
+  }
+
+  /** Project every embedding onto the top-`k` principal components
+    * (centered): `pc_c = (v - mean)·u_c = v·u_c - mean·u_c`. The mean
+    * term is a per-component scalar, so the distributed pass is ONE
+    * codegen projection of `k` [[graft.functions.GraftFunctions.dot]]
+    * products over the broadcast basis — nothing corpus-sized moves.
+    */
+  def pcaProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 2,
+      iters: Int = 100,
+      scale: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val (means, comps, _) = pcaBasis(df, vecCol, k, iters)
+    val vec = Cols.q(vecCol).cast("array<double>")
+    val pcCols = comps.zipWithIndex.map { case (u, c) =>
+      val uLit       = array(u.map(lit): _*)
+      val meanOffset = means.zip(u).map { case (a, b) => a * b }.sum
+      round(dot(vec, uLit) - lit(meanOffset), scale).as(s"pc${c + 1}")
+    }
+    df.select(Cols.q(idCol) +: pcCols.toSeq: _*)
+  }
 }

@@ -275,8 +275,42 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Per-dimension robust scaling ([[EmbeddingStats.robustScale]]):
+    * median/IQR normalization of every embedding coordinate — the full
+    * scaled matrix is hash-checked (DuckDB `quantile_cont` replays the
+    * exact-percentile stats, same pairing as q28).
+    */
+  val q95RobustScale: Declared = Declared.sql(
+    "q95_robust_scale",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |x AS (SELECT vec_id, generate_subscripts(emb, 1) AS dim, unnest(emb) AS v FROM e),
+      |s AS (SELECT dim, quantile_cont(v, 0.50) AS med,
+      |        CASE WHEN quantile_cont(v, 0.75) - quantile_cont(v, 0.25) = 0.0 THEN 1.0
+      |             ELSE quantile_cont(v, 0.75) - quantile_cont(v, 0.25) END AS iqr
+      |      FROM x GROUP BY dim)
+      |SELECT x.vec_id, CAST(x.dim AS INTEGER) AS dim, round((x.v - s.med) / s.iqr, 4) AS scaled
+      |FROM x JOIN s USING (dim)
+      |ORDER BY x.vec_id, x.dim""".stripMargin) { (spark, dir) =>
+    EmbeddingStats
+      .robustScale(t(spark, dir).embeddings, "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+  }
+
+  /** PCA projection ([[EmbeddingStats.pcaProject]]): top-2 principal
+    * components by driver-side power iteration over the treeAggregated
+    * covariance, projection as one broadcast codegen pass. Rows-only —
+    * the eigenvector fixpoint is not SQL-replayable at matching
+    * precision; EmbeddingStatsSpec pins alignment on a known-spectrum
+    * corpus, orthonormality, the variance ordering, and determinism.
+    */
+  val q96PcaProject: Declared = Declared.rowsOnly("q96_pca_project") { (spark, dir) =>
+    EmbeddingStats
+      .pcaProject(t(spark, dir).embeddings, "vec_id", "embedding", k = 2)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
-      q82CovarianceMatrix)
+      q82CovarianceMatrix, q95RobustScale, q96PcaProject)
 }

@@ -854,6 +854,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff ([[CorpusDiff.diff]]): v2 is derived from the
+    * corpus deterministically (drop ~16% of ids, edit ~19% of the rest,
+    * clone ~9% under offset ids — all salted-md5 draws), then every id is
+    * classified added/removed/changed/unchanged by content digest. The
+    * oracle rebuilds v2 from the same draws and replays the full-outer
+    * digest join as a text comparison.
+    */
+  val q97SnapshotDiff: Declared = Declared.sql(
+    "q97_snapshot_diff",
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5('edit|' || CAST(doc_id AS VARCHAR)), 1, 2) < '30'
+      |         THEN text || ' [v2]' ELSE text END AS text
+      |  FROM documents
+      |  WHERE substr(md5('drop|' || CAST(doc_id AS VARCHAR)), 1, 2) >= '28'
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE substr(md5('clone|' || CAST(doc_id AS VARCHAR)), 1, 2) < '18')
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.text <> b.text THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs    = t(spark, dir).documents.select("doc_id", "text")
+    def b(salt: String) = Sampling.hashBucket(col("doc_id"), salt)
+    val v2kept = docs
+      .where(b("drop") >= "28")
+      .select(
+        col("doc_id"),
+        when(b("edit") < "30", concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text"))
+          .as("text"))
+    val v2added = docs
+      .where(b("clone") < "18")
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    CorpusDiff
+      .diff(docs, v2kept.unionByName(v2added), "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style overlapping chunking (64-token windows, stride 48): one
     * row per chunk with its token count and content md5 — the chunk
     * CONTENT is hash-checked cross-engine, not just counted.
@@ -1426,5 +1468,6 @@ object TextQueries {
     q91Bm25Topk,
     q92WeightedSample,
     q93BpePairs,
-    q94BigramLogprob)
+    q94BigramLogprob,
+    q97SnapshotDiff)
 }
