@@ -182,4 +182,48 @@ class ScalePostureSpec extends AnyFunSuite {
     Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
       .foreach(j => assert(!plan.contains(j), s"q85 unexpectedly plans a $j"))
   }
+
+  test("q91 BM25 plans no token explode and ranks via TakeOrdered, not a global sort") {
+    val plan = SparkEntry
+      .queries("q91_bm25_topk")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Generate"), s"BM25 must not explode the token stream")
+    Seq("SortMergeJoin", "ShuffledHashJoin")
+      .foreach(j => assert(!plan.contains(j), s"q91 unexpectedly plans a $j"))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be a TakeOrdered, not sort+limit")
+  }
+
+  test("bigramLogProb broadcasts the model side, never the pair stream") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.llm.Vocab.bigramLogProb(Tables(spark, dir).documents, "doc_id", "text")
+    val joins = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    val modelBuilds = joins.filter { j =>
+      val build = j.buildSide.toString match {
+        case "BuildRight" => j.right
+        case _            => j.left
+      }
+      build.toString.contains("ln(")
+    }
+    assert(
+      modelBuilds.nonEmpty,
+      s"no broadcast hash join builds the ln() model side; joins=${joins.size}")
+  }
+
+  test("robustScale broadcasts the DIMS-row percentile stats, never the exploded matrix") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.llm.EmbeddingStats
+      .robustScale(Tables(spark, dir).embeddings, "vec_id", "embedding")
+    val joins = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size == 1, s"expected 1 broadcast hash join, got ${joins.size}")
+    val j = joins.head
+    val build = j.buildSide.toString match {
+      case "BuildRight" => j.right
+      case _            => j.left
+    }
+    assert(
+      build.toString.contains("percentile"),
+      s"broadcast build side is not the percentile stats subtree:\n${build.toString.take(600)}")
+  }
 }
