@@ -896,6 +896,143 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Zipf-fit diagnostic: OLS slope/intercept of ln(freq) on ln(rank)
+    * over the top-1000 token types — the corpus-health check (natural
+    * text slopes ≈ −1; synthetic or templated corpora flatten). Ranking
+    * is [[Vocab.denseIds]] (no global window over the vocabulary); the
+    * fit is one `regr_slope`/`regr_intercept` aggregate over ≤1000 rows.
+    */
+  val q98ZipfFit: Declared = Declared.sql(
+    "q98_zipf_fit",
+    """WITH cnt AS (SELECT tok, count(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok),
+      |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r FROM cnt)
+      |SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |  round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS slope,
+      |  round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS intercept
+      |FROM rk WHERE r <= 1000""".stripMargin) { (spark, dir) =>
+    val cnt = t(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    Vocab
+      .denseIds(cnt, Seq(col("n").desc, col("tok").asc), "r")
+      .where(col("r") <= 1000)
+      .agg(
+        count(lit(1)).cast("long").as("n_types"),
+        round(expr("regr_slope(ln(cast(n as double)), ln(cast(r as double)))"), 4).as("slope"),
+        round(expr("regr_intercept(ln(cast(n as double)), ln(cast(r as double)))"), 4)
+          .as("intercept"))
+  }
+
+  /** Per-source KL divergence from the corpus-wide unigram distribution —
+    * the domain-shift column of a data card: which sources' token
+    * distributions sit far from the mixture they feed. KL(P_src ∥ P_corpus)
+    * over the source's observed types (a subset of the corpus types, so
+    * the ratio is always finite).
+    *
+    * Scale shape: two token-keyed aggs (per-source, corpus) + a
+    * vocabulary-sized broadcast rejoin; totals are one reduced row each.
+    * The final agg is source-keyed — SOURCES rows of output.
+    */
+  val q99SourceKl: Declared = Declared.sql(
+    "q99_source_kl",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |st AS (SELECT source, tok, count(*) AS ns FROM tok GROUP BY source, tok),
+      |stot AS (SELECT source, CAST(sum(ns) AS DOUBLE) AS ts FROM st GROUP BY source),
+      |c AS (SELECT tok, count(*) AS nc FROM tok GROUP BY tok),
+      |ctot AS (SELECT CAST(sum(nc) AS DOUBLE) AS tc FROM c)
+      |SELECT st.source,
+      |  round(sum((CAST(ns AS DOUBLE) / ts) *
+      |            ln((CAST(ns AS DOUBLE) / ts) / (CAST(nc AS DOUBLE) / tc))), 6) AS kl
+      |FROM st JOIN stot USING (source) JOIN c USING (tok) CROSS JOIN ctot
+      |GROUP BY st.source
+      |ORDER BY st.source""".stripMargin) { (spark, dir) =>
+    val toks = t(spark, dir).documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val st     = toks.groupBy("source", "tok").agg(count(lit(1)).as("ns"))
+    val stot   = st.groupBy("source").agg(sum("ns").cast("double").as("ts"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("nc"))
+    val ctot   = corpus.agg(sum("nc").cast("double").as("tc"))
+    val ps     = col("ns").cast("double") / col("ts")
+    val pc     = col("nc").cast("double") / col("tc")
+    st.join(broadcast(stot), Seq("source"))
+      .join(broadcast(corpus), Seq("tok"))
+      .crossJoin(broadcast(ctot))
+      .groupBy("source")
+      .agg(round(sum(ps * log(ps / pc)), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  /** Leakage-safe holdout scoring — the capstone composition: q90's
+    * cluster-aware split keeps near-dups on one side, a bigram model is
+    * trained ONLY on the train side ([[Vocab.bigramLogProbHoldout]]),
+    * and the test side is scored under it (unseen transitions fall back
+    * to the smoothing mass). The oracle replays the component fixpoint,
+    * the split draw, and the left-joined model scoring end to end.
+    */
+  val q100HoldoutScore: Declared = Declared.sql(
+    "q100_holdout_score",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) x
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+      |          UNION ALL SELECT b_id, a_id FROM prs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id),
+      |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
+      |              THEN 'train' ELSE 'test' END AS split
+      |       FROM comp),
+      |tk AS (SELECT d.doc_id, sp.split, string_split(d.text, ' ') AS t
+      |       FROM documents d JOIN sp ON sp.doc_id = d.doc_id),
+      |ix AS (SELECT doc_id, split, t, unnest(range(1, len(t))) AS i FROM tk),
+      |p AS (SELECT doc_id, split, t[CAST(i AS INTEGER)] AS a, t[CAST(i + 1 AS INTEGER)] AS b FROM ix),
+      |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM p WHERE split = 'train' GROUP BY a, b),
+      |cpre AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vs
+      |      FROM (SELECT unnest(t) AS tok FROM tk WHERE split = 'train')),
+      |sc AS (SELECT p.doc_id,
+      |         ln((CAST(COALESCE(cab.cab, 0) AS DOUBLE) + 0.5) /
+      |            (CAST(COALESCE(cpre.ca, 0) AS DOUBLE) + 0.5 * v.vs)) AS lp
+      |       FROM p LEFT JOIN cab USING (a, b) LEFT JOIN cpre USING (a) CROSS JOIN v
+      |       WHERE p.split = 'test')
+      |SELECT doc_id, round(avg(lp), 6) AS logprob, CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val edges = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+      .where(col("jaccard") >= 0.8)
+      .select("a_id", "b_id")
+    val comp = DupClusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val withSplit = docs
+      .join(DupClusters.leakSafeSplit(comp).select("doc_id", "split"), Seq("doc_id"))
+    val train = withSplit.where(col("split") === "train")
+    val test  = withSplit.where(col("split") === "test")
+    Vocab
+      .bigramLogProbHoldout(train, test, "doc_id", "text")
+      .select(col("doc_id"), round(col("logprob"), 6).as("logprob"), col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** RAG-style overlapping chunking (64-token windows, stride 48): one
     * row per chunk with its token count and content md5 — the chunk
     * CONTENT is hash-checked cross-engine, not just counted.
@@ -1469,5 +1606,8 @@ object TextQueries {
     q92WeightedSample,
     q93BpePairs,
     q94BigramLogprob,
-    q97SnapshotDiff)
+    q97SnapshotDiff,
+    q98ZipfFit,
+    q99SourceKl,
+    q100HoldoutScore)
 }

@@ -177,6 +177,49 @@ object Vocab {
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_bigrams"))
   }
 
+  /** Holdout variant of [[bigramLogProb]]: the model (bigram counts,
+    * prefix counts, vocabulary size) is trained ONLY on `train`; `test`
+    * documents are scored under it, with unseen bigrams/prefixes falling
+    * back to the smoothing mass (`cab = ca = 0` → P = 1/V). This is the
+    * eval half of a leakage-safe pipeline: paired with
+    * [[DupClusters.leakSafeSplit]] the score is an honest held-out
+    * perplexity, not a memorization read-back.
+    *
+    * Same scale contract as [[bigramLogProb]]: model sides broadcast by
+    * default, `broadcastModel = false` for open vocabularies.
+    */
+  def bigramLogProbHoldout(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 0.5,
+      broadcastModel: Boolean = true): DataFrame = {
+    import graft.core.Cols
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(
+        Cols.q(idCol).as("__id"),
+        explode(TextAnalysis.adjacentPairs(split(Cols.q(textCol), " "))).as("__p"))
+      .select(col("__id"), col("__p.a").as("a"), col("__p.b").as("b"))
+    val cab = pairsOf(train).groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ca  = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val v = train
+      .select(explode(split(Cols.q(textCol), " ")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("vs"))
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df.hint("shuffle_hash")
+    pairsOf(test)
+      .join(side(cab), Seq("a", "b"), "left")
+      .join(side(ca), Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .select(
+        col("__id"),
+        log((coalesce(col("cab"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("ca"), lit(0L)).cast("double") + lit(k) * col("vs"))).as("lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_bigrams"))
+  }
+
   /** Vocabulary coverage curve — for each cutoff k in `ks`, the fraction
     * of all corpus TOKEN OCCURRENCES covered by the k most frequent
     * types (the tokenizer-design question "how big a vocab do we

@@ -248,6 +248,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(drawn.sum > 20 * 100.5, s"weighted draw too light: ${drawn.sum}")
   }
 
+  test("bigramLogProbHoldout: unseen transitions get smoothing mass; train never scored") {
+    import graft.llm.Vocab
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // "x y": neither bigram nor prefix in train → P = 0.5/(0.5*V) = 1/V, V = 3 types
+    val test = Seq((10L, "x y"), (11L, "a b")).toDF("doc_id", "text")
+    val got = Vocab
+      .bigramLogProbHoldout(train, test, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)]
+      .collect()
+    assert(got.map(_._1).toSeq == Seq(10L, 11L), "only test docs scored")
+    assert(math.abs(got(0)._2 - math.log(1.0 / 3.0)) < 1e-12, "unseen bigram → ln(1/V)")
+    // a->b seen 3 times of 3 a-prefixed bigrams: ln(3.5/(3 + 0.5*3))
+    assert(math.abs(got(1)._2 - math.log(3.5 / 4.5)) < 1e-12)
+  }
+
   test("bigramLogProb: higher-probability transitions score higher; short docs absent") {
     import graft.llm.Vocab
     val docs = Seq(
