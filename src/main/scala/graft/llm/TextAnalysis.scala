@@ -131,6 +131,13 @@ object TextAnalysis {
     * arrays with fewer than two tokens yield an empty pair list
     * (`sequence` would count DOWN from 1 to 0 otherwise — Spark
     * sequences are bidirectional).
+    *
+    * CALLER CONTRACT: pass a bound array COLUMN, not an inline
+    * `split(...)` — `tk` is captured inside the transform lambda and a
+    * captured expression re-evaluates per element, turning pair
+    * extraction O(tokens²) per doc (the q58 HOF lesson; observed 18× on
+    * the sf1 holdout plan). Hoist the tokenization into its own
+    * projection first.
     */
   def adjacentPairs(tk: Column): Column = {
     val empty = array().cast("array<struct<a:string,b:string>>")

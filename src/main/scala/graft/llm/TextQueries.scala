@@ -815,8 +815,11 @@ object TextQueries {
       |SELECT a, b, cnt, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 50 ORDER BY rn""".stripMargin) {
     (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // token array hoisted to its own projection (captured split() in the
+      // transform lambda re-evaluates per element — the q58 HOF lesson)
       val pairs = t(spark, dir).documents
-        .select(explode(TextAnalysis.adjacentPairs(split(col("text"), " "))).as("p"))
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(TextAnalysis.adjacentPairs(col("tk"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
       val top = pairs
         .groupBy("a", "b")

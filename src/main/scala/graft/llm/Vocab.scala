@@ -197,10 +197,13 @@ object Vocab {
       broadcastModel: Boolean = true): DataFrame = {
     import graft.core.Cols
     require(k > 0, s"smoothing k must be > 0, got $k")
+    // hoist the token array into its own projection FIRST: adjacentPairs
+    // captures its argument inside a transform lambda, and a captured
+    // split() re-evaluates per element — O(tokens²) per doc (the q58
+    // HOF lesson; observed 18× on the sf1 holdout plan)
     def pairsOf(df: DataFrame): DataFrame = df
-      .select(
-        Cols.q(idCol).as("__id"),
-        explode(TextAnalysis.adjacentPairs(split(Cols.q(textCol), " "))).as("__p"))
+      .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("__tk"))
+      .select(col("__id"), explode(TextAnalysis.adjacentPairs(col("__tk"))).as("__p"))
       .select(col("__id"), col("__p.a").as("a"), col("__p.b").as("b"))
     val cab = pairsOf(train).groupBy("a", "b").agg(count(lit(1)).as("cab"))
     val ca  = cab.groupBy("a").agg(sum("cab").as("ca"))
