@@ -211,6 +211,38 @@ class ScalePostureSpec extends AnyFunSuite {
       s"no broadcast hash join builds the ln() model side; joins=${joins.size}")
   }
 
+  test("pair extraction keeps the token array hoisted out of the lambda capture") {
+    // a split() captured inside adjacentPairs' transform lambda
+    // re-evaluates per element — O(tokens²)/doc (25 s → 5 s on the sf1
+    // holdout plan). Pin: every Generate(explode(...)) over pair structs
+    // references a bound attribute, never an embedded split()
+    def generateLines(plan: String): Seq[String] =
+      plan.linesIterator.filter(l => l.contains("Generate") && l.contains("element_at")).toSeq
+    val q93 = SparkEntry
+      .queries("q93_bpe_pairs")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val holdout = {
+      import spark.implicits._
+      val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val test  = Seq((2L, "b c d")).toDF("doc_id", "text")
+      graft.llm.Vocab
+        .bigramLogProbHoldout(train, test, "doc_id", "text")
+        .queryExecution
+        .executedPlan
+        .toString
+    }
+    Seq("q93" -> q93, "holdout" -> holdout).foreach { case (name, plan) =>
+      val gens = generateLines(plan)
+      assert(gens.nonEmpty, s"$name: no pair-explode Generate found — shape changed?")
+      gens.foreach(g =>
+        assert(
+          !g.contains("split("),
+          s"$name: tokenization captured inside the pair lambda:\n${g.take(400)}"))
+    }
+  }
+
   test("robustScale broadcasts the DIMS-row percentile stats, never the exploded matrix") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val df = graft.llm.EmbeddingStats
