@@ -29,6 +29,34 @@ object CorpusPipeline {
     * `n_tokens`, `cum_tokens` (selection-order running total) and
     * `pack_id` (capacity-sized training sequences in selection order).
     */
+  /** The pipeline's filter stage on its own: quality metrics projected
+    * once, keep decision on ROUNDED values (the q79 rule: a float at a
+    * rule boundary must not flip on one engine), `quality` column
+    * attached. Pure projections + one filter — stream-safe, which is why
+    * [[graft.stream.StreamingOps.ingestDocumentsStream]] shares it
+    * verbatim.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      textCol: String,
+      nCharsCol: String,
+      minWords: Long = 20L,
+      maxWords: Long = 100000L,
+      minAlphaFrac: Double = 0.8,
+      minReqWords: Long = 1L): DataFrame = {
+    val text = Cols.q(textCol)
+    docs
+      .withColumn("__tk", split(text, " "))
+      .withColumn("__n_words", size(col("__tk")).cast("long"))
+      .withColumn("__alpha", round(TextAnalysis.alphaTokenFrac(col("__tk")), 6))
+      .withColumn("__req", TextAnalysis.requiredWordHits(col("__tk")))
+      .withColumn("quality", TextAnalysis.qualityScore(text, Cols.q(nCharsCol)))
+      .where(
+        col("__n_words").between(minWords, maxWords) &&
+          col("__alpha") >= minAlphaFrac && col("__req") >= minReqWords)
+      .drop("__tk", "__n_words", "__alpha", "__req")
+  }
+
   def buildTrainingSet(
       docs: DataFrame,
       idCol: String,
@@ -41,20 +69,8 @@ object CorpusPipeline {
       minAlphaFrac: Double = 0.8,
       minReqWords: Long = 1L): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val text = Cols.q(textCol)
-    // metrics projected once; the keep decision uses ROUNDED values (the
-    // q79 rule: a float at a rule boundary must not flip on one engine)
-    val withMetrics = docs
-      .withColumn("__tk", split(text, " "))
-      .withColumn("__n_words", size(col("__tk")).cast("long"))
-      .withColumn("__alpha", round(TextAnalysis.alphaTokenFrac(col("__tk")), 6))
-      .withColumn("__req", TextAnalysis.requiredWordHits(col("__tk")))
-      .withColumn("quality", TextAnalysis.qualityScore(text, Cols.q(nCharsCol)))
-    val filtered = withMetrics
-      .where(
-        col("__n_words").between(minWords, maxWords) &&
-          col("__alpha") >= minAlphaFrac && col("__req") >= minReqWords)
-      .drop("__tk", "__n_words", "__alpha", "__req")
+    val filtered =
+      qualityFilter(docs, textCol, nCharsCol, minWords, maxWords, minAlphaFrac, minReqWords)
     val deduped = Dedup.exact(filtered, idCol, textCol)
     CorpusSelect
       .tokenBudget(deduped, col("quality"), idCol, textCol, budget)

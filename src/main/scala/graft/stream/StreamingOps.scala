@@ -181,6 +181,52 @@ object StreamingOps {
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming document source (doc_id, text, lang, source, n_chars). */
+  def readDocumentStream(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** Streaming corpus ingest — the online half of
+    * [[graft.llm.CorpusPipeline]]: the SAME quality-filter stage (pure
+    * projections, shared verbatim via
+    * [[graft.llm.CorpusPipeline.qualityFilter]]), then exact content
+    * dedup across the whole stream (`dropDuplicates` on the text digest,
+    * exposed as `digest`). A document whose content already arrived — in
+    * this micro-batch or any earlier one — is dropped; the first arrival
+    * wins (the batch pipeline's lowest-id election is an offline luxury;
+    * first-wins is the standard online semantics).
+    *
+    * Scale posture: the filter is stateless; dedup state is ONE digest
+    * per distinct surviving document (16 bytes + key overhead), the
+    * minimum any exact online dedup can hold. For unbounded retention at
+    * 100 TB, key the state store to RocksDB and/or add an ingest-time
+    * watermark column + `dropDuplicatesWithinWatermark` to TTL the
+    * digest set — the declared shape here is the retention-free core.
+    */
+  def ingestDocumentsStream(
+      stream: DataFrame,
+      textCol: String = "text",
+      nCharsCol: String = "n_chars",
+      minWords: Long = 20L,
+      maxWords: Long = 100000L,
+      minAlphaFrac: Double = 0.8,
+      minReqWords: Long = 1L): DataFrame =
+    graft.llm.CorpusPipeline
+      .qualityFilter(stream, textCol, nCharsCol, minWords, maxWords, minAlphaFrac, minReqWords)
+      .withColumn("digest", md5(col(textCol).cast("binary")))
+      .dropDuplicates("digest")
+
   /** Streaming embedding source (vec_id, embedding float[], label). */
   def readEmbeddingStream(
       spark: SparkSession,

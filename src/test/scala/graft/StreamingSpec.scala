@@ -243,6 +243,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest matches the batch filter + dedup across micro-batches") {
+    // stage documents into two files → two micro-batches; planted dup in
+    // BOTH batches must survive exactly once even when the copies arrive
+    // in different micro-batches
+    val docs = graft.core.Tables(spark, dir).documents
+    val base = docs.limit(40).select("doc_id", "text", "lang", "source", "n_chars")
+    val dupAcrossBatches = base
+      .where(col("doc_id") === 0)
+      .select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val d = java.nio.file.Files.createTempDirectory("doc_stream").toString
+    base.where(col("doc_id") < 20).write.mode("overwrite").parquet(s"$d/p=0")
+    base.where(col("doc_id") >= 20).unionByName(dupAcrossBatches)
+      .write.mode("overwrite").parquet(s"$d/p=1")
+    val staged = spark.read.parquet(s"$d/p=0").unionByName(spark.read.parquet(s"$d/p=1"))
+
+    val minW = 1L // synthetic docs are short; exercise the dedup path, not the word band
+    val stream = StreamingOps.ingestDocumentsStream(
+      StreamingOps.readDocumentStream(spark, s"$d/p=0").unionByName(
+        StreamingOps.readDocumentStream(spark, s"$d/p=1")),
+      minWords = minW)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("ingest_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ingest_out")
+      val want = graft.llm.CorpusPipeline
+        .qualityFilter(staged, "text", "n_chars", minWords = minW)
+        .withColumn("digest", md5(col("text").cast("binary")))
+      // first-wins vs lowest-id-wins may pick different SURVIVORS for a
+      // dup set; the kept digest set and quality values must agree
+      TestSpark.assertFrameEqual(
+        got.select("digest", "quality").distinct(),
+        want.select("digest", "quality").distinct())
+      assert(got.count() == want.select("digest").distinct().count(), "one survivor per digest")
+      assert(
+        got.where(col("doc_id").isin(0L, 100000L)).count() == 1,
+        "cross-batch planted dup must survive exactly once")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join matches the batch enrichment") {
     val dim = graft.core.Tables(spark, dir).customer
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
