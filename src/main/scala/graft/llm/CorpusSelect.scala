@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSelect {
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling standard (`p_s^α / Σ p^α` with α < 1 upsampling the tail,
+    * α = 1 proportional, α → 0 uniform): for each source its observed
+    * share, its temperature-flattened target share, and the per-document
+    * sampling weight (`target / actual`) a weighted draw like
+    * [[Sampling.weightedTake]] consumes.
+    *
+    * Scale shape: one map-side-combined count agg to a sources-sized
+    * table, then two broadcast scalar joins (corpus total, normalizer) —
+    * nothing past the first agg is corpus-sized.
+    */
+  def temperatureWeights(
+      docs: DataFrame,
+      sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val s   = docs.groupBy(Cols.q(sourceCol)).agg(count(lit(1)).as("n"))
+    val tot = s.agg(sum("n").cast("double").as("t"))
+    val p = s
+      .crossJoin(broadcast(tot))
+      .select(
+        Cols.q(sourceCol),
+        col("n"),
+        (col("n").cast("double") / col("t")).as("p"),
+        pow(col("n").cast("double") / col("t"), alpha).as("pa"))
+    val z = p.agg(sum("pa").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(
+        Cols.q(sourceCol),
+        col("n").cast("long").as("n_docs"),
+        round(col("p"), 6).as("actual_share"),
+        round(col("pa") / col("z"), 6).as("temp_share"),
+        round((col("pa") / col("z")) / col("p"), 6).as("weight"))
+  }
+
   /** Select documents in decreasing `scoreCol` order (ties → ascending
     * `idCol`) while the INCLUSIVE running token total stays ≤ `budget`.
     * Returns the selected rows with `n_tokens` and `cum_tokens` added.

@@ -1566,6 +1566,62 @@ object TextQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Temperature-scaled mixture weights
+    * ([[CorpusSelect.temperatureWeights]], α = 0.3): observed share,
+    * flattened target share, and the per-document sampling weight per
+    * source — the q60 uniform-target mixture generalized to the
+    * `p^α` sampling standard. The oracle replays the two-stage
+    * normalization with the same operation order.
+    */
+  val q101TemperatureMix: Declared = Declared.sql(
+    "q101_temperature_mix",
+    """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM s),
+      |p AS (SELECT source, n, CAST(n AS DOUBLE) / t AS p,
+      |             pow(CAST(n AS DOUBLE) / t, 0.3) AS pa
+      |      FROM s CROSS JOIN tot),
+      |z AS (SELECT sum(pa) AS z FROM p)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       round(p, 6) AS actual_share,
+      |       round(pa / z, 6) AS temp_share,
+      |       round((pa / z) / p, 6) AS weight
+      |FROM p CROSS JOIN z ORDER BY source""".stripMargin) { (spark, dir) =>
+    CorpusSelect
+      .temperatureWeights(t(spark, dir).documents, "source", alpha = 0.3)
+      .orderBy("source")
+  }
+
+  /** Perplexity banding ([[Vocab.logProbBands]]): every document bucketed
+    * head/middle/tail within its language by per-language unigram
+    * log-prob quantile thresholds — the CCNet fluency screen. Thresholds
+    * are a languages-sized aggregate broadcast back (no per-language
+    * ntile window); the oracle replays the q75 scorer, the
+    * `quantile_cont` thresholds and the same `>=` band cases, so every
+    * document's assignment is hash-checked.
+    */
+  val q102PerplexityBands: Declared = Declared.sql(
+    "q102_perplexity_bands",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
+      |lpm AS (SELECT tok, ln(CAST(n AS DOUBLE) / total) AS lp FROM cnt CROSS JOIN tot),
+      |dl AS (SELECT t.doc_id, round(avg(l.lp), 6) AS logprob
+      |       FROM tok t JOIN lpm l USING (tok) GROUP BY t.doc_id),
+      |dg AS (SELECT d.doc_id, d.lang, dl.logprob
+      |       FROM documents d JOIN dl ON d.doc_id = dl.doc_id),
+      |th AS (SELECT lang, quantile_cont(logprob, 0.3) AS t_mid,
+      |              quantile_cont(logprob, 0.7) AS t_head
+      |       FROM dg GROUP BY lang)
+      |SELECT dg.doc_id, dg.lang, dg.logprob,
+      |  CASE WHEN dg.logprob >= th.t_head THEN 'head'
+      |       WHEN dg.logprob >= th.t_mid THEN 'middle'
+      |       ELSE 'tail' END AS band
+      |FROM dg JOIN th USING (lang) ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Vocab
+      .logProbBands(t(spark, dir).documents, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1612,5 +1668,7 @@ object TextQueries {
     q97SnapshotDiff,
     q98ZipfFit,
     q99SourceKl,
-    q100HoldoutScore)
+    q100HoldoutScore,
+    q101TemperatureMix,
+    q102PerplexityBands)
 }

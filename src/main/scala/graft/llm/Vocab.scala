@@ -130,6 +130,62 @@ object Vocab {
       .agg(avg("lp").as("logprob"), count(lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** CCNet-style perplexity banding: score every document with
+    * [[unigramLogProb]], then bucket it into `head` / `middle` / `tail`
+    * within its language by per-language log-prob quantile thresholds
+    * (the fluency screen web-corpus pipelines run before mixing — keep
+    * head+middle, drop the word-salad tail).
+    *
+    * Scale shape: NOT an `ntile` window (a per-language global
+    * sort-and-scan funnels the dominant language through one task — the
+    * skew bomb [[CorpusSelect.tokenBudgetPerGroup]] exists to avoid).
+    * Instead the thresholds are ONE languages-sized aggregate —
+    * `ScaleMode.Exact` interpolated percentiles for oracle parity,
+    * `ScaleMode.Approx` (t-digest style) as the 100 TB path — broadcast
+    * back over the scored stream, and the band is a codegen CASE.
+    *
+    * Determinism: log-probs are rounded to 6 dp BEFORE the thresholds
+    * are computed, so the quantile inputs are identical across engines;
+    * an interpolated threshold either equals a data value exactly (both
+    * engines compute `lo + (hi-lo)·0 = lo` / `lo + 0·f = lo`) or lies
+    * strictly between two distinct data values where no document can
+    * sit — either way the `>=` band comparisons agree.
+    *
+    * @param headQ log-prob quantile at-or-above which a document is
+    *              `head` (default 0.7 = top 30%)
+    * @param midQ  quantile at-or-above which it is `middle`; below is
+    *              `tail`
+    */
+  def logProbBands(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      headQ: Double = 0.7,
+      midQ: Double = 0.3,
+      mode: graft.core.ScaleMode = graft.core.ScaleMode.Exact): DataFrame = {
+    import graft.core.{Cols, Stats}
+    require(0 < midQ && midQ < headQ && headQ < 1, s"need 0 < midQ < headQ < 1, got ($midQ, $headQ)")
+    val lp = unigramLogProb(docs, idCol, textCol)
+      .select(Cols.q(idCol), round(col("logprob"), 6).as("logprob"))
+    val scored = lp.join(docs.select(Cols.q(idCol), Cols.q(groupCol)), Seq(idCol))
+    val th = scored
+      .groupBy(Cols.q(groupCol))
+      .agg(
+        Stats.percentile(col("logprob"), midQ, mode).as("__t_mid"),
+        Stats.percentile(col("logprob"), headQ, mode).as("__t_head"))
+    scored
+      .join(broadcast(th), Seq(groupCol))
+      .select(
+        Cols.q(idCol),
+        Cols.q(groupCol),
+        col("logprob"),
+        when(col("logprob") >= col("__t_head"), "head")
+          .when(col("logprob") >= col("__t_mid"), "middle")
+          .otherwise("tail")
+          .as("band"))
+  }
+
   /** Per-document bigram log-probability under an add-k-smoothed corpus
     * bigram model — the next step up from [[unigramLogProb]]'s KenLM-shaped
     * junk screen: word-salad documents whose unigrams look normal but whose

@@ -144,4 +144,73 @@ class VocabSpec extends AnyFunSuite {
     assert(a.map(_._3) == b.map(_._3))
     a.zip(b).foreach { case (x, y) => assert(math.abs(x._2 - y._2) < 1e-12) }
   }
+
+  test("logProbBands covers every doc, orders bands by score, and honors quantile shares") {
+    // one lang, 20 docs: repetitive high-prob docs vs rare-token salad
+    val docs = (0L until 20L)
+      .map(i => (i, if (i < 10) "common common common words" else s"rare$i salad$i junk$i odd$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Vocab
+      .logProbBands(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Double, String)]
+      .collect()
+      .toSeq
+    assert(got.size == 20, "every doc gets a band")
+    val byBand = got.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byBand.keySet.subsetOf(Set("head", "middle", "tail")))
+    // band boundaries respect the score ordering: min(head) >= max(middle) >= ...
+    for {
+      h <- byBand.get("head"); m <- byBand.get("middle")
+    } assert(h.min >= m.max, "head scores at or above middle scores")
+    for {
+      m <- byBand.get("middle"); t <- byBand.get("tail")
+    } assert(m.min > t.max, "middle scores above tail scores")
+    // quantile shares: head ≥ 30% is impossible to pin exactly with ties,
+    // but tail can never exceed midQ of the group and head is non-empty
+    assert(byBand.getOrElse("tail", Nil).size <= 6, "tail bounded by midQ share")
+    assert(byBand.getOrElse("head", Nil).nonEmpty)
+  }
+
+  test("logProbBands Approx mode assigns the same docs a valid band") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"tok${i % 5} tok${i % 3} tok$i end", if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val ap = Vocab.logProbBands(docs, "doc_id", "text", "lang",
+      mode = graft.core.ScaleMode.Approx)
+    assert(ap.count() == 30)
+    assert(ap.where(!col("band").isin("head", "middle", "tail")).count() == 0)
+    // the sketch threshold is a data value (no interpolation), so exact
+    // boundary membership may shift by a tie — but the band ordering
+    // invariant must still hold within every language
+    val rows = ap.as[(Long, String, Double, String)].collect().toSeq
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val byBand = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for { h <- byBand.get("head"); m <- byBand.get("middle") }
+        assert(h.min >= m.max)
+      for { m <- byBand.get("middle"); t <- byBand.get("tail") }
+        assert(m.min > t.max)
+    }
+  }
+
+  test("temperatureWeights: alpha=1 is proportional; alpha<1 upweights the tail") {
+    import graft.llm.CorpusSelect
+    val docs = (Seq.fill(80)("big") ++ Seq.fill(15)("mid") ++ Seq.fill(5)("small"))
+      .zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val prop = CorpusSelect.temperatureWeights(docs, "source", alpha = 1.0)
+      .orderBy("source").as[(String, Long, Double, Double, Double)].collect().toSeq
+    prop.foreach { case (_, _, p, q, w) =>
+      assert(math.abs(p - q) < 1e-6, "alpha=1 keeps shares")
+      assert(math.abs(w - 1.0) < 1e-6, "alpha=1 weight is 1")
+    }
+    val t = CorpusSelect.temperatureWeights(docs, "source", alpha = 0.3)
+      .orderBy("source").as[(String, Long, Double, Double, Double)].collect().toSeq
+    val m = t.map(r => r._1 -> r).toMap
+    assert(math.abs(t.map(_._4).sum - 1.0) < 1e-5, "temp shares sum to 1")
+    assert(m("small")._5 > 1.0 && m("big")._5 < 1.0, "tail up, head down")
+    assert(m("small")._4 > m("small")._3 && m("big")._4 < m("big")._3)
+    assert(m("big")._2 == 80L && m("small")._2 == 5L)
+  }
 }
