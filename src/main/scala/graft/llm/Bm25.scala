@@ -31,6 +31,45 @@ object Bm25 {
     * @return (idCol, score, rn) — `score` rounded to 6 dp BEFORE ranking so
     *         near-ties rank identically across engines; ties break on id.
     */
+  private def tfCol(term: String) = s"__tf_$term"
+
+  /** The one scoring projection: per-doc length + tf of each query term. */
+  private[graft] def prepare(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val tk = split(Cols.q(textCol), " ")
+    docs.select(
+      Seq(Cols.q(idCol), size(tk).cast("double").as("__dl")) ++
+        queryTerms.map(term => size(filter(tk, t => t === lit(term))).cast("double").as(tfCol(term))): _*)
+  }
+
+  /** One reduced row over a prepared frame: N, avgdl, df per term. */
+  private[graft] def corpusStats(prepared: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    val aggCols = Seq(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl")) ++
+      queryTerms.map(term => sum((col(tfCol(term)) > 0).cast("double")).as(s"__df_$term"))
+    prepared.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private[graft] def scoreExpr(
+      queryTerms: Seq[String],
+      k1: Double,
+      b: Double): org.apache.spark.sql.Column =
+    queryTerms
+      .map { term =>
+        val tf  = col(tfCol(term))
+        val df  = col(s"__df_$term")
+        val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
+        idf * (tf * (lit(k1) + 1.0)) / (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
+      }
+      .reduce(_ + _)
+
+  /** Top-k documents for `queryTerms`, scored by BM25.
+    *
+    * @return (idCol, score, rn) — `score` rounded to 6 dp BEFORE ranking so
+    *         near-ties rank identically across engines; ties break on id.
+    */
   def topK(
       docs: DataFrame,
       idCol: String,
@@ -43,34 +82,48 @@ object Bm25 {
     require(queryTerms.distinct == queryTerms, s"duplicate query terms in $queryTerms")
     import org.apache.spark.sql.expressions.Window
 
-    val tk = split(Cols.q(textCol), " ")
-    def tfCol(term: String) = s"__tf_$term"
-    // one projection: per-doc length + tf of each query term
-    val prepared = docs.select(
-      Seq(Cols.q(idCol), size(tk).cast("double").as("__dl")) ++
-        queryTerms.map(term => size(filter(tk, t => t === lit(term))).cast("double").as(tfCol(term))): _*)
-
-    // one reduced row: N, avgdl, df per term
-    val aggCols = Seq(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl")) ++
-      queryTerms.map(term => sum((col(tfCol(term)) > 0).cast("double")).as(s"__df_$term"))
-    val stats = prepared.agg(aggCols.head, aggCols.tail: _*)
-
-    val score = queryTerms
-      .map { term =>
-        val tf  = col(tfCol(term))
-        val df  = col(s"__df_$term")
-        val idf = log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5)))
-        idf * (tf * (lit(k1) + 1.0)) / (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl")))
-      }
-      .reduce(_ + _)
+    val prepared = prepare(docs, idCol, textCol, queryTerms)
+    val stats    = corpusStats(prepared, queryTerms)
 
     val ranked = prepared
       .crossJoin(broadcast(stats))
-      .select(Cols.q(idCol), round(score, 6).as("score"))
+      .select(Cols.q(idCol), round(scoreExpr(queryTerms, k1, b), 6).as("score"))
       .orderBy(col("score").desc, Cols.q(idCol).asc)
       .limit(k)
     // the partition-less window runs over <= k rows by construction
     val w = Window.orderBy(col("score").desc, Cols.q(idCol).asc)
     ranked.withColumn("rn", row_number().over(w))
+  }
+
+  /** Score an UNBOUNDED document stream under a STATIC corpus's BM25
+    * statistics: N / avgdl / per-term df are collected once (one reduced
+    * row) from the static corpus and inlined as literals, so the stream
+    * side is a single stateless codegen projection — no stream-side
+    * aggregate, no state store, any output mode. This is the online
+    * retrieval-mining shape: the reference corpus defines the statistics;
+    * arriving documents are scored and filtered against them.
+    *
+    * @return (idCol, score) for stream rows with score ≥ `minScore`
+    */
+  def scoreStream(
+      stream: DataFrame,
+      staticCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      minScore: Double = 0.0,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms in $queryTerms")
+    val stats = corpusStats(prepare(staticCorpus, idCol, textCol, queryTerms), queryTerms)
+      .collect()
+      .head
+    require(stats.getAs[Double]("__n") > 0, "staticCorpus must be non-empty (BM25 stats undefined)")
+    val lits = stats.schema.fieldNames.map(n => lit(stats.getAs[Double](n)).as(n))
+    prepare(stream, idCol, textCol, queryTerms)
+      .select(col("*") +: lits.toSeq: _*)
+      .select(Cols.q(idCol), round(scoreExpr(queryTerms, k1, b), 6).as("score"))
+      .where(col("score") >= minScore)
   }
 }

@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  private val RoundSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** @param vertices one column `id` — every vertex that should appear in
     *                 the output (isolated vertices label themselves)
     * @param edges    two columns `a_id`, `b_id` — undirected pairs
@@ -43,14 +45,23 @@ object DupClusters {
       vertices: DataFrame,
       edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    // symmetrize once: propagation must flow both directions
+    // symmetrize in ONE pass over the (possibly expensive) edge plan: an
+    // explode of the two directed forms, not a self-union — a union would
+    // run the upstream pair-generation plan twice per materialization.
+    // Pre-partition by the lookup key `d` before the checkpoint: Dataset
+    // checkpoints preserve outputPartitioning, so the per-round label join
+    // never re-shuffles the edge table (the big side of the loop).
     val sym = edges
-      .select(col("a_id").as("s"), col("b_id").as("d"))
-      .union(edges.select(col("b_id").as("s"), col("a_id").as("d")))
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("s"), col("b_id").cast("long").as("d")),
+        struct(col("b_id").cast("long").as("s"), col("a_id").cast("long").as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+      .repartition(col("d"))
       .localCheckpoint(true)
 
     var labels = vertices
       .select(col("id").cast("long").as("id"), col("id").cast("long").as("lbl"))
+      .repartition(col("id"))
       .localCheckpoint(true)
 
     var it      = 0
@@ -60,6 +71,9 @@ object DupClusters {
         .join(labels.withColumnRenamed("id", "d_id"), col("d") === col("d_id"))
         .groupBy(col("s").as("id"))
         .agg(min("lbl").as("nlbl"))
+      // the changed-label count piggybacks the checkpoint materialization
+      // job as an observed metric — one job per round, not two
+      val obs = org.apache.spark.sql.Observation(s"cc_round_${RoundSeq.incrementAndGet()}")
       val next = labels
         .withColumnRenamed("lbl", "old")
         .join(nbrMin, Seq("id"), "left")
@@ -67,13 +81,42 @@ object DupClusters {
           col("id"),
           least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
           col("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = next.where(col("lbl") =!= col("old")).count()
+      changed = Option(obs.get.getOrElse("changed", null)).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select("id", "lbl")
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Production near-dup clustering entrypoint: n-gram-Jaccard ≥ `tau`
+    * pair graph ([[Dedup.ngramJaccardPairs]]) → connected components.
+    * `maxShingleDf` defaults to [[Dedup.DefaultMaxShingleDf]] — the
+    * production bound that keeps pair expansion sub-quadratic at corpus
+    * scale (a universal stop-shingle otherwise funds O(df²) pair rows);
+    * capped runs compute Jaccard over the retained-shingle universe
+    * (deterministic, and replayable by a SQL oracle). Pass `None` for
+    * exact all-shingle Jaccard (oracle parity, e.g. q69/q84/q90/q100).
+    *
+    * Returns one row per input document: (`idCol`, cluster_id) with
+    * cluster_id = min reachable document id.
+    */
+  def clusterDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.8,
+      maxShingleDf: Option[Long] = Some(Dedup.DefaultMaxShingleDf),
+      maxIters: Int = 50): DataFrame = {
+    val edges = Dedup
+      .ngramJaccardPairs(docs, idCol, textCol, n, maxShingleDf)
+      .where(col("jaccard") >= tau)
+      .select("a_id", "b_id")
+    connectedComponents(docs.select(graft.core.Cols.q(idCol).as("id")), edges, maxIters)
+      .withColumnRenamed("id", idCol)
   }
 
   /** Leakage-safe train/test split: the split decision is drawn from the

@@ -14,6 +14,39 @@ object TextAnalysis {
   /** Whitespace token count. */
   def nTokens(text: Column): Column = size(split(text, " "))
 
+  /** Per-document token Shannon entropy: −Σ p·ln p over the within-doc
+    * token distribution, plus the ln(n_distinct)-normalized form (0 for
+    * single-token docs). Two aggregations joined on the doc key — the
+    * per-token counts and the doc totals — with the division order
+    * matching the SQL oracle exactly (q106). Distributed shape: explode →
+    * two groupBys on the same key (the second reuses the first's
+    * exchange), no window, no driver state.
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.core.Cols
+    val cnt = docs
+      .select(Cols.q(idCol).as("doc_id"), explode(split(Cols.q(textCol), " ")).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("c"))
+    val n = cnt
+      .groupBy("doc_id")
+      .agg(sum("c").cast("double").as("n"), count(lit(1)).as("k"))
+    val p = col("c").cast("double") / col("n")
+    cnt
+      .join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n"), col("k"))
+      .agg(round(-sum(p * log(p)), 6).as("token_entropy"),
+        when(col("k") > 1, round(-sum(p * log(p)) / log(col("k").cast("double")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        col("k").cast("long").as("n_distinct"),
+        col("token_entropy"),
+        col("norm_entropy"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation
     * marks each count as one token (the usual pre-tokenizer regex shape).
     */

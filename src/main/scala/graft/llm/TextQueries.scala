@@ -641,14 +641,9 @@ object TextQueries {
       |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id)
       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = t(spark, dir).documents
-    val edges = Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
-      .where(col("jaccard") >= 0.8)
-      .select("a_id", "b_id")
     DupClusters
-      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = None)
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
       .orderBy("doc_id")
   }
 
@@ -724,14 +719,9 @@ object TextQueries {
       |  CASE WHEN substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc'
       |       THEN 'train' ELSE 'test' END AS split
       |FROM comp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = t(spark, dir).documents
-    val edges = Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
-      .where(col("jaccard") >= 0.8)
-      .select("a_id", "b_id")
     val comp = DupClusters
-      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = None)
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     DupClusters
       .leakSafeSplit(comp)
       .orderBy("doc_id")
@@ -1019,13 +1009,9 @@ object TextQueries {
       |SELECT doc_id, round(avg(lp), 6) AS logprob, CAST(count(*) AS BIGINT) AS n_bigrams
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
-    val edges = Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
-      .where(col("jaccard") >= 0.8)
-      .select("a_id", "b_id")
     val comp = DupClusters
-      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("cluster_id"))
+      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = None)
+      .select(col("doc_id"), col("cluster_id"))
     val withSplit = docs
       .join(DupClusters.leakSafeSplit(comp).select("doc_id", "split"), Seq("doc_id"))
     val train = withSplit.where(col("split") === "train")
@@ -1405,13 +1391,9 @@ object TextQueries {
       |FROM clusters c JOIN q ON q.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
-    val edges = Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
-      .where(col("jaccard") >= 0.8)
-      .select("a_id", "b_id")
     val clusters = DupClusters
-      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = None)
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     val q = docs.select(
       col("doc_id").cast("long").as("doc_id"),
       TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
@@ -1622,6 +1604,155 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The CAPPED production clustering path ([[DupClusters.clusterDocuments]]
+    * with an explicit `maxShingleDf`): shingles above the df cap are
+    * dropped BEFORE pair expansion, Jaccard is computed over the
+    * retained-shingle universe, and components form over the resulting
+    * edge set. The cap here (2) is chosen to BIND at test scale — the
+    * labelling provably differs from q69's uncapped components — so the
+    * hash gate pins the capped semantics themselves, not just the happy
+    * path where the cap is a no-op. At 100 TB this is the path a pipeline
+    * runs: pair rows are bounded by cap² per shingle instead of df².
+    */
+  val q103DupClustersCapped: Declared = Declared.sql(
+    "q103_dup_clusters_capped",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 2),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id) x
+      |  JOIN cnt ca ON ca.doc_id = a_id
+      |  JOIN cnt cb ON cb.doc_id = b_id
+      |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id)
+      |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    DupClusters
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = Some(2L))
+      .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Production MinHash dedup END TO END, hash-checked: banded signatures
+    * ([[Dedup.nearDupPairs]], 4 bands × 2 rows) → band-df cap (3, which
+    * BINDS at test scale: one degenerate bucket holds 300+ near-empty
+    * docs — exactly the hazard the cap exists for) → exact-Jaccard
+    * verification ≥ 0.5 → connected components → keep = min-id survivor.
+    * The oracle replays the salted-md5 signatures (q17's identity), the
+    * bucket cap, the verification join and the component fixpoint, so
+    * the whole production dedup decision chain is pinned cross-engine.
+    */
+  val q104MinhashDedupE2e: Declared = Declared.sql(
+    "q104_minhash_dedup_e2e",
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      |sig AS (SELECT doc_id,
+      |  min(md5('s0|' || tok)) AS s0, min(md5('s1|' || tok)) AS s1,
+      |  min(md5('s2|' || tok)) AS s2, min(md5('s3|' || tok)) AS s3,
+      |  min(md5('s4|' || tok)) AS s4, min(md5('s5|' || tok)) AS s5,
+      |  min(md5('s6|' || tok)) AS s6, min(md5('s7|' || tok)) AS s7
+      |  FROM tok GROUP BY doc_id),
+      |band AS (
+      |  SELECT doc_id, 0 AS band_idx, s0 || '|' || s1 AS band_val FROM sig
+      |  UNION ALL SELECT doc_id, 1, s2 || '|' || s3 FROM sig
+      |  UNION ALL SELECT doc_id, 2, s4 || '|' || s5 FROM sig
+      |  UNION ALL SELECT doc_id, 3, s6 || '|' || s7 FROM sig),
+      |bdf AS (SELECT band_idx, band_val, count(*) AS df FROM band GROUP BY 1, 2),
+      |bkept AS (SELECT b.doc_id, b.band_idx, b.band_val
+      |          FROM band b JOIN bdf USING (band_idx, band_val) WHERE df <= 3),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM bkept a JOIN bkept b
+      |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |          AND a.doc_id < b.doc_id),
+      |n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT c.a_id, c.b_id, count(*) AS c FROM cand c
+      |          JOIN tok ta ON ta.doc_id = c.a_id
+      |          JOIN tok tb ON tb.doc_id = c.b_id AND tb.tok = ta.tok
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT i.a_id, i.b_id FROM inter i
+      |          JOIN n na ON na.doc_id = i.a_id
+      |          JOIN n nb ON nb.doc_id = i.b_id
+      |          WHERE round(CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c), 6) >= 0.5),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.id)
+      |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+      |       (id = min(lbl)) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val edges = Dedup
+      .nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.5,
+        maxBandDf = Some(3L))
+      .select("a_id", "b_id")
+    DupClusters
+      .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge training ([[Bpe.trainMerges]]): 8 greedy rounds over the
+    * corpus, each ONE pair-count aggregate + ONE merge-application pass.
+    * Rows-only by design — the iterative merge application has no
+    * SQL-expressible replay (each round's pair counts depend on the
+    * previous round's rewritten token arrays); the greedy scan itself is
+    * pinned against a driver-side reference trainer in BpeSpec.
+    */
+  val q105BpeMerges: Declared = Declared.rowsOnly("q105_bpe_merges") { (spark, dir) =>
+    Bpe
+      .trainMerges(t(spark, dir).documents, "doc_id", "text", nMerges = 8, minCount = 2L)
+      .orderBy("merge_idx")
+  }
+
+  /** Per-document token Shannon entropy — the information-theoretic
+    * gibberish/repetition screen (low entropy = degenerate repetition,
+    * entropy ≈ log n_distinct = no reuse at all). One pair of
+    * aggregations, no window; `norm_entropy` divides by ln(n_distinct)
+    * (0 for single-token docs). Both engines compute −Σ p·ln p over the
+    * within-doc token distribution with the same operation order.
+    */
+  val q106TokenEntropy: Declared = Declared.sql(
+    "q106_token_entropy",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+      |n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, count(*) AS k FROM cnt GROUP BY doc_id)
+      |SELECT cnt.doc_id,
+      |  CAST(n.n AS BIGINT) AS n_tokens,
+      |  CAST(n.k AS BIGINT) AS n_distinct,
+      |  round(-sum((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n)), 6)
+      |    AS token_entropy,
+      |  CASE WHEN n.k > 1
+      |       THEN round(-sum((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n))
+      |                  / ln(CAST(n.k AS DOUBLE)), 6)
+      |       ELSE 0.0 END AS norm_entropy
+      |FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+      |GROUP BY cnt.doc_id, n.n, n.k
+      |ORDER BY cnt.doc_id""".stripMargin) { (spark, dir) =>
+    TextAnalysis
+      .tokenEntropy(t(spark, dir).documents, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1670,5 +1801,9 @@ object TextQueries {
     q99SourceKl,
     q100HoldoutScore,
     q101TemperatureMix,
-    q102PerplexityBands)
+    q102PerplexityBands,
+    q103DupClustersCapped,
+    q104MinhashDedupE2e,
+    q105BpeMerges,
+    q106TokenEntropy)
 }

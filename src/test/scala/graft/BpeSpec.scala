@@ -1,0 +1,103 @@
+package graft
+
+import graft.llm.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // driver-side reference: the classic two-pointer greedy scan + full
+  // retrain loop, against which the distributed fold is pinned
+  private def refMergeOnce(toks: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i   = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) { out += (a + " " + b); i += 2 }
+      else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(
+      corpus: Seq[String],
+      nMerges: Int,
+      minCount: Long): Seq[(Int, String, String, Long)] = {
+    var docs   = corpus.map(_.split(" ").toVector)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var m      = 1
+    var go     = true
+    while (m <= nMerges && go) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs.foreach { t =>
+        var i = 0
+        while (i + 1 < t.length) { counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1; i += 1 }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minCount =>
+          merges += ((m, a, b, c))
+          docs = docs.map(refMergeOnce(_, a, b))
+          m += 1
+        case _ => go = false
+      }
+    }
+    merges.result()
+  }
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat while the cat ran"),
+    (2L, "the cat sat on a hat and the cat sat down"),
+    (3L, "a a a a b b a a"), // overlapping-run stress: greedy non-overlap
+    (4L, "x y x y x y x y"),
+    (5L, "one-token"))
+
+  test("trainMerges matches the reference greedy trainer merge for merge") {
+    val want = refTrain(corpus.map(_._2), nMerges = 6, minCount = 2L)
+    val got = Bpe
+      .trainMerges(corpus.toDF("doc_id", "text"), "doc_id", "text", nMerges = 6, minCount = 2L)
+      .select("merge_idx", "left", "right", "pair_count")
+      .as[(Int, String, String, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got == want)
+  }
+
+  test("merge application is the greedy non-overlapping scan") {
+    val got = Bpe
+      .applyMerges(Seq((1L, "a a a a a")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(("a", "a")))
+      .select("tk")
+      .as[Seq[String]]
+      .collect()
+      .head
+    // five a's: greedy left-to-right pairs (1,2) and (3,4), the fifth stays
+    assert(got == Seq("a a", "a a", "a"))
+  }
+
+  test("training is deterministic and stops below minCount") {
+    val df  = corpus.toDF("doc_id", "text")
+    val one = Bpe.trainMerges(df, "doc_id", "text", nMerges = 20, minCount = 3L)
+      .collect().map(_.toString).toSeq
+    val two = Bpe.trainMerges(df, "doc_id", "text", nMerges = 20, minCount = 3L)
+      .collect().map(_.toString).toSeq
+    assert(one == two)
+    // every recorded merge fired at least minCount times
+    assert(Bpe.trainMerges(df, "doc_id", "text", nMerges = 20, minCount = 3L)
+      .select("pair_count").as[Long].collect().forall(_ >= 3L))
+  }
+
+  test("merged tokens feed later rounds (hierarchy forms)") {
+    // "x y" dominates, then ("x y", "x y") becomes a countable pair
+    val df = Seq((1L, "x y x y x y x y"), (2L, "x y x y")).toDF("doc_id", "text")
+    val got = Bpe
+      .trainMerges(df, "doc_id", "text", nMerges = 2, minCount = 2L)
+      .select("merge_idx", "left", "right")
+      .as[(Int, String, String)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(got == Seq((1, "x", "y"), (2, "x y", "x y")))
+  }
+}

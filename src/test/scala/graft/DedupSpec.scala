@@ -170,6 +170,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterDocuments capped path equals uncapped components when the cap is slack") {
+    import graft.llm.DupClusters
+    val un = DupClusters
+      .clusterDocuments(corpus, "doc_id", "text", maxShingleDf = None)
+      .as[(Long, Long)].collect().toMap
+    val cap = DupClusters
+      .clusterDocuments(corpus, "doc_id", "text", maxShingleDf = Some(100L))
+      .as[(Long, Long)].collect().toMap
+    assert(un == cap)
+    assert(un(3L) == 1L) // exact dup landed in doc 1's cluster
+  }
+
+  test("clusterDocuments df cap dissolves the stop-shingle mega-cluster") {
+    import graft.llm.DupClusters
+    // every doc shares 'aa bb cc'; at tau=0.1 the uncapped graph is one
+    // component, while the cap drops the universal shingle and leaves
+    // every doc isolated — the production semantics the oracle (q103) pins
+    val unc = DupClusters
+      .clusterDocuments(stopShingleCorpus, "doc_id", "text", tau = 0.1, maxShingleDf = None)
+      .as[(Long, Long)].collect().toMap
+    assert(unc.values.toSet == Set(1L))
+    val got = DupClusters
+      .clusterDocuments(stopShingleCorpus, "doc_id", "text", tau = 0.1, maxShingleDf = Some(4L))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 12L).map(i => i -> i).toMap)
+  }
+
   test("unk rewrite replaces exactly the out-of-vocab tokens") {
     import graft.llm.Vocab
     // "a" (4x) and "b" (3x) are the top-2; "x" and "y" fall out

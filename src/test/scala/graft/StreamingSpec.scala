@@ -335,6 +335,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == want)
   }
 
+  test("streaming BM25 scoring over 2+ micro-batches matches the batch scorer") {
+    import graft.llm.Bm25
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    docs.where(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(s"$d/p=0")
+    docs.where(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(s"$d/p=1")
+    val terms = Seq("spark", "window", "merge")
+    val stream = Bm25.scoreStream(
+      StreamingOps.readDocumentStream(spark, s"$d/p=0").unionByName(
+        StreamingOps.readDocumentStream(spark, s"$d/p=1")),
+      docs, "doc_id", "text", terms, minScore = 1e-6)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("bm25_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = stream.sparkSession.table("bm25_out")
+      // the SAME op applied to the bounded frame is the batch oracle (the
+      // scoring projection is stateless; stats come from the static side)
+      val want = Bm25.scoreStream(docs, docs, "doc_id", "text", terms, minScore = 1e-6)
+      assert(want.count() > 0, "fixture matched no query terms; spec is vacuous")
+      TestSpark.assertFrameEqual(got, want)
+      // and the stream's top-k agrees with the declared batch ranking
+      val batchTop = Bm25.topK(docs, "doc_id", "text", terms, k = 5)
+        .where(col("score") > 0) // the stream filters at minScore; zero-score
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val streamTop = got.orderBy(col("score").desc, col("doc_id").asc).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(streamTop == batchTop)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
