@@ -1753,6 +1753,121 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights ([[Dsir.importanceWeights]], Xie et al.
+    * 2023): every document scored by the hashed-unigram log-likelihood
+    * ratio of the English slice (the "target domain") against the whole
+    * raw corpus — the data-selection step that decides what a pretraining
+    * mixture keeps. Both engines hash tokens to the same 256 md5-prefix
+    * buckets, smooth add-one, and sum ln(p_target/p_raw) per document in
+    * the same operation order.
+    */
+  val q107DsirWeights: Declared = Declared.sql(
+    "q107_dsir_weights",
+    """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, lang, substr(md5(tok), 1, 2) AS b FROM tk),
+      |tgt AS (SELECT b, count(*) AS nt FROM tok WHERE lang = 'en' GROUP BY b),
+      |raw AS (SELECT b, count(*) AS nr FROM tok GROUP BY b),
+      |tt AS (SELECT CAST(sum(nt) AS DOUBLE) AS tt FROM tgt),
+      |rt AS (SELECT CAST(sum(nr) AS DOUBLE) AS rt FROM raw)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(sum(ln(((CAST(COALESCE(tgt.nt, 0) AS DOUBLE) + 1.0) / (tt.tt + 256.0)) /
+      |               ((CAST(COALESCE(raw.nr, 0) AS DOUBLE) + 1.0) / (rt.rt + 256.0)))), 6)
+      |    AS dsir_weight
+      |FROM tok LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
+      |CROSS JOIN tt CROSS JOIN rt
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dsir
+      .importanceWeights(t(spark, dir).documents, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  /** Naive Bayes language classification ([[NaiveBayes.confusion]]) —
+    * the classifier-based filtering/routing stage: train a multinomial
+    * NB on the md5-split train slice (q51's engine-portable draw), score
+    * the held-out slice, report the confusion matrix. The oracle replays
+    * the split, the hashed-bucket likelihoods, the smoothed log-posterior
+    * (rounded to 6 dp BEFORE the argmax), and the per-document
+    * score-desc/class-asc argmax window.
+    *
+    * On the synthetic corpus every language draws from the SAME small
+    * vocabulary (no lexical lang signal), so the class prior dominates
+    * and the matrix collapses to the majority class — the decision chain
+    * is still pinned cross-engine here, and NaiveBayesSpec proves the
+    * classifier separates classes when the text actually carries signal.
+    */
+  val q108NbLangConfusion: Declared = Declared.sql(
+    "q108_nb_lang_confusion",
+    """WITH base AS (SELECT doc_id, lang, text,
+      |    substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train
+      |  FROM documents WHERE text IS NOT NULL),
+      |tk AS (SELECT doc_id, lang, is_train, unnest(string_split(text, ' ')) AS tok FROM base),
+      |tok AS (SELECT doc_id, lang, is_train, substr(md5(tok), 1, 2) AS b FROM tk),
+      |pri AS (SELECT lang AS c, count(*) AS nd FROM base WHERE is_train GROUP BY lang),
+      |pt AS (SELECT CAST(sum(nd) AS DOUBLE) AS td, CAST(count(*) AS DOUBLE) AS k FROM pri),
+      |lik AS (SELECT lang AS c, b, count(*) AS n FROM tok WHERE is_train GROUP BY lang, b),
+      |lt AS (SELECT c, CAST(sum(n) AS DOUBLE) AS tl FROM lik GROUP BY c),
+      |sc AS (
+      |  SELECT t.doc_id, t.lang AS actual, cl.c,
+      |    round(ln((CAST(pri.nd AS DOUBLE) + 1.0) / (pt.td + pt.k)) +
+      |          sum(ln((CAST(COALESCE(lik.n, 0) AS DOUBLE) + 1.0) / (lt.tl + 256.0))), 6)
+      |      AS score
+      |  FROM tok t
+      |  CROSS JOIN (SELECT c FROM pri) cl
+      |  LEFT JOIN lik ON lik.c = cl.c AND lik.b = t.b
+      |  JOIN lt ON lt.c = cl.c
+      |  JOIN pri ON pri.c = cl.c
+      |  CROSS JOIN pt
+      |  WHERE NOT t.is_train
+      |  GROUP BY t.doc_id, t.lang, cl.c, pri.nd, pt.td, pt.k, lt.tl),
+      |pred AS (
+      |  SELECT actual, c AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn
+      |  FROM sc)
+      |SELECT actual AS lang, predicted, count(*) AS n
+      |FROM pred WHERE rn = 1
+      |GROUP BY actual, predicted
+      |ORDER BY actual, predicted""".stripMargin) { (spark, dir) =>
+    NaiveBayes.confusion(
+      t(spark, dir).documents,
+      "doc_id",
+      "text",
+      "lang",
+      Sampling.hashBucket(col("doc_id"), "split") < lit("cc"))
+  }
+
+  /** BPE encode round-trip ([[Bpe.trainMerges]] → [[Bpe.applyMerges]]):
+    * train 8 merges on the corpus, re-tokenize the corpus under them, and
+    * report per-document pre/post token counts and the compression ratio
+    * — the tokenizer-fertility check run before committing a vocabulary.
+    * Rows-only like q105 (the merge table feeding the rewrite is the
+    * product of the iterative trainer, which has no SQL replay); the
+    * fold-vs-reference-scan equivalence and the compression invariants
+    * are pinned in BpeSpec.
+    */
+  val q109BpeEncode: Declared = Declared.rowsOnly("q109_bpe_encode") { (spark, dir) =>
+    val docs   = t(spark, dir).documents
+    val merges = Bpe
+      .trainMerges(docs, "doc_id", "text", nMerges = 8, minCount = 2L)
+      .orderBy("merge_idx")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    val pre = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.nTokens(col("text")).cast("long").as("n_tokens_pre"))
+    Bpe
+      .applyMerges(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens_post"))
+      .join(pre, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens_pre"),
+        col("n_tokens_post"),
+        round(col("n_tokens_post").cast("double") / col("n_tokens_pre"), 6).as("compression"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1805,5 +1920,8 @@ object TextQueries {
     q103DupClustersCapped,
     q104MinhashDedupE2e,
     q105BpeMerges,
-    q106TokenEntropy)
+    q106TokenEntropy,
+    q107DsirWeights,
+    q108NbLangConfusion,
+    q109BpeEncode)
 }

@@ -88,6 +88,34 @@ class BpeSpec extends AnyFunSuite {
       .select("pair_count").as[Long].collect().forall(_ >= 3L))
   }
 
+  test("encode round-trip: applyMerges over trained merges equals the reference rewrite") {
+    val df     = corpus.toDF("doc_id", "text")
+    val merges = Bpe
+      .trainMerges(df, "doc_id", "text", nMerges = 6, minCount = 2L)
+      .orderBy("merge_idx")
+      .select("left", "right")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val got = Bpe
+      .applyMerges(df, "doc_id", "text", merges)
+      .select("doc_id", "tk")
+      .as[(Long, Seq[String])]
+      .collect()
+      .map { case (id, tk) => id -> tk.toVector }
+      .toMap
+    val want = corpus.map { case (id, txt) =>
+      id -> merges.foldLeft(txt.split(" ").toVector) { case (t, (a, b)) => refMergeOnce(t, a, b) }
+    }.toMap
+    assert(got == want)
+    // compression: never more tokens than the input, and the planted
+    // repeats actually compress
+    corpus.foreach { case (id, txt) =>
+      assert(got(id).length <= txt.split(" ").length)
+    }
+    assert(got(4L).length < corpus.find(_._1 == 4L).get._2.split(" ").length)
+  }
+
   test("merged tokens feed later rounds (hierarchy forms)") {
     // "x y" dominates, then ("x y", "x y") becomes a countable pair
     val df = Seq((1L, "x y x y x y x y"), (2L, "x y x y")).toDF("doc_id", "text")
