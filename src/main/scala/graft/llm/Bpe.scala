@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BPE-style merge training over whitespace-pretokenized documents
@@ -15,28 +15,60 @@ import org.apache.spark.sql.functions._
   * most frequent (ties: left asc, right asc), replace every
   * non-overlapping left-to-right occurrence with the merged token.
   *
+  * Kernel: each document is packed ONCE into a delimited string —
+  * `␁␁tok1␁␁tok2␁␁…␁␁` (U+0001 delimiters, doubled between tokens) — and
+  * one merge round is ONE codegen'd `replace(s, "␁a␁␁b␁", "␁a b␁")`.
+  * Because the doubled delimiter leaves one ␁ on each side of a match
+  * unconsumed, back-to-back occurrences (`a b a b`) all merge in a single
+  * left-to-right pass, and an overlapping run (`a a a` with merge (a,a))
+  * merges greedily non-overlapping — exactly the classic two-pointer
+  * scan, pinned against a driver-side reference in BpeSpec. This replaces
+  * a per-token array fold (`aggregate` + `concat(acc, array(t))`), which
+  * copies the accumulator per element — O(tokens²) array churn per doc
+  * per round vs the replace's single O(chars) scan.
+  *
   * Scale shape: a driver loop like [[Mice]]/[[IvfIndex]] — each round is
   * ONE distributed pair-count aggregate (the hoisted
   * [[TextAnalysis.adjacentPairs]] projection, so pair extraction stays
-  * O(tokens) per doc) plus ONE codegen'd `aggregate` HOF pass that
-  * applies the merge, `localCheckpoint`ed so the plan does not nest one
-  * lambda per round. Driver state is O(nMerges) merge rows; the corpus
-  * never leaves the executors. Rounds are the declared cost: nMerges
-  * full passes, the same trade every BPE trainer makes.
+  * O(tokens) per doc) plus the O(chars) replace, `localCheckpoint`ed so
+  * the plan does not nest one round per merge. Driver state is O(nMerges)
+  * merge rows; the corpus never leaves the executors. Rounds are the
+  * declared cost: nMerges full passes, the same trade every BPE trainer
+  * makes.
   *
-  * The greedy left-to-right scan is implemented as a fold: append each
-  * token, merging when the accumulator tail equals `left` and the token
-  * equals `right`. The fold equals the two-pointer scan because a token
-  * produced by THIS round's merge (`left + " " + right`) can never equal
-  * `left` (right is non-empty), so a merged tail never immediately
-  * re-merges — pinned against a driver-side reference scan in BpeSpec.
+  * Tokens are the NON-EMPTY whitespace splits of the text (empty
+  * fragments from doubled/leading spaces carry no merge signal), and must
+  * not contain U+0001 (the packing delimiter). Merged tokens join with a
+  * single space — unambiguous, since input tokens are space-split.
   */
 object Bpe {
 
+  private[llm] val D  = "\u0001"
+  private[llm] val DD = D + D
+
+  /** (id, s): the corpus packed into delimited strings. */
+  private def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(
+        Cols.q(idCol).as("__id"),
+        concat(
+          lit(DD),
+          array_join(filter(split(Cols.q(textCol), " "), t => t =!= lit("")), DD),
+          lit(DD)).as("s"))
+
+  /** Token array back out of a packed string. */
+  private[llm] def unpack(s: Column): Column =
+    filter(split(s, DD), t => t =!= lit(""))
+
+  /** One merge round as a string rewrite (see object doc for why this is
+    * exactly the greedy non-overlapping scan).
+    */
+  private def mergeOnce(s: Column, a: String, b: String): Column =
+    replace(s, lit(D + a + DD + b + D), lit(D + a + " " + b + D))
+
   /** @return the merge table: (merge_idx, left, right, pair_count,
-    *         new_token), merge_idx 1-based in training order. Merged
-    *         tokens join with a single space (input tokens are
-    *         space-split so the joined form is unambiguous). Training
+    *         new_token), merge_idx 1-based in training order. Training
     *         stops early when the best pair's count falls below
     *         `minCount` (a merge that fires once carries no signal).
     */
@@ -50,16 +82,16 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    var toks = docs
-      .where(Cols.q(textCol).isNotNull)
-      .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("tk"))
-      .localCheckpoint(true)
+    var cur = packed(docs, idCol, textCol).localCheckpoint(true)
 
     val merges  = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, String)]
     var stopped = false
     var m       = 1
     while (m <= nMerges && !stopped) {
-      val top = toks
+      // token array hoisted to its own projection (captured expressions in
+      // the transform lambda re-evaluate per element — the q58 HOF lesson)
+      val top = cur
+        .select(unpack(col("s")).as("tk"))
         .select(explode(TextAnalysis.adjacentPairs(col("tk"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("c"))
@@ -69,20 +101,9 @@ object Bpe {
       if (top.isEmpty || top.head.getLong(2) < minCount) stopped = true
       else {
         val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        val merged    = a + " " + b
-        merges += ((m, a, b, c, merged))
-        val (la, lb, lm) = (lit(a), lit(b), lit(merged))
-        toks = toks
-          .select(
-            col("__id"),
-            aggregate(
-              col("tk"),
-              array().cast("array<string>"),
-              (acc, t) =>
-                when(
-                  size(acc) > 0 && element_at(acc, -1) === la && t === lb,
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lm)))
-                  .otherwise(concat(acc, array(t)))).as("tk"))
+        merges += ((m, a, b, c, a + " " + b))
+        cur = cur
+          .select(col("__id"), mergeOnce(col("s"), a, b).as("s"))
           .localCheckpoint(true)
         m += 1
       }
@@ -92,32 +113,20 @@ object Bpe {
 
   /** The corpus re-tokenized under the trained merges: one row per doc
     * with the post-merge token array — what a pipeline materializes to
-    * feed packing ([[Packing]]) with a merged vocabulary. Applies the
-    * SAME fold as training, one round per merge, checkpointed per round.
+    * feed packing ([[Packing]]) with a merged vocabulary. The whole merge
+    * chain is ONE projection of nested `replace`s (narrow, codegen'd, no
+    * checkpoints): each round is O(chars), so applying k merges costs k
+    * linear scans of the doc string, not k array rebuilds.
     */
   def applyMerges(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    var toks = docs
-      .where(Cols.q(textCol).isNotNull)
-      .select(Cols.q(idCol).as(idCol), split(Cols.q(textCol), " ").as("tk"))
-    for ((a, b) <- merges) {
-      val (la, lb, lm) = (lit(a), lit(b), lit(a + " " + b))
-      toks = toks
-        .select(
-          Cols.q(idCol),
-          aggregate(
-            col("tk"),
-            array().cast("array<string>"),
-            (acc, t) =>
-              when(
-                size(acc) > 0 && element_at(acc, -1) === la && t === lb,
-                concat(slice(acc, lit(1), size(acc) - 1), array(lm)))
-                .otherwise(concat(acc, array(t)))).as("tk"))
-        .localCheckpoint(true)
+    val s0 = packed(docs, idCol, textCol)
+    val sN = merges.foldLeft(col("s")) { case (c, (a, b)) =>
+      replace(c, lit(D + a + DD + b + D), lit(D + a + " " + b + D))
     }
-    toks
+    s0.select(col("__id").as(idCol), unpack(sN).as("tk"))
   }
 }

@@ -234,8 +234,12 @@ object SimilarityQueries {
       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos
       |      GROUP BY 1, 2)
       |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-      |       round((sxy - sx * sy / n) / (n - 1), 6) AS cov
+      |       round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov
       |FROM p ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    // `+ 0.0` on the oracle side: DuckDB's round keeps IEEE -0.0 when a
+    // tiny negative covariance rounds to zero; the Spark side rounds via
+    // BigDecimal (no signed zero), and the driver's value hash tells
+    // -0.0 from 0.0 apart. Adding +0.0 canonicalizes (-0.0 + 0.0 = 0.0).
     EmbeddingStats
       .covarianceMatrix(t(spark, dir).embeddings, "embedding")
       .orderBy("i", "j")

@@ -1711,14 +1711,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** BPE merge training ([[Bpe.trainMerges]]): 8 greedy rounds over the
-    * corpus, each ONE pair-count aggregate + ONE merge-application pass.
-    * Rows-only by design — the iterative merge application has no
-    * SQL-expressible replay (each round's pair counts depend on the
-    * previous round's rewritten token arrays); the greedy scan itself is
-    * pinned against a driver-side reference trainer in BpeSpec.
+  /** DuckDB replay of [[Bpe]]'s string kernel, unrolled: r0 packs each
+    * document into the ␁␁-delimited string; each round k derives pair
+    * counts from the current strings, picks the best pair (count desc,
+    * left asc, right asc — binary collation on both engines), and applies
+    * the SAME `replace` rewrite. The CASE guards the minCount early-stop:
+    * once the best count drops below minCount the state stops changing,
+    * so every later round recomputes the same sub-threshold best and its
+    * merge row is filtered out. MATERIALIZED pins each round to evaluate
+    * once (the chain is referenced multiply; inlining would re-run prior
+    * rounds per reference).
     */
-  val q105BpeMerges: Declared = Declared.rowsOnly("q105_bpe_merges") { (spark, dir) =>
+  private def bpeOracleCtes(nMerges: Int, minCount: Long): String = {
+    val D  = Bpe.D
+    val DD = D + D
+    val sb = new StringBuilder
+    sb ++= s"WITH r0 AS MATERIALIZED (SELECT doc_id, '$DD' || " +
+      s"array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), '$DD') || '$DD' AS s " +
+      "FROM documents WHERE text IS NOT NULL)"
+    for (k <- 1 to nMerges) {
+      val p = k - 1
+      sb ++= s""",
+        |b$k AS MATERIALIZED (
+        |  SELECT a, b, c FROM (
+        |    SELECT t[CAST(i AS INTEGER)] AS a, t[CAST(i + 1 AS INTEGER)] AS b, count(*) AS c
+        |    FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |          FROM (SELECT list_filter(string_split(s, '$DD'), x -> x <> '') AS t FROM r$p)
+        |          WHERE len(t) > 1)
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        |r$k AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN (SELECT c FROM b$k) >= $minCount
+        |         THEN replace(s, '$D' || (SELECT a FROM b$k) || '$DD' || (SELECT b FROM b$k) || '$D',
+        |                         '$D' || (SELECT a FROM b$k) || ' ' || (SELECT b FROM b$k) || '$D')
+        |         ELSE s END AS s
+        |  FROM r$p)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** BPE merge training ([[Bpe.trainMerges]]): 8 greedy rounds over the
+    * corpus, each ONE pair-count aggregate + ONE string-replace merge
+    * pass. Hash-oracled end to end: the oracle unrolls all 8 rounds of
+    * the identical delimited-string kernel ([[bpeOracleCtes]]), so the
+    * greedy choice, tie-break, AND the rewrite are all cross-engine
+    * checked; the scan-equivalence proof also stays pinned against a
+    * driver-side reference trainer in BpeSpec.
+    */
+  val q105BpeMerges: Declared = Declared.sql(
+    "q105_bpe_merges",
+    bpeOracleCtes(nMerges = 8, minCount = 2L) + "\n" +
+      (1 to 8)
+        .map(k =>
+          s"""SELECT $k AS merge_idx, a AS "left", b AS "right", CAST(c AS BIGINT) AS pair_count, a || ' ' || b AS new_token FROM b$k WHERE c >= 2""")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_idx")) { (spark, dir) =>
     Bpe
       .trainMerges(t(spark, dir).documents, "doc_id", "text", nMerges = 8, minCount = 2L)
       .orderBy("merge_idx")
@@ -1840,12 +1887,26 @@ object TextQueries {
     * train 8 merges on the corpus, re-tokenize the corpus under them, and
     * report per-document pre/post token counts and the compression ratio
     * — the tokenizer-fertility check run before committing a vocabulary.
-    * Rows-only like q105 (the merge table feeding the rewrite is the
-    * product of the iterative trainer, which has no SQL replay); the
-    * fold-vs-reference-scan equivalence and the compression invariants
-    * are pinned in BpeSpec.
+    * Hash-oracled like q105: the oracle unrolls the same 8 training
+    * rounds ([[bpeOracleCtes]]) and reads the post-merge token counts off
+    * the final round's strings, so the whole train→encode pipeline is
+    * cross-engine checked per document. `n_tokens_pre` is the RAW
+    * whitespace split ([[TextAnalysis.nTokens]], empties included);
+    * post-merge tokens are the packed kernel's non-empty tokens.
     */
-  val q109BpeEncode: Declared = Declared.rowsOnly("q109_bpe_encode") { (spark, dir) =>
+  val q109BpeEncode: Declared = Declared.sql(
+    "q109_bpe_encode",
+    bpeOracleCtes(nMerges = 8, minCount = 2L) + s""",
+      |post AS (SELECT doc_id, len(list_filter(string_split(s, '${Bpe.D + Bpe.D}'), x -> x <> ''))
+      |               AS n_post FROM r8),
+      |pre AS (SELECT doc_id, len(string_split(text, ' ')) AS n_pre
+      |        FROM documents WHERE text IS NOT NULL)
+      |SELECT pre.doc_id,
+      |       CAST(pre.n_pre AS BIGINT) AS n_tokens_pre,
+      |       CAST(post.n_post AS BIGINT) AS n_tokens_post,
+      |       round(CAST(post.n_post AS DOUBLE) / pre.n_pre, 6) AS compression
+      |FROM pre JOIN post USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs   = t(spark, dir).documents
     val merges = Bpe
       .trainMerges(docs, "doc_id", "text", nMerges = 8, minCount = 2L)

@@ -152,7 +152,10 @@ object EventQueries {
     (spark, dir) =>
       val day = 86400000000L // 24 h in microseconds
       val e = t(spark, dir).events
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
       val v = e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min("us").as("t1"))
       val c = e.where(col("event_type") === "click")

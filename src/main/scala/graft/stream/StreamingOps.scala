@@ -13,9 +13,15 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   /** Streaming source for the events table. Schema must be declared for
-    * `readStream`; `ts` arrives as INT64 TIMESTAMP(NANOS) → read as long
-    * (nanosAsLong) and truncate to a microsecond timestamp, same as the
-    * batch reader in `Tables.events`.
+    * `readStream`, and the `ts` encoding varies by producer: INT64
+    * TIMESTAMP(NANOS) files are read as long (nanosAsLong) and truncated
+    * to a microsecond timestamp, TIMESTAMP(MICROS) NTZ files are cast to
+    * TIMESTAMP — Spark watermarks require TIMESTAMP event time
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and under the UTC session
+    * timezone the cast is value-preserving, so stream and batch plans
+    * agree on every instant even though the batch reader keeps the
+    * oracle-aligned NTZ type. The encoding is discovered with ONE
+    * driver-side footer read of the directory (no data scan).
     *
     * NOTE: the returned frame is bound to the nanosAsLong CHILD session
     * (`Tables.nanosSession`) — queries started on it register (and memory
@@ -29,18 +35,19 @@ object StreamingOps {
     // isolated child session (see Tables.nanosSession) — the legacy conf
     // must not leak into the caller's other parquet reads
     val s = graft.core.Tables.nanosSession(spark)
+    val onDiskTs = s.read.parquet(dir).schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", onDiskTs),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = reader.parquet(dir)
+    if (onDiskTs == LongType) df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked tumbling 1 h aggregation (late data beyond 10 min

@@ -18,11 +18,24 @@ object TestSpark {
     s
   }
 
-  /** Schema (names + types) and sorted-row equality with double tolerance. */
+  /** Schema (names + types) and sorted-row equality with double tolerance.
+    * TIMESTAMP_NTZ columns are compared as TIMESTAMP: batch readers keep
+    * the parquet NTZ type (oracle-aligned) while streaming event time must
+    * be TIMESTAMP, and under the suite's UTC session the cast is
+    * value-preserving — the comparison should not fork on that encoding.
+    */
   def assertFrameEqual(got: DataFrame, want: DataFrame, tol: Double = 1e-9): Unit = {
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.schema.fields.map { f =>
+        import org.apache.spark.sql.functions.col
+        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          col(s"`${f.name}`").cast("timestamp").as(f.name)
+        else col(s"`${f.name}`")
+      }.toSeq: _*)
+    val (gotN, wantN) = (norm(got), norm(want))
     assert(
-      got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        want.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      gotN.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        wantN.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"schema mismatch:\n got: ${got.schema.treeString}\n want: ${want.schema.treeString}")
     def rowKey(r: Row): String =
       r.toSeq.map {
@@ -32,8 +45,8 @@ object TestSpark {
         case x         => x.toString
       }.mkString("|")
 
-    val g = got.collect().map(rowKey).sorted
-    val w = want.collect().map(rowKey).sorted
+    val g = gotN.collect().map(rowKey).sorted
+    val w = wantN.collect().map(rowKey).sorted
     assert(g.length == w.length, s"row count ${g.length} != ${w.length}")
     g.zip(w).foreach { case (a, b) => assert(a == b, s"row mismatch:\n got: $a\n want: $b") }
   }
