@@ -126,4 +126,58 @@ object Bm25 {
       .select(Cols.q(idCol), round(scoreExpr(queryTerms, k1, b), 6).as("score"))
       .where(col("score") >= minScore)
   }
+
+  /** Hybrid retrieval: BM25 lexical top-`m` candidate generation, then
+    * embedding-cosine rerank down to top-`k` — the standard two-stage
+    * retrieval shape (cheap lexical recall stage, precise semantic
+    * precision stage) a RAG/dedup pipeline runs.
+    *
+    * `queryVec` is a ONE-ROW frame with an `array<double>` column `qv`
+    * (query-by-example: pass the embedding of an anchor document, or a
+    * label centroid). Cosine is rounded to 6 dp BEFORE ranking (id
+    * tie-break) so near-ties order identically on every engine.
+    *
+    * Scale shape: the candidate stage is [[topK]]'s single projection +
+    * reduced stats row + TakeOrdered; only `m` candidate rows reach the
+    * rerank join, so the embedding lookup is an m-row broadcast-side
+    * probe into the embeddings table and the rerank window runs over
+    * ≤ m rows. The corpus-sized work is exactly the lexical scan —
+    * reranking adds nothing corpus-sized at any scale.
+    */
+  def topKHybrid(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      embeddings: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryVec: DataFrame,
+      m: Int = 50,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(m >= k, s"candidate pool m=$m must be >= k=$k")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.dot
+
+    val cands = topK(docs, idCol, textCol, queryTerms, m, k1, b)
+      .select(Cols.q(idCol), col("score").as("lex_score"))
+    val emb = embeddings.select(
+      Cols.q(vecIdCol).as("__vid"),
+      Cols.q(vecCol).cast("array<double>").as("__emb"))
+    val cos = round(
+      dot(col("__emb"), col("qv")) /
+        (sqrt(dot(col("__emb"), col("__emb"))) * sqrt(dot(col("qv"), col("qv")))),
+      6)
+    val reranked = cands
+      .join(emb, Cols.q(idCol) === col("__vid"))
+      .crossJoin(broadcast(queryVec))
+      .select(Cols.q(idCol), col("lex_score"), cos.as("cosine"))
+      .orderBy(col("cosine").desc, Cols.q(idCol).asc)
+      .limit(k)
+    // the partition-less window runs over <= k rows by construction
+    val w = Window.orderBy(col("cosine").desc, Cols.q(idCol).asc)
+    reranked.withColumn("rn", row_number().over(w))
+  }
 }

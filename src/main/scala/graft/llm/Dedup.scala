@@ -168,7 +168,7 @@ object Dedup {
     * re-runs the transform per row or copies the whole array onto every
     * exploded row — measured 5× the scan cost at sf0.1.
     */
-  private def shingleRows(
+  private[llm] def shingleRows(
       docs: DataFrame,
       keyCol: String,
       textCol: String,
@@ -362,5 +362,52 @@ object Dedup {
         ).as("text_clean"),
         (col("nwin").cast("long") -
           coalesce(size(col("kept")), lit(0)).cast("long")).as("n_removed"))
+  }
+
+  /** N-gram novelty: per document, the fraction of its DISTINCT word
+    * n-grams that occur in NO other document (corpus df = 1) — the
+    * diversity/memorization screen dual to contamination
+    * ([[Decontamination]] asks "seen in the eval set?", novelty asks
+    * "seen anywhere else?"). Low novelty = boilerplate assembled from
+    * corpus-common n-grams; high novelty = fresh text.
+    *
+    * Returns (id, n_shingles, n_novel, novelty) for every doc with at
+    * least one n-gram, novelty rounded to 6 dp.
+    *
+    * Scale shape: the shared distinct-shingle projection feeds two
+    * aggregates and NO corpus-sized join. A df = 1 shingle has exactly
+    * one owner, so the novel count per doc is an aggregate OF the df
+    * table (carry `min(doc)` through the shingle agg, re-key the df = 1
+    * rows by owner), and the final join is doc-count-sized on both
+    * sides. The alternative — rejoining the df table to the shingle
+    * stream — moves the whole (doc, shingle) stream through a second
+    * exchange and invites a misestimated broadcast of the
+    * vocabulary-sized df table (the q34 sf1 incident, PLANS.md); this
+    * shape cannot. No pair expansion at all, so unlike the Jaccard index
+    * path there is no df² hazard and no cap to set.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n, "__id")
+    val perDoc = sh.groupBy(col("__id")).agg(count(lit(1)).as("n_shingles"))
+    // min is deterministic for the df = 1 groups that survive (singleton);
+    // the df > 1 groups it is computed over are discarded
+    val novelPerDoc = sh
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"), min(col("__id")).as("owner"))
+      .where(col("df") === 1L)
+      .groupBy(col("owner").as("__id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc
+      .join(novelPerDoc, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
   }
 }

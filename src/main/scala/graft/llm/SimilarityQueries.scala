@@ -313,8 +313,61 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Hybrid two-stage retrieval ([[Bm25.topKHybrid]]): BM25 top-50
+    * lexical candidates for the q91 term set, reranked to top-10 by
+    * cosine against the embedding of anchor document 42
+    * (query-by-example — the anchor vector is raw data, so the rerank
+    * has no engine-ordering exposure beyond the 6 dp rounded cosine).
+    * The oracle replays the q91 scorer at m=50 and the cosine rerank
+    * end to end.
+    */
+  val q112HybridRerank: Declared = Declared.sql(
+    "q112_hybrid_rerank",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf2,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS DOUBLE) AS tf3
+      |  FROM documents),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |        CAST(sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df1,
+      |        CAST(sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df2,
+      |        CAST(sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df3
+      |      FROM p),
+      |sc AS (SELECT doc_id, round(
+      |    ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+      |    6) AS score FROM p CROSS JOIN s),
+      |cand AS (SELECT doc_id, score AS lex_score FROM (
+      |           SELECT doc_id, score,
+      |             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |         WHERE rn <= 50),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 42),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |je AS (SELECT c.doc_id, c.lex_score,
+      |         round(list_dot_product(e.emb, qv.q) /
+      |               (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qv.q, qv.q))),
+      |               6) AS cosine
+      |       FROM cand c JOIN e ON e.vec_id = c.doc_id CROSS JOIN qv),
+      |rr AS (SELECT doc_id, lex_score, cosine,
+      |         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rn FROM je)
+      |SELECT doc_id, lex_score, cosine, CAST(rn AS INTEGER) AS rn
+      |FROM rr WHERE rn <= 10 ORDER BY rn""".stripMargin) { (spark, dir) =>
+    val tt = t(spark, dir)
+    val qv = tt.embeddings
+      .where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    Bm25
+      .topKHybrid(
+        tt.documents, "doc_id", "text", Seq("spark", "window", "merge"),
+        tt.embeddings, "vec_id", "embedding", qv, m = 50, k = 10)
+      .orderBy("rn")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
-      q82CovarianceMatrix, q95RobustScale, q96PcaProject)
+      q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank)
 }

@@ -1929,6 +1929,102 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Count-min-sketch calibration ([[Sketches.cmsCalibration]]): the
+    * corpus's top-20 tokens with exact counts vs their 4×64 CMS
+    * estimates. The sketch is deterministic (salted-md5 row hashes) and
+    * integer-summed, so the oracle replays it EXACTLY — bucket counts,
+    * min-over-rows estimate, and the guaranteed-nonnegative
+    * overestimate all hash-checked cross-engine (the q92 nibble-fold
+    * recovers the same u32 from the md5 hex prefix).
+    */
+  val q110CmsCalibration: Declared = Declared.sql(
+    "q110_cms_calibration",
+    """WITH tk AS (SELECT t AS tok FROM (SELECT unnest(string_split(text, ' ')) AS t
+      |            FROM documents WHERE text IS NOT NULL) WHERE t <> ''),
+      |rows_ AS (SELECT unnest(range(4)) AS r),
+      |sk AS (SELECT r, b, count(*) AS bc FROM (
+      |    SELECT rows_.r AS r,
+      |      list_sum(list_transform(range(8), i ->
+      |        CAST(strpos('0123456789abcdef',
+      |               substr(md5('cms' || CAST(rows_.r AS VARCHAR) || '|' || tok), CAST(i+1 AS INTEGER), 1)) - 1 AS BIGINT)
+      |          << CAST(4*(7-i) AS INTEGER))) % 64 AS b
+      |    FROM tk CROSS JOIN rows_)
+      |  GROUP BY r, b),
+      |top AS (SELECT tok, count(*) AS true_count FROM tk GROUP BY tok
+      |        ORDER BY true_count DESC, tok ASC LIMIT 20),
+      |est AS (SELECT t.tok AS token, t.true_count, min(sk.bc) AS cms_estimate
+      |        FROM top t CROSS JOIN rows_
+      |        JOIN sk ON sk.r = rows_.r AND sk.b =
+      |          list_sum(list_transform(range(8), i ->
+      |            CAST(strpos('0123456789abcdef',
+      |                   substr(md5('cms' || CAST(rows_.r AS VARCHAR) || '|' || t.tok), CAST(i+1 AS INTEGER), 1)) - 1 AS BIGINT)
+      |              << CAST(4*(7-i) AS INTEGER))) % 64
+      |        GROUP BY t.tok, t.true_count)
+      |SELECT token, CAST(true_count AS BIGINT) AS true_count,
+      |       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+      |       CAST(cms_estimate - true_count AS BIGINT) AS overestimate,
+      |       CAST(row_number() OVER (ORDER BY true_count DESC, token ASC) AS INTEGER) AS rn
+      |FROM est ORDER BY rn""".stripMargin) { (spark, dir) =>
+    Sketches
+      .cmsCalibration(t(spark, dir).documents, "text", k = 20, depth = 4, width = 64)
+      .orderBy("rn")
+  }
+
+  /** Phrase detection ([[Vocab.phraseScores]], Mikolov et al. 2013): the
+    * 30 adjacent pairs with the highest `(c(ab) − δ)·N / (c(a)·c(b))`
+    * collocation score — the pre-tokenization phrase-fusing table. The
+    * oracle replays counts and the score with IDENTICAL operation order;
+    * scores are rounded before ranking, (a, b) breaks ties.
+    */
+  val q111PhraseScores: Declared = Declared.sql(
+    "q111_phrase_scores",
+    """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT t[CAST(i AS INTEGER)] AS a, t[CAST(i + 1 AS INTEGER)] AS b
+      |      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk)),
+      |cab AS (SELECT a, b, count(*) AS cab FROM p GROUP BY a, b),
+      |uni AS (SELECT unnest(t) AS tok FROM tk),
+      |c AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+      |sc AS (SELECT cab.a, cab.b, cab.cab, ca.c AS ca, cb.c AS cb,
+      |         round((CAST(cab.cab AS DOUBLE) - 5.0) * n.n /
+      |               (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS score
+      |       FROM cab JOIN c ca ON ca.tok = cab.a JOIN c cb ON cb.tok = cab.b CROSS JOIN n),
+      |r AS (SELECT a, b, cab, ca, cb, score,
+      |        row_number() OVER (ORDER BY score DESC, a ASC, b ASC) AS rn FROM sc)
+      |SELECT a, b, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+      |       CAST(cb AS BIGINT) AS cb, score, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 30 ORDER BY rn""".stripMargin) { (spark, dir) =>
+    Vocab
+      .phraseScores(t(spark, dir).documents, "text", k = 30, delta = 5.0)
+      .orderBy("rn")
+  }
+
+  /** N-gram novelty screen ([[Dedup.ngramNovelty]]): per document, the
+    * fraction of its distinct 3-grams with corpus df = 1. Linear in the
+    * shingle rows (no pair expansion — the cap-free dual of q34); the
+    * oracle replays the shared shingle projection and the df rejoin.
+    */
+  val q113NgramNovelty: Declared = Declared.sql(
+    "q113_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 2),
+      |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |       FROM toks),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |agg AS (SELECT sh.doc_id, count(*) AS n_shingles,
+      |               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      |        FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      |       CAST(n_novel AS BIGINT) AS n_novel,
+      |       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+      |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup
+      .ngramNovelty(t(spark, dir).documents, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -1984,5 +2080,8 @@ object TextQueries {
     q106TokenEntropy,
     q107DsirWeights,
     q108NbLangConfusion,
-    q109BpeEncode)
+    q109BpeEncode,
+    q110CmsCalibration,
+    q111PhraseScores,
+    q113NgramNovelty)
 }

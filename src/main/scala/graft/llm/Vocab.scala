@@ -331,4 +331,59 @@ object Vocab {
       .where(col("total").isNotNull)
       .select(col("k"), col("n_types"), round(col("cum_n") / col("total"), 6).as("coverage"))
   }
+
+  /** Phrase detection (Mikolov et al. 2013, word2vec phrases): score each
+    * adjacent token pair by `(c(ab) − δ) · N / (c(a) · c(b))` — pairs
+    * that co-occur far above chance are collocations worth fusing into
+    * single tokens ("new york") before training; δ discounts rare pairs.
+    * Returns the top-`k` pairs: (rn, a, b, cab, ca, cb, score), score
+    * rounded to 6 dp BEFORE ranking (id tie-breaks), so near-ties order
+    * identically on every engine.
+    *
+    * Scale shape: one pair-count agg ([[TextAnalysis.adjacentPairs]]
+    * projection — no self-join) + one unigram agg, joined pair←unigram
+    * twice; both sides are vocabulary-sized, the joins shuffle no
+    * corpus-sized stream, and top-k is a TakeOrdered. The N scalar rides
+    * a broadcast crossJoin.
+    */
+  def phraseScores(
+      docs: DataFrame,
+      textCol: String,
+      k: Int = 30,
+      delta: Double = 5.0): DataFrame = {
+    import graft.core.Cols
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(split(Cols.q(textCol), " ").as("__tk"))
+    val pairs = toks
+      .select(explode(TextAnalysis.adjacentPairs(col("__tk"))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cab"))
+    val uni = toks
+      .select(explode(col("__tk")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").cast("double").as("n"))
+    val scored = pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("a"),
+        col("b"),
+        col("cab"),
+        col("ca"),
+        col("cb"),
+        round(
+          (col("cab").cast("double") - lit(delta)) * col("n") /
+            (col("ca").cast("double") * col("cb").cast("double")),
+          6).as("score"))
+      .orderBy(col("score").desc, col("a").asc, col("b").asc)
+      .limit(k)
+    // the partition-less window runs over <= k rows by construction
+    val w = Window.orderBy(col("score").desc, col("a").asc, col("b").asc)
+    scored.withColumn("rn", row_number().over(w))
+  }
 }

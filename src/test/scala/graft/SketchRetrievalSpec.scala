@@ -1,0 +1,135 @@
+package graft
+
+import graft.llm.{Bm25, Dedup, Sketches, Vocab}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 operators: count-min sketch, phrase detection, n-gram novelty,
+  * hybrid BM25→cosine rerank.
+  */
+class SketchRetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "new york is a big city and new york never sleeps"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "new york new york a city so nice they named it twice"),
+    (4L, "spark merges sorted runs while the window slides"),
+    (5L, "completely unique pentaquark zeugma xylophone phrase here"))
+
+  test("CMS never undercounts: estimate >= true count for EVERY token") {
+    val docs = corpus.toDF("doc_id", "text")
+    val sketch = Sketches.countMinSketch(docs, "text", depth = 4, width = 8)
+    // tiny width forces collisions, so overestimates actually occur
+    assert(sketch.count() <= 4 * 8)
+    val cal = Sketches.cmsCalibration(docs, "text", k = 1000, depth = 4, width = 8)
+      .select("token", "true_count", "cms_estimate", "overestimate")
+      .as[(String, Long, Long, Long)]
+      .collect()
+    val vocabSize = docs
+      .select(explode(split(col("text"), " ")).as("t")).where(col("t") =!= "")
+      .distinct().count()
+    assert(cal.length == vocabSize)
+    cal.foreach { case (tok, tc, est, over) =>
+      assert(est >= tc, s"CMS undercounted $tok: est $est < true $tc")
+      assert(over == est - tc)
+    }
+    // with real collisions at width 8, at least one token is overestimated
+    assert(cal.exists(_._4 > 0), "width-8 sketch produced no collisions — suspicious")
+  }
+
+  test("CMS bucket counts conserve total mass per hash row") {
+    val docs = corpus.toDF("doc_id", "text")
+    val total = docs
+      .select(explode(split(col("text"), " ")).as("t")).where(col("t") =!= "").count()
+    val perRow = Sketches.countMinSketch(docs, "text", depth = 3, width = 16)
+      .groupBy("r").agg(sum("bc").as("s"))
+      .select("s").as[Long].collect()
+    assert(perRow.length == 3)
+    perRow.foreach(s => assert(s == total))
+  }
+
+  test("phrase detection ranks the planted collocation first") {
+    // delta = 1 zeroes singleton pairs — exactly why the discount exists
+    val top = Vocab.phraseScores(corpus.toDF("doc_id", "text"), "text", k = 5, delta = 1.0)
+      .orderBy("rn")
+      .select("a", "b")
+      .as[(String, String)]
+      .collect()
+    assert(top.head == (("new", "york")), s"expected (new, york) first, got ${top.head}")
+  }
+
+  test("phrase score matches the driver-side formula") {
+    val docs = corpus.toDF("doc_id", "text")
+    val toks = corpus.flatMap(_._2.split(" "))
+    val n    = toks.length.toDouble
+    val uni  = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = corpus
+      .flatMap { case (_, t) => val a = t.split(" "); a.zip(a.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val delta = 0.5
+    val want = pairs.map { case ((a, b), cab) =>
+      (a, b) -> BigDecimal((cab - delta) * n / (uni(a).toDouble * uni(b).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Vocab.phraseScores(docs, "text", k = 1000, delta = delta)
+      .select("a", "b", "score")
+      .as[(String, String, Double)]
+      .collect()
+    assert(got.length == pairs.size)
+    got.foreach { case (a, b, s) => assert(s == want((a, b)), s"score mismatch for ($a,$b)") }
+  }
+
+  test("ngram novelty: cloned docs score 0, unique docs score 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact clone of 1
+      (3L, "zeta eta theta iota kappa")       // fully unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "novelty")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0, s"cloned docs must have zero novelty: $got")
+    assert(got(3L) == 1.0, s"unique doc must have full novelty: $got")
+  }
+
+  test("ngram novelty counts distinct shingles and drops short docs") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val rows = Dedup.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_shingles", "n_novel")
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(rows.map(_._1).toSet == Set(1L), "2-token doc must be absent")
+    assert(rows.head._2 == 2L && rows.head._3 == 2L) // "a b c", "b c d"
+  }
+
+  test("hybrid rerank: anchor doc ranks itself first, output is a candidate subset") {
+    val docs = corpus.toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+      (5L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val qv = emb.where(col("vec_id") === 1).select(col("embedding").cast("array<double>").as("qv"))
+    // terms hit docs 1,2,3 ("new"/"york"/"the"); doc 1 is the anchor
+    val got = Bm25.topKHybrid(
+      docs, "doc_id", "text", Seq("new", "the"),
+      emb, "vec_id", "embedding", qv, m = 5, k = 3)
+      .orderBy("rn")
+      .select("doc_id", "cosine")
+      .as[(Long, Double)]
+      .collect()
+    assert(got.head._1 == 1L && got.head._2 == 1.0, s"anchor must rerank first: ${got.toSeq}")
+    val candIds = Bm25.topK(docs, "doc_id", "text", Seq("new", "the"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet.subsetOf(candIds))
+    assertThrows[IllegalArgumentException] {
+      Bm25.topKHybrid(docs, "doc_id", "text", Seq("new"), emb, "vec_id", "embedding", qv,
+        m = 2, k = 5)
+    }
+  }
+}
