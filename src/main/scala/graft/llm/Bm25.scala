@@ -180,4 +180,42 @@ object Bm25 {
     val w = Window.orderBy(col("cosine").desc, Cols.q(idCol).asc)
     reranked.withColumn("rn", row_number().over(w))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists:
+    * `rrf(d) = Σ_lists 1 / (c + rank_list(d))`, the standard way to
+    * combine lexical and dense retrieval WITHOUT score calibration
+    * (ranks are comparable when scores are not). Documents missing from
+    * a list contribute nothing for it. Returns (id, rank_a, rank_b,
+    * rrf, rn) ordered by (rrf desc, id asc).
+    *
+    * Both inputs are top-k lists — a few rows by construction — so the
+    * full-outer fuse join, the sort, and the window are all
+    * constant-sized regardless of corpus scale; the corpus-sized work
+    * happened upstream in whichever retrievers produced the lists.
+    * `rrf` is an exact rational of small integers evaluated in the same
+    * order on both engines, so no rounding is needed before ranking.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      c: Int = 60,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val la = a.select(Cols.q(idCol), col("rn").cast("long").as("rank_a"))
+    val lb = b.select(Cols.q(idCol), col("rn").cast("long").as("rank_b"))
+    val fused = la
+      .join(lb, Seq(idCol), "full_outer")
+      .select(
+        Cols.q(idCol),
+        col("rank_a"),
+        col("rank_b"),
+        (coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, Cols.q(idCol).asc)
+      .limit(k)
+    // the partition-less window runs over <= k rows by construction
+    val w = Window.orderBy(col("rrf").desc, Cols.q(idCol).asc)
+    fused.withColumn("rn", row_number().over(w))
+  }
 }

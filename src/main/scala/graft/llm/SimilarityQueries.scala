@@ -366,8 +366,77 @@ object SimilarityQueries {
       .orderBy("rn")
   }
 
+  /** Reciprocal-rank fusion ([[Bm25.rrfFuse]]): the q91 lexical top-20
+    * fused with the exact dense cosine top-20 for anchor vector 42,
+    * c = 60 — rank-based combination needs no score calibration, and
+    * `rrf` is an exact small-integer rational (identical doubles on
+    * both engines, no rounding needed). The fuse join, sort, and window
+    * all run over ≤ 20-row lists; the dense list's full scan is the
+    * declared exact-oracle mode (q41/q50 are the ANN scale path).
+    */
+  val q114RrfFusion: Declared = Declared.sql(
+    "q114_rrf_fusion",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf2,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'merge')) AS DOUBLE) AS tf3
+      |  FROM documents),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |        CAST(sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df1,
+      |        CAST(sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df2,
+      |        CAST(sum(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS df3
+      |      FROM p),
+      |sc AS (SELECT doc_id, round(
+      |    ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0)) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+      |    6) AS score FROM p CROSS JOIN s),
+      |lex AS (SELECT doc_id, rn FROM (
+      |          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |        WHERE rn <= 20),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 42),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |dc AS (SELECT e.vec_id AS doc_id,
+      |         round(list_dot_product(e.emb, qv.q) /
+      |               (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(qv.q, qv.q))),
+      |               6) AS cosine
+      |       FROM e CROSS JOIN qv),
+      |dense AS (SELECT doc_id, rn FROM (
+      |            SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rn FROM dc)
+      |          WHERE rn <= 20),
+      |f AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+      |        CAST(lex.rn AS BIGINT) AS rank_a, CAST(dense.rn AS BIGINT) AS rank_b,
+      |        COALESCE(1.0 / (60.0 + lex.rn), 0.0) + COALESCE(1.0 / (60.0 + dense.rn), 0.0) AS rrf
+      |      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+      |r AS (SELECT doc_id, rank_a, rank_b, rrf,
+      |        row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn FROM f)
+      |SELECT doc_id, rank_a, rank_b, rrf, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tt  = t(spark, dir)
+    val lex = Bm25.topK(tt.documents, "doc_id", "text", Seq("spark", "window", "merge"), k = 20)
+    val qv = tt.embeddings
+      .where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val emb = tt.embeddings.select(
+      col("vec_id").cast("long").as("doc_id"),
+      col("embedding").cast("array<double>").as("__emb"))
+    val cos = round(
+      dot("__emb", "qv") / (sqrt(dot("__emb", "__emb")) * sqrt(dot("qv", "qv"))),
+      6)
+    val dense = emb
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), cos.as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn("rn", row_number().over(Window.orderBy(col("cosine").desc, col("doc_id").asc)))
+    Bm25.rrfFuse(lex, dense, "doc_id", c = 60, k = 10).orderBy("rn")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
-      q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank)
+      q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion)
 }

@@ -234,6 +234,21 @@ object StreamingOps {
       .withColumn("digest", md5(col(textCol).cast("binary")))
       .dropDuplicates("digest")
 
+  /** Streaming count-min sketch — [[graft.llm.Sketches.countMinSketch]]
+    * applied VERBATIM to an unbounded document stream: the sketch is a
+    * (row, bucket) aggregation, so under `outputMode("update")` or
+    * `complete` the state store holds exactly the depth × width counters
+    * and every micro-batch merges into them by addition — the CMS merge
+    * law IS streaming aggregation. One definition, both modes
+    * (StreamingSpec pins batch equivalence).
+    */
+  def cmsSketchStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      depth: Int = 4,
+      width: Int = 64): DataFrame =
+    graft.llm.Sketches.countMinSketch(docs, textCol, depth, width)
+
   /** Streaming embedding source (vec_id, embedding float[], label). */
   def readEmbeddingStream(
       spark: SparkSession,

@@ -258,4 +258,50 @@ class ScalePostureSpec extends AnyFunSuite {
       build.toString.contains("percentile"),
       s"broadcast build side is not the percentile stats subtree:\n${build.toString.take(600)}")
   }
+
+  test("q110 CMS joins the depth×width sketch as the broadcast build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.llm.Sketches.cmsCalibration(Tables(spark, dir).documents, "text")
+    val joins = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size == 1, s"expected 1 broadcast hash join, got ${joins.size}")
+    val build = joins.head.buildSide.toString match {
+      case "BuildRight" => joins.head.right
+      case _            => joins.head.left
+    }
+    // the sketch subtree is the one keyed by (r, b) bucket counts
+    assert(
+      build.toString.contains("bc"),
+      s"broadcast build side is not the sketch subtree:\n${build.toString.take(600)}")
+  }
+
+  test("q113 novelty plans NO corpus-sized rejoin — the only join is doc-sized per side") {
+    val plan = SparkEntry
+      .queries("q113_ngram_novelty")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    // the q34 sf1 incident shape: the (doc, shingle) stream on one side of
+    // a join. Both join inputs here must be AGGREGATED (doc-keyed) frames,
+    // so no join operator may sit below an aggregate-free Generate branch.
+    val joinOps = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    assert(joinOps.exists(plan.contains), "expected one doc-sized join in the plan")
+    // pair expansion never appears: exactly the two shingle Generates
+    val generates = "(?m)^.*\\bGenerate\\b".r.findAllIn(plan).size
+    assert(generates <= 2, s"unexpected extra Generate (pair expansion?):\n$plan")
+  }
+
+  test("q112 hybrid rerank probes embeddings with the candidate list as build side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val q = SparkEntry.queries("q112_hybrid_rerank")(spark, dir)
+    val joins = q.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "expected the candidate probe to be a broadcast hash join")
+    val builds = joins.map(j =>
+      (j.buildSide.toString match {
+        case "BuildRight" => j.right
+        case _            => j.left
+      }).toString)
+    assert(
+      builds.exists(_.contains("TakeOrdered")),
+      s"no join builds from the top-m candidate TakeOrdered subtree")
+  }
 }

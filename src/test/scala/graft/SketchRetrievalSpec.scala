@@ -106,6 +106,26 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(rows.head._2 == 2L && rows.head._3 == 2L) // "a b c", "b c d"
   }
 
+  test("RRF fusion matches the hand-computed formula, including one-list docs") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rn")
+    val got = Bm25.rrfFuse(a, b, "doc_id", c = 60, k = 10)
+      .select("doc_id", "rrf", "rn")
+      .as[(Long, Double, Int)]
+      .collect()
+      .sortBy(_._3)
+    val want = Map(
+      10L -> 1.0 / 61, // a only
+      20L -> (1.0 / 62 + 1.0 / 61), // both lists — must rank first
+      30L -> 1.0 / 63,
+      40L -> 1.0 / 62)
+    assert(got.length == 4)
+    assert(got.head._1 == 20L, "doc in both lists must fuse highest")
+    got.foreach { case (id, rrf, _) => assert(rrf == want(id), s"rrf mismatch for $id") }
+    // descending rrf, id tie-break: 40 (1/62) before 10 (1/61)? no — 1/61 > 1/62
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+  }
+
   test("hybrid rerank: anchor doc ranks itself first, output is a candidate subset") {
     val docs = corpus.toDF("doc_id", "text")
     val emb = Seq(

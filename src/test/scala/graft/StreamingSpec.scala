@@ -370,6 +370,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch across micro-batches equals the batch sketch") {
+    // the sketch agg is the SAME definition both modes; three files → three
+    // micro-batches whose counter merges must reproduce the batch counts
+    val docs = graft.core.Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    val stream = StreamingOps.cmsSketchStream(
+      StreamingOps.readDocumentStream(spark, d, maxFilesPerTrigger = Some(1)),
+      depth = 4, width = 32)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("cms_out")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(
+        q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      val got  = spark.table("cms_out")
+      val want = graft.llm.Sketches.countMinSketch(spark.read.parquet(d), "text",
+        depth = 4, width = 32)
+      TestSpark.assertFrameEqual(got, want)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running user counts cover every event") {
     val stream = StreamingOps.runningUserCounts(StreamingOps.readEventStream(spark, streamDir))
     val q = stream.writeStream
