@@ -289,7 +289,72 @@ object EventQueries {
       .orderBy("a_type", "b_type", "dist")
   }
 
+  /** Event-rate anomaly detection: hourly counts per event_type scored
+    * against a trailing-24 h baseline via a RANGE window frame — the
+    * monitoring query a pipeline runs over its own ingest telemetry.
+    * The trailing variance is derived from integer frame sums
+    * (`Σn, Σn², count` over `RANGE [-86400 s, -1 s]`) rather than a
+    * windowed `stddev` aggregate, so both engines fold the identical
+    * exact integers into the identical double expression — no
+    * accumulation-order exposure; z is rounded to 6 dp. Buckets with no
+    * full-rank baseline (fewer than 2 trailing buckets, or zero
+    * variance) emit a NULL z on both engines.
+    *
+    * Scale shape: ONE bucket-count aggregate (corpus-sized scan,
+    * map-side combined to buckets × types rows) and ONE window over the
+    * bucket table partitioned by event_type — the window input is
+    * bucket-count-sized, never event-sized, at any scale.
+    */
+  val q115RateAnomaly: Declared = Declared.sql(
+    "q115_rate_anomaly",
+    """WITH b AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, bucket, n,
+      |        sum(n) OVER tw AS s1, sum(n * n) OVER tw AS s2,
+      |        CAST(count(*) OVER tw AS BIGINT) AS c
+      |      FROM b
+      |      WINDOW tw AS (PARTITION BY event_type ORDER BY epoch(bucket)
+      |                    RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type, bucket, n,
+      |        CASE WHEN c >= 2 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) > 0.0
+      |             THEN round((n - CAST(s1 AS DOUBLE) / c) /
+      |                        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / c) / (c - 1)),
+      |                        6)
+      |             ELSE NULL END AS z
+      |      FROM w)
+      |SELECT event_type, bucket, n, z FROM z
+      |ORDER BY event_type, bucket""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // bucket stays NTZ (oracle-aligned, q11 contract); the RANGE frame
+    // orders by its epoch seconds via a lossless UTC cast
+    val b = t(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window
+      .partitionBy("event_type")
+      .orderBy(col("bucket").cast("timestamp").cast("long"))
+      .rangeBetween(-86400L, -1L)
+    val s1 = sum("n").over(tw)
+    val s2 = sum(col("n") * col("n")).over(tw)
+    val c  = count(lit(1)).over(tw)
+    b.select(col("event_type"), col("bucket"), col("n"), s1.as("s1"), s2.as("s2"), c.as("c"))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        col("n"),
+        when(
+          col("c") >= 2 &&
+            (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("c")) > 0.0,
+          round(
+            (col("n") - col("s1").cast("double") / col("c")) /
+              sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("c")) /
+                (col("c") - 1)),
+            6)).as("z"))
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[Declared] =
     Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
-      q65Retention, q66EventsSliding, q81SessionPaths, q85SkipgramPairs)
+      q65Retention, q66EventsSliding, q81SessionPaths, q85SkipgramPairs, q115RateAnomaly)
 }

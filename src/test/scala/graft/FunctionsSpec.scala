@@ -1,3 +1,4 @@
+// (GraftExtensions SQL-registration coverage lives at the bottom of this file)
 package graft
 
 import graft.core.{ScaleMode, Stats}
@@ -172,5 +173,40 @@ class FunctionsSpec extends AnyFunSuite {
       Stats.distinctCount(col("x"), ScaleMode.Approx)).collect()(0)
     assert(math.abs(approx.getInt(0) - 500) <= 5)
     assert(math.abs(approx.getLong(1) - 1000L) <= 50)
+  }
+
+  test("GraftExtensions registers dot_product and nfc_normalize as SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    // a FRESH session on the shared context picks up the extensions conf;
+    // getOrCreate would return the default session, so clear it first and
+    // restore afterwards (the standard same-JVM extensions-test pattern)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession
+        .builder()
+        .master("local[2]")
+        // .config("spark.sql.extensions", ...) is a STATIC conf — inert on
+        // an already-running context; withExtensions is the same-JVM path
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      val got = s
+        .sql("SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d, " +
+          "nfc_normalize('e\\u0301') AS n") // e + combining acute via SQL \u escape
+        .collect()(0)
+      assert(got.getDouble(0) == 32.0)
+      assert(got.getString(1) == "é", "NFC must compose e + combining acute to é")
+      // the SQL path must plan the SAME codegen'd expression, not a UDF
+      val plan = s
+        .sql("SELECT dot_product(array(1.0d), array(1.0d))")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dotproduct") || plan.contains("DotProduct"),
+        s"SQL call did not plan the native expression:\n$plan")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
   }
 }
