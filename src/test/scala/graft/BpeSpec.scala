@@ -116,6 +116,48 @@ class BpeSpec extends AnyFunSuite {
     assert(got(4L).length < corpus.find(_._1 == 4L).get._2.split(" ").length)
   }
 
+  test("string-replace kernel equals the reference scan on a randomized pathological corpus") {
+    // seeded RNG over a 3-letter alphabet: maximal repeat runs and
+    // boundary collisions — the shapes where a replace-kernel bug
+    // (overlap handling, consumed delimiters, merged-token re-matching)
+    // would surface. One Spark round-trip covers all 60 docs.
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "b", "ab", "ba")
+    val docs = (1L to 60L).map { id =>
+      val len = rnd.nextInt(13) // 0..12 tokens
+      id -> Vector.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+    }
+    val nonEmpty = docs.filter(_._2.nonEmpty)
+    val df = nonEmpty.toDF("doc_id", "text")
+
+    val merges = Bpe
+      .trainMerges(df, "doc_id", "text", nMerges = 4, minCount = 2L)
+      .orderBy("merge_idx")
+      .select("left", "right")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    assert(merges.nonEmpty, "fixture trained no merges; property is vacuous")
+
+    val got = Bpe
+      .applyMerges(df, "doc_id", "text", merges)
+      .select("doc_id", "tk")
+      .as[(Long, Seq[String])]
+      .collect()
+      .map { case (id, tk) => id -> tk.toVector }
+      .toMap
+    nonEmpty.foreach { case (id, txt) =>
+      val want = merges.foldLeft(txt.split(" ").toVector) { case (t, (a, b)) =>
+        refMergeOnce(t, a, b)
+      }
+      assert(got(id) == want, s"doc $id diverged: got ${got(id)}, want $want (text: $txt)")
+    }
+    // and the trainer itself agrees with the driver reference end to end
+    val wantMerges = refTrain(nonEmpty.map(_._2), nMerges = 4, minCount = 2L)
+      .map { case (_, a, b, _) => (a, b) }
+    assert(merges == wantMerges)
+  }
+
   test("merged tokens feed later rounds (hierarchy forms)") {
     // "x y" dominates, then ("x y", "x y") becomes a countable pair
     val df = Seq((1L, "x y x y x y x y"), (2L, "x y x y")).toDF("doc_id", "text")
