@@ -109,4 +109,52 @@ object Packing {
         sum("n_tokens").as("n_tokens"),
         round(sum("n_tokens") / lit(capacity.toDouble) * 100.0, 4).as("util_pct"))
       .orderBy("pack_id")
+
+  /** Balanced shard assignment: stripe the corpus, in `orderCol` order,
+    * into exactly `nShards` contiguous shards of ~equal TOKEN mass (not
+    * row count — a shard of long documents would otherwise dominate the
+    * training loader). `shard = (cum − n) · S div total`, clamped to
+    * S−1: fully integral (exact below 2^63 token·shard products), and
+    * the same windowed-cumsum formulation as [[packSequences]], so a
+    * relational oracle replays it. Deterministic for a fixed order.
+    *
+    * Scale shape: the shared two-phase prefix-sum scan plus ONE O(1)
+    * total row broadcast back — no global window, no skewed task; each
+    * partition maps its slice independently.
+    */
+  def shardAssign(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val wr  = withRunningTokens(docs, Seq(Cols.q(orderCol)), textCol)
+    val tot = wr.agg(max("cum_tokens").as("__total"))
+    wr.crossJoin(broadcast(tot))
+      .withColumn(
+        "shard",
+        when(
+          col("__total") > 0L,
+          least(
+            lit(nShards - 1),
+            expr(s"((cum_tokens - n_tokens) * ${nShards}L) div __total")))
+          .otherwise(lit(0L))
+          .cast("int"))
+      .drop("cum_tokens", "__total")
+  }
+
+  /** Materialize the sharded corpus as `shard=<id>/` parquet partitions —
+    * the artifact a training loader consumes (one balanced file set per
+    * reader). Returns the assignment frame that was written.
+    */
+  def writeShards(
+      docs: DataFrame,
+      orderCol: String,
+      textCol: String,
+      nShards: Int,
+      outDir: String): DataFrame = {
+    val assigned = shardAssign(docs, orderCol, textCol, nShards)
+    assigned.write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    assigned
+  }
 }

@@ -2025,6 +2025,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Balanced shard striping ([[Packing.shardAssign]]): the corpus split
+    * into 16 contiguous shards of ~equal TOKEN mass (the training-loader
+    * artifact; [[Packing.writeShards]] materializes `shard=<id>/`
+    * partitions). Fully integral arithmetic over the q56 prefix-sum
+    * scaffold; the oracle replays the windowed-cumsum mapping. Rollup
+    * per shard: docs, tokens, and the doc-id range (contiguity is part
+    * of the contract — ranges must not interleave).
+    */
+  val q116ShardSummary: Declared = Declared.sql(
+    "q116_shard_summary",
+    """WITH d AS (SELECT doc_id,
+      |             CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+      |tot AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM c),
+      |a AS (SELECT doc_id, n,
+      |        CAST(least(15, ((cum - n) * 16) // total) AS INTEGER) AS shard
+      |      FROM c CROSS JOIN tot)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    Packing
+      .shardAssign(t(spark, dir).documents, "doc_id", "text", nShards = 16)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -2083,5 +2115,6 @@ object TextQueries {
     q109BpeEncode,
     q110CmsCalibration,
     q111PhraseScores,
-    q113NgramNovelty)
+    q113NgramNovelty,
+    q116ShardSummary)
 }

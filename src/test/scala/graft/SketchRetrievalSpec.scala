@@ -106,6 +106,40 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(rows.head._2 == 2L && rows.head._3 == 2L) // "a b c", "b c d"
   }
 
+  test("writeShards produces one balanced partition dir per shard and round-trips") {
+    import graft.llm.Packing
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+    val out  = java.nio.file.Files.createTempDirectory("shards").toString
+    val assigned = Packing.writeShards(docs, "doc_id", "text", nShards = 8, out)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 8).map(n => s"shard=$n"), s"partition dirs: ${dirs.toSeq}")
+
+    // shards are contiguous doc-id ranges (no interleaving)
+    val ranges = assigned
+      .groupBy("shard")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("shard")
+      .select("lo", "hi")
+      .as[(Long, Long)]
+      .collect()
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, "shard id ranges interleave")
+      case _                        =>
+    }
+
+    // token balance: every shard within 2x of the ideal share
+    val tokens = assigned.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    val ideal = tokens.sum.toDouble / 8
+    tokens.foreach(t => assert(t < 2 * ideal, s"shard holds $t tokens vs ideal $ideal"))
+
+    // round-trip: the written artifact holds every document exactly once
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("RRF fusion matches the hand-computed formula, including one-list docs") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
     val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rn")
