@@ -32,6 +32,61 @@ object Dedup {
       .drop("__digest", "__rn")
   }
 
+  /** Persist the corpus's exact-dedup digest set as a parquet index —
+    * the artifact incremental ingestion dedups against, so a new batch
+    * NEVER re-scans the historical corpus: the index is one 32-hex-char
+    * digest per distinct document (the md5 the whole exact-dedup family
+    * shares — [[exact]], the streaming ingest, q16), typically 4–5
+    * orders of magnitude smaller than the corpus it summarizes.
+    */
+  def writeDigestIndex(docs: DataFrame, textCol: String, outDir: String): Unit =
+    docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(md5(Cols.q(textCol).cast("binary")).as("digest"))
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** Incremental exact dedup of a NEW batch against a persisted digest
+    * index: drop rows whose content already exists in the index, then
+    * elect one survivor per digest WITHIN the batch (lowest id — the
+    * [[exact]] election). Appending the survivors' digests to the index
+    * (see [[writeDigestIndex]]) closes the ingest loop.
+    *
+    * Scale shape: one left-anti join on the digest key (both sides
+    * digest-keyed; the index side is digest-count-sized and carries no
+    * payload) + the within-batch window over batch-sized dup groups.
+    * Nothing historical-corpus-sized is ever read — that is the point
+    * of the index.
+    */
+  def incrementalNew(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String): DataFrame =
+    incrementalNew(newDocs, idCol, textCol, newDocs.sparkSession.read.parquet(indexDir))
+
+  /** [[incrementalNew]] against an in-memory digest frame (one `digest`
+    * column) — the form a declared query or a test composes directly.
+    */
+  def incrementalNew(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__digest").orderBy(Cols.q(idCol))
+    newDocs
+      .where(Cols.q(textCol).isNotNull)
+      .withColumn("__digest", md5(Cols.q(textCol).cast("binary")))
+      .join(index.withColumnRenamed("digest", "__digest"), Seq("__digest"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__digest", "digest")
+  }
+
   /** Deterministic MinHash signatures: `nSigs` salted min-md5 hash
     * families over the token set (same family as q17, generalized).
     */

@@ -2057,6 +2057,45 @@ object TextQueries {
       .orderBy("shard")
   }
 
+  /** Incremental ingest dedup ([[Dedup.incrementalNew]] /
+    * [[Dedup.writeDigestIndex]]): a derived "new batch" (the ~20% fresh
+    * slice plus salted-md5 clone draws of indexed documents) is deduped
+    * against the historical digest index — clones drop via the anti-join,
+    * within-batch dups elect the lowest id. The historical corpus is
+    * never re-scanned; the persisted-index round trip and the
+    * equals-full-recompute property are pinned in SketchRetrievalSpec.
+    */
+  val q117IncrementalIngest: Declared = Declared.sql(
+    "q117_incremental_ingest",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |old AS (SELECT doc_id, text FROM d
+      |        WHERE substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+      |fresh AS (SELECT doc_id, text FROM d
+      |          WHERE substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'),
+      |clones AS (SELECT doc_id + 1000000 AS doc_id, text FROM old
+      |           WHERE substr(md5('clone|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'),
+      |newb AS (SELECT * FROM fresh UNION ALL SELECT * FROM clones),
+      |oldd AS (SELECT DISTINCT md5(text) AS digest FROM old),
+      |cand AS (SELECT doc_id, md5(text) AS digest FROM newb),
+      |surv AS (SELECT doc_id, digest,
+      |           row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      |         FROM cand WHERE digest NOT IN (SELECT digest FROM oldd))
+      |SELECT doc_id, digest FROM surv WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      val docs   = t(spark, dir).documents.where(col("text").isNotNull)
+      val bucket = Sampling.hashBucket(col("doc_id"), "inc")
+      val old    = docs.where(bucket < "cc")
+      val fresh  = docs.where(bucket >= "cc").select("doc_id", "text")
+      val clones = old
+        .where(Sampling.hashBucket(col("doc_id"), "clone") < "33")
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val idx = old.select(md5(col("text").cast("binary")).as("digest")).distinct()
+      Dedup
+        .incrementalNew(fresh.unionByName(clones), "doc_id", "text", idx)
+        .select("doc_id", "digest")
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -2116,5 +2155,6 @@ object TextQueries {
     q110CmsCalibration,
     q111PhraseScores,
     q113NgramNovelty,
-    q116ShardSummary)
+    q116ShardSummary,
+    q117IncrementalIngest)
 }

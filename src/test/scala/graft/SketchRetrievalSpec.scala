@@ -140,6 +140,36 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
+    import graft.llm.Dedup
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .where(col("text").isNotNull)
+      .select("doc_id", "text")
+    val old      = docs.where(col("doc_id") < 300)
+    val fresh    = docs.where(col("doc_id") >= 300)
+    val crossDup = old.where(col("doc_id") < 20) // content already indexed
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val newBatch = fresh.unionByName(crossDup)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("digest_idx").toString
+    Dedup.writeDigestIndex(old, "text", idxDir)
+    // the persisted index is digest-only
+    assert(spark.read.parquet(idxDir).columns.toSeq == Seq("digest"))
+
+    val inc = Dedup.incrementalNew(newBatch, "doc_id", "text", idxDir)
+      .select("doc_id").as[Long].collect().toSet
+    // full recompute: exact-dedup old ∪ newBatch, keep the new-batch ids.
+    // old ids are all < every newBatch id, so for any digest present in
+    // old, the full recompute's survivor is the OLD row — exactly the
+    // rows the index drops
+    val full = Dedup.exact(old.unionByName(newBatch), "doc_id", "text")
+      .join(newBatch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc == full, s"incremental != full recompute: only-inc=${inc -- full}, only-full=${full -- inc}")
+    assert((inc & crossDup.select("doc_id").as[Long].collect().toSet).isEmpty,
+      "cross-batch duplicates must be dropped by the index")
+  }
+
   test("RRF fusion matches the hand-computed formula, including one-list docs") {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
     val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rn")
