@@ -276,4 +276,49 @@ object EmbeddingStats {
     }
     df.select(Cols.q(idCol) +: pcCols.toSeq: _*)
   }
+
+  /** Hard-negative mining for contrastive embedding training: per anchor,
+    * the top-`k` DIFFERENT-label neighbours with cosine ≥ `tau` — the
+    * "confusable but wrong" examples a triplet/InfoNCE trainer wants
+    * (cosine below `tau` is an easy negative and carries no gradient
+    * signal; same-label neighbours are positives, not negatives).
+    *
+    * Scale shape: the pair stage is [[BruteForce.neardupPairs]] — the
+    * guarded exact kernel (broadcast-matrix small, block-partitioned
+    * large; q41/q50's ANN buckets are the approximate scale path for the
+    * same mining). Pairs are symmetrized with one explode (each ≥ tau
+    * pair is a candidate in both directions), labels join on the id key,
+    * and the per-anchor window runs over that anchor's ≥ tau candidates
+    * only — tau is the knob that bounds the window input. Cosines come
+    * out of the kernel already rounded, so the rank order is
+    * engine-independent (neighbour id breaks ties).
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      tau: Double,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val pairs = BruteForce.neardupPairs(spark, df, idCol, vecCol, tau)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim")),
+        struct(col("b_id").as("anchor"), col("a_id").as("neighbor"), col("cos_sim")))).as("e"))
+      .select(col("e.anchor").as("anchor"), col("e.neighbor").as("neighbor"), col("e.cos_sim"))
+    val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))
+    val w   = Window.partitionBy("anchor").orderBy(col("cos_sim").desc, col("neighbor").asc)
+    sym
+      .join(lbl.select(col("__lid").as("anchor"), col("__lbl").as("anchor_label")), Seq("anchor"))
+      .join(
+        lbl.select(col("__lid").as("neighbor"), col("__lbl").as("neighbor_label")),
+        Seq("neighbor"))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("anchor", "anchor_label", "neighbor", "neighbor_label", "cos_sim", "rn")
+  }
 }

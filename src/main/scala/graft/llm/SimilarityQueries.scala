@@ -435,8 +435,34 @@ object SimilarityQueries {
     Bm25.rrfFuse(lex, dense, "doc_id", c = 60, k = 10).orderBy("rn")
   }
 
+  /** Hard-negative mining ([[EmbeddingStats.hardNegatives]]): per anchor,
+    * the top-3 different-label neighbours with cosine ≥ 0.3 — the
+    * contrastive-training prep the exact kernel (q49 contract) feeds at
+    * oracle scale and the ANN buckets feed at corpus scale. The oracle
+    * replays pair generation, label joins, and the per-anchor window.
+    */
+  val q118HardNegatives: Declared = Declared.sql(
+    "q118_hard_negatives",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
+      |             b.vec_id AS neighbor, b.label AS neighbor_label,
+      |             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+      |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+      |h AS (SELECT anchor, anchor_label, neighbor, neighbor_label, cos_sim,
+      |        row_number() OVER (PARTITION BY anchor ORDER BY cos_sim DESC, neighbor ASC) AS rn
+      |      FROM p WHERE cos_sim >= 0.3 AND anchor_label <> neighbor_label)
+      |SELECT anchor, anchor_label, neighbor, neighbor_label, cos_sim, CAST(rn AS INTEGER) AS rn
+      |FROM h WHERE rn <= 3
+      |ORDER BY anchor, rn""".stripMargin) { (spark, dir) =>
+    EmbeddingStats
+      .hardNegatives(t(spark, dir).embeddings, "vec_id", "label", "embedding", tau = 0.3, k = 3)
+      .orderBy("anchor", "rn")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
-      q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion)
+      q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
+      q118HardNegatives)
 }

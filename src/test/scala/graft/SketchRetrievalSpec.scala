@@ -140,6 +140,29 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("hard negatives: different-label neighbours only, above tau, ranked by cosine") {
+    import graft.llm.EmbeddingStats
+    // planted geometry: anchors 1,2 ("pos" cluster) near 3 ("neg", the hard
+    // negative), 4 ("neg") orthogonal (easy — below tau), 5 ("pos") near 1
+    // (same label — excluded)
+    val emb = Seq(
+      (1L, "pos", Array(1.0f, 0.0f)),
+      (2L, "pos", Array(0.95f, 0.31f)),
+      (3L, "neg", Array(0.9f, 0.43f)),
+      (4L, "neg", Array(0.0f, 1.0f)),
+      (5L, "pos", Array(0.99f, 0.14f))).toDF("vec_id", "label", "embedding")
+    val got = EmbeddingStats
+      .hardNegatives(emb, "vec_id", "label", "embedding", tau = 0.5, k = 2)
+      .select("anchor", "neighbor", "rn")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    // every pos anchor's sole hard negative is 3; 3's negatives are the pos
+    // cluster ranked by cosine (2 closest, then 5); 4 is below tau everywhere
+    assert(got == Set((1L, 3L, 1), (2L, 3L, 1), (5L, 3L, 1), (3L, 2L, 1), (3L, 5L, 2)),
+      s"got $got")
+  }
+
   test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
     import graft.llm.Dedup
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
