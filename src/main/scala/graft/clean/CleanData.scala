@@ -48,7 +48,7 @@ object CleanData {
         count(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"dbl_$c"),
         count(when(lower(Cols.q(c)).isin("true", "false"), lit(1))).as(s"bool_$c"))
     }
-    val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    val row = graft.core.Jobs.collectFast(df.agg(checks.head, checks.tail: _*))(0)
     val (toDouble, toBool) = stringCols.foldLeft((Set.empty[String], Set.empty[String])) {
       case ((ds, bs), c) =>
         val cnt = row.getAs[Long](s"cnt_$c")
@@ -82,7 +82,7 @@ object CleanData {
         count(Cols.q(c)).as(s"cnt_$c")
       )
     }
-    val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    val row = graft.core.Jobs.collectFast(df.agg(checks.head, checks.tail: _*))(0)
     val toLong = doubleCols.filter { c =>
       val frac = Option(row.getAs[Any](s"frac_$c")).fold(0)(_.toString.toInt)
       val cnt  = row.getAs[Long](s"cnt_$c")
@@ -179,7 +179,7 @@ object CleanData {
       if (needSets0.isEmpty) Map.empty
       else {
         val aggs = needSets0.map(c => graft.functions.BoundedCollectSet(Cols.q(c), cap).as(c))
-        val row  = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val row  = graft.core.Jobs.collectFast(df.agg(aggs.head, aggs.tail: _*))(0)
         val all  = needSets0.map(c => c -> row.getSeq[Any](row.fieldIndex(c)).toIndexedSeq).toMap
         val (kept, gatedOut) = all.partition(_._2.size < cap)
         if (gatedOut.nonEmpty)

@@ -90,14 +90,14 @@ object Bpe {
     while (m <= nMerges && !stopped) {
       // token array hoisted to its own projection (captured expressions in
       // the transform lambda re-evaluate per element — the q58 HOF lesson)
-      val top = cur
-        .select(unpack(col("s")).as("tk"))
-        .select(explode(TextAnalysis.adjacentPairs(col("tk"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1)
-        .collect()
+      val top = graft.core.Jobs.collectFast(
+        cur
+          .select(unpack(col("s")).as("tk"))
+          .select(explode(TextAnalysis.adjacentPairs(col("tk"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1))
       if (top.isEmpty || top.head.getLong(2) < minCount) stopped = true
       else {
         val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))

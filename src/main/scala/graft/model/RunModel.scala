@@ -80,7 +80,7 @@ object RunModel {
         yield sum(xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
         (0 until k).map(i => sum(xs(i) * y).as(s"xy_$i")) ++
         Seq(sum(y * y).as("yy"), count(y).as("n"))
-    val row = complete.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = graft.core.Jobs.collectFast(complete.agg(aggs.head, aggs.tail: _*))(0)
     val xtx = Array.tabulate(k, k) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
       row.getAs[Double](s"xx_${a}_$b") + (if (i == j) ridge else 0.0)
@@ -116,7 +116,7 @@ object RunModel {
           sum(when(cond, y * y)).as(s"${nm}__yy"),
           count(when(cond, lit(1))).as(s"${nm}__n"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = graft.core.Jobs.collectFast(df.agg(aggs.head, aggs.tail: _*))(0)
     specs.map { case (nm, _, xs, _) =>
       val k = xs.size
       val xtx = Array.tabulate(k, k) { (i, j) =>

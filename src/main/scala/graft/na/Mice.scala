@@ -73,11 +73,10 @@ object Mice {
     // values missing (an all-null column has no observed rows to model —
     // it passes through untouched, like pandas mean-filling an all-NaN col)
     val total = df.count()
-    val nullCounts = df
+    val nullCounts = graft.core.Jobs.collectFast(df
       .agg(
         sum(col(numericCols.head).isNull.cast("long")).as(numericCols.head),
-        numericCols.tail.map(c => sum(Cols.q(c).isNull.cast("long")).as(c)): _*)
-      .collect()(0)
+        numericCols.tail.map(c => sum(Cols.q(c).isNull.cast("long")).as(c)): _*))(0)
     val usable = numericCols.filter(c => nullCounts.getAs[Long](c) < total)
     val targets = usable.filter(c => nullCounts.getAs[Long](c) > 0)
     if (targets.isEmpty) return df
@@ -96,7 +95,7 @@ object Mice {
           Seq(
             min(Cols.q(c).cast(DoubleType)).as(s"__min_$c"),
             max(Cols.q(c).cast(DoubleType)).as(s"__max_$c")))
-    val stats = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val stats = graft.core.Jobs.collectFast(df.agg(statAggs.head, statAggs.tail: _*))(0)
     val means = numericCols.map(c => c -> stats.getAs[Double](s"__avg_$c")).toMap
     val loHi  = targets.map(c => c -> (stats.getAs[Double](s"__min_$c"), stats.getAs[Double](s"__max_$c"))).toMap
     var work = df.select(

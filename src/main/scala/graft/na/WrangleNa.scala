@@ -66,7 +66,7 @@ object WrangleNa {
         floatCols.map(c => avg(Cols.q(c)).as(s"mean_$c")) ++
         intCols.map(c => graft.core.Stats.percentile(Cols.q(c), 0.5, mode).as(s"med_$c"))
 
-    val row      = df.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val row      = graft.core.Jobs.collectFast(df.agg(statAggs.head, statAggs.tail: _*))(0)
     val anyNulls = fields.exists(f => row.getAs[Long](s"nulls_${f.name}") > 0)
     if (!anyNulls) return (Map.empty, false)
 
@@ -104,10 +104,10 @@ object WrangleNa {
             col("count").desc,
             expr("try_cast(v AS DOUBLE)").asc_nulls_last,
             col("v").asc)
-        melted
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .collect()
+        graft.core.Jobs
+          .collectFast(melted
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1))
           .map(r => r.getString(0) -> (r.getString(1): Any))
           .toIndexedSeq
       }
@@ -177,9 +177,10 @@ object WrangleNa {
     // all-zeros is dropped BEFORE the limit so the cap counts only patterns
     // that would become columns (otherwise a truncated sample containing
     // zeros could silently under-report the true pattern count)
-    val patterns = withPat
-      .select("__na_pattern").where(col("__na_pattern") =!= zeros)
-      .distinct().limit(maxPatterns + 1).collect().map(_.getString(0))
+    val patterns = graft.core.Jobs
+      .collectFast(withPat
+        .select("__na_pattern").where(col("__na_pattern") =!= zeros)
+        .distinct().limit(maxPatterns + 1)).map(_.getString(0))
       .sorted.toIndexedSeq
     if (patterns.length > maxPatterns)
       throw new IllegalArgumentException(

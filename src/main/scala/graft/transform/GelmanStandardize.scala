@@ -36,7 +36,7 @@ object GelmanStandardize {
         Seq(avg(Cols.q(c)).as(s"mean_$c"), stddev_samp(Cols.q(c)).as(s"sd_$c"))) ++
         boolCols.map(c => avg(Cols.q(c).cast(DoubleType)).as(s"mean_$c"))
 
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = graft.core.Jobs.collectFast(df.agg(aggs.head, aggs.tail: _*))(0)
     def stat(n: String): Option[Double] =
       Option(row.getAs[Any](n)).map(_.asInstanceOf[Number].doubleValue())
 
