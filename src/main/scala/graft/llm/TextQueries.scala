@@ -2096,6 +2096,59 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** DuckDB nibble-fold of the salted md5 u32 over an arbitrary SQL key
+    * expression (the q92 trick, generalized): `u32(md5(salt || '|' ||
+    * key))`.
+    */
+  private def u32Sql(salt: String, keyExpr: String): String =
+    s"list_sum(list_transform(range(8), u -> CAST(strpos('0123456789abcdef', " +
+      s"substr(md5('$salt|' || $keyExpr), CAST(u+1 AS INTEGER), 1)) - 1 AS BIGINT) " +
+      "<< CAST(4*(7-u) AS INTEGER)))"
+
+  /** T5-style span corruption ([[Denoise.spanCorrupt]]): blocked
+    * deterministic span placement (block 8, span 3, ~25% of full blocks),
+    * sentinels `<extra_id_K>`, full (input, target) pair emitted. One
+    * codegen projection, no shuffle; the oracle replays block draws, span
+    * offsets, sentinel numbering, and BOTH rebuilt strings exactly.
+    */
+  val q119SpanCorrupt: Declared = Declared.sql(
+    "q119_span_corrupt", {
+      val kb = "CAST(doc_id AS VARCHAR) || '|' || CAST(bb AS VARCHAR)"
+      val ki = "CAST(doc_id AS VARCHAR) || '|' || CAST(cb[CAST(i+1 AS INTEGER)] AS VARCHAR)"
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |           FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, tk, len(tk) AS n, CAST(len(tk) // 8 AS INTEGER) AS nb FROM d),
+         |c AS (SELECT doc_id, tk, n, nb,
+         |        list_filter(range(nb), bb -> ${u32Sql("spanc", kb)} % 4 = 0) AS cb
+         |      FROM b),
+         |r AS (SELECT doc_id,
+         |        CAST(n AS BIGINT) AS n_tokens,
+         |        CAST(len(cb) AS BIGINT) AS n_spans,
+         |        array_to_string(
+         |          flatten(list_transform(range(nb), bb ->
+         |            CASE WHEN coalesce(list_position(cb, bb), 0) > 0
+         |                 THEN list_slice(tk, bb*8 + 1, bb*8 + (${u32Sql("spano", kb)} % 6))
+         |                   || ['<extra_id_' || CAST(list_position(cb, bb) - 1 AS VARCHAR) || '>']
+         |                   || list_slice(tk, bb*8 + (${u32Sql("spano", kb)} % 6) + 4, bb*8 + 8)
+         |                 ELSE list_slice(tk, bb*8 + 1, bb*8 + 8) END))
+         |          || list_slice(tk, nb*8 + 1, n), ' ') AS input_text,
+         |        coalesce(array_to_string(
+         |          flatten(list_transform(range(len(cb)), i ->
+         |            ['<extra_id_' || CAST(i AS VARCHAR) || '>']
+         |              || list_slice(tk,
+         |                   cb[CAST(i+1 AS INTEGER)]*8 + (${u32Sql("spano", ki)} % 6) + 1,
+         |                   cb[CAST(i+1 AS INTEGER)]*8 + (${u32Sql("spano", ki)} % 6) + 3))), ' '), '')
+         |          AS target_text
+         |      FROM c)
+         |SELECT doc_id, n_tokens, n_spans, input_text, target_text
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    Denoise
+      .spanCorrupt(t(spark, dir).documents, "doc_id", "text",
+        blockLen = 8, spanLen = 3, rate = 4, salt = "span")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
     q15TextLangStats,
     q16DedupExact,
@@ -2156,5 +2209,6 @@ object TextQueries {
     q111PhraseScores,
     q113NgramNovelty,
     q116ShardSummary,
-    q117IncrementalIngest)
+    q117IncrementalIngest,
+    q119SpanCorrupt)
 }

@@ -140,6 +140,40 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("span corruption round-trips: input + targets reconstruct the original text") {
+    import graft.llm.Denoise
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .where(col("text").isNotNull)
+      .limit(100)
+    val rows = Denoise.spanCorrupt(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "n_tokens", "n_spans", "input_text", "target_text", "text")
+      .collect()
+    assert(rows.nonEmpty && rows.exists(_.getLong(2) > 0), "no spans drawn; spec is vacuous")
+    val sentinel = "<extra_id_(\\d+)>".r
+    rows.foreach { r =>
+      val (nTok, nSpans)  = (r.getLong(1), r.getLong(2))
+      val (input, target) = (r.getString(3), r.getString(4))
+      val orig            = r.getString(5).split(" ").filter(_.nonEmpty).toVector
+      assert(nTok == orig.length)
+      // parse targets: sentinel k -> its span tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur   = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case s if sentinel.matches(s) => cur = sentinel.findFirstMatchIn(s).get.group(1).toInt; spans(cur) = Vector()
+        case t                        => spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size == nSpans, s"doc ${r.getLong(0)}: ${spans.size} targets vs n_spans $nSpans")
+      spans.values.foreach(sp => assert(sp.length == 3, "span length must be 3"))
+      // splice targets back into the input at their sentinels
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toVector.flatMap {
+        case s if sentinel.matches(s) => spans(sentinel.findFirstMatchIn(s).get.group(1).toInt)
+        case t                        => Vector(t)
+      }
+      assert(rebuilt == orig, s"doc ${r.getLong(0)} does not round-trip")
+    }
+  }
+
   test("hard negatives: different-label neighbours only, above tau, ranked by cosine") {
     import graft.llm.EmbeddingStats
     // planted geometry: anchors 1,2 ("pos" cluster) near 3 ("neg", the hard
