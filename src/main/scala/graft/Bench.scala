@@ -159,12 +159,37 @@ object Bench {
     val errs  = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = readLoadAvg()
     val load    = s"""{"start":"$loadStart","end":"$loadEnd"}"""
+    // The BASELINE.md binding gate — whole-pipeline within 2× of the summed
+    // pandas/numpy stage baselines at the same SF — computed HERE so the
+    // committed artifact carries the gate evidence itself (VERDICT r9: the
+    // gate had to be re-measured by hand because only load-inflated medians
+    // survived). Ratio is reported on both the median (BASELINE.md
+    // methodology) and the min (load-noise floor); the gate binds on the
+    // median with the min as the contamination check.
+    val baselinePipeline: Option[Double] =
+      if (sfDir.endsWith("sf0.1")) Some(0.6328)
+      else if (sfDir.endsWith("sf0.01")) Some(0.0756)
+      else None
+    val gate = (for {
+      base <- baselinePipeline
+      pipeMed <- med.get("pipeline_e2e")
+      pipeMin <- timings.get("pipeline_e2e").filter(_.nonEmpty).map(_.min)
+    } yield s"""{"pipeline_e2e_median":${r4(pipeMed)},"pipeline_e2e_min":${r4(
+        pipeMin)},"baseline_sec":${r4(base)},"ratio_median":${r4(pipeMed / base)},"ratio_min":${r4(
+        pipeMin / base)},"bound":2.0,"pass":${pipeMed / base <= 2.0}}""").getOrElse("null")
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"mins":$mins,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"record":"total","metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"mins":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+    val minsLine =
+      s"""{"record":"mins","unit":"sec","queries":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.out")
+    // APPEND both records (mins first, then the full total line) so no later
+    // write can destroy the gate evidence; each line is a complete JSON
+    // record tagged by "record"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (minsLine + "\n" + json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
     spark.stop()
     // the JSON is the FINAL line of the forked JVM's stdout (spark.stop()
@@ -203,7 +228,7 @@ object Bench {
           val qsC = keys
             .flatMap(n => med.get(n).map(v => "\"" + n + "\":" + r4(v)))
             .mkString("{", ",", "}")
-          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"n_cases":${names.size},"full":"BENCH.out","errors":$errsC,"loadavg":$load,"sf":"$sfDir"}"""
+          s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsC,"gate":$gate,"n_cases":${names.size},"full":"BENCH.out","errors":$errsC,"loadavg":$load,"sf":"$sfDir"}"""
         }
         // grow the slowest-query list while the line still fits the window
         var keep = baselineKeys.filter(med.contains)

@@ -1,9 +1,31 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Driver-side collection of bounded statistics results. */
 object Jobs {
+
+  private val ViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One dedicated statistics session per parent session: shares the
+    * SparkContext and SharedState (same executors, same cached data) but
+    * owns its OWN SessionState/conf with AQE permanently off — so running
+    * a stat collect never mutates the caller's session conf, and a
+    * concurrent query on the caller's session keeps AQE. Cardinality is
+    * bounded by the number of live SparkSessions in the JVM (one in every
+    * graft entry point), so the map cannot grow unbounded in practice.
+    */
+  private val StatSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def statSession(parent: SparkSession): SparkSession =
+    StatSessions.computeIfAbsent(
+      parent,
+      p => {
+        val s = p.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s
+      })
 
   /** Collect a driver-bounded statistics result (a one-row aggregate, a
     * capped distinct list, an argmax row) with AQE disabled for the
@@ -14,20 +36,27 @@ object Jobs {
     * ([[graft.tools.AqeProbe]]); corpus-scale queries keep AQE, where it
     * earns its stages.
     *
-    * The toggle is a session-conf set/restore around the action. A
-    * concurrent query starting on the same session inside that window
-    * would run without AQE — a performance effect only, never a
-    * correctness one; the engine's stat collects are sequential
-    * driver-blocking steps, so the window is the action itself.
+    * The plan is re-bound onto a dedicated child session (AQE off) via a
+    * per-call global temp view — all public API, and the caller's session
+    * conf is NEVER touched, so a concurrent query on the caller's session
+    * cannot observe a transient AQE-off window (the race the previous
+    * set/restore implementation documented). Observed plans
+    * (`Dataset.observe`) collect in-session instead: their metrics
+    * listener is bound to the parent session's listener bus, and a
+    * cross-session execution would leave `Observation.get` waiting
+    * forever.
     */
   def collectFast(df: DataFrame): Array[Row] = {
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    if (prev == "false") df.collect()
-    else {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      try df.collect()
-      finally conf.set("spark.sql.adaptive.enabled", prev)
-    }
+    val parent = df.sparkSession
+    if (parent.conf.get("spark.sql.adaptive.enabled", "true") == "false")
+      return df.collect()
+    val observed = df.queryExecution.logical.collectFirst {
+      case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m
+    }.isDefined
+    if (observed) return df.collect()
+    val name = s"graft_statfast_${ViewSeq.incrementAndGet()}"
+    df.createOrReplaceGlobalTempView(name)
+    try statSession(parent).table(s"global_temp.$name").collect()
+    finally parent.catalog.dropGlobalTempView(name)
   }
 }

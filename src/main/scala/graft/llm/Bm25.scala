@@ -158,6 +158,11 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(m >= k, s"candidate pool m=$m must be >= k=$k")
+    // queryVec is documented as a ONE-ROW frame; a multi-row frame would
+    // silently multiply candidates through the crossJoin and break the
+    // <=m bound and the top-k semantics. limit(2) bounds the check job.
+    val nq = queryVec.limit(2).count()
+    require(nq == 1, s"queryVec must contain exactly one row, got ${if (nq > 1) ">=2" else "0"}")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.dot
 

@@ -46,16 +46,29 @@ object Bpe {
   private[llm] val D  = "\u0001"
   private[llm] val DD = D + D
 
-  /** (id, s): the corpus packed into delimited strings. */
-  private def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (id, s): the corpus packed into delimited strings. A document
+    * containing the U+0001 delimiter would silently corrupt the packing
+    * (wrong merge tables, wrong token arrays), so the contract is
+    * ENFORCED in the same projection: `raise_error` fires at execution
+    * time on the offending document — loud failure, zero extra jobs.
+    */
+  private def packed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = Cols.q(textCol)
+    val checked = when(
+      txt.contains(lit(D)),
+      raise_error(concat(
+        lit("Bpe: text contains the packing delimiter U+0001 (id="),
+        Cols.q(idCol).cast("string"),
+        lit(")")))).otherwise(txt)
     docs
-      .where(Cols.q(textCol).isNotNull)
+      .where(txt.isNotNull)
       .select(
         Cols.q(idCol).as("__id"),
         concat(
           lit(DD),
-          array_join(filter(split(Cols.q(textCol), " "), t => t =!= lit("")), DD),
+          array_join(filter(split(checked, " "), t => t =!= lit("")), DD),
           lit(DD)).as("s"))
+  }
 
   /** Token array back out of a packed string. */
   private[llm] def unpack(s: Column): Column =

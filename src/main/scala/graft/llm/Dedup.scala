@@ -211,6 +211,14 @@ object Dedup {
     * all-shingle Jaccard (oracle parity, e.g. q34), which is safe to run
     * uncapped because the pair expansion streams (see below) but still
     * pays O(df²) pair ROWS per hot shingle.
+    *
+    * `minJaccard`: when the caller only needs pairs at or above a
+    * threshold (every clustering/dedup path does), pass it — the plan
+    * switches to exact prefix-filtered generation
+    * ([[prefixFilteredPairs]]) whose candidate count scales with the
+    * rare-shingle prefix occupancy instead of Σ df², and only pairs with
+    * jaccard ≥ minJaccard are returned. `None` keeps the all-pairs
+    * output (needed by rank-all consumers like q34's top-5).
     */
   val DefaultMaxShingleDf: Long = 1024L
 
@@ -244,7 +252,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      maxShingleDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
+      maxShingleDf: Option[Long] = Some(DefaultMaxShingleDf),
+      minJaccard: Option[Double] = None): DataFrame = {
     // inverted-index rows from the shared shingle projection; per-doc set
     // sizes are recovered afterwards by a count over these rows instead
     // (doc-count-sized, broadcastable)
@@ -281,6 +290,10 @@ object Dedup {
     }
     val kept = observed
       .where(maxShingleDf.map(size(col("ms")) <= _).getOrElse(lit(true)))
+    minJaccard match {
+      case Some(tau) => return prefixFilteredPairs(kept, tau)
+      case None      => ()
+    }
     // singleton shingles generate no pairs (but DO count toward per-doc
     // sizes in the capped recount below — any cap ≥ 1 retains them)
     // two-level streaming expansion: the outer loop is its own Generate
@@ -317,6 +330,84 @@ object Dedup {
         col("a_id"),
         col("b_id"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
+
+  /** Threshold-aware pair generation via PREFIX FILTERING (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.,
+    * PPJoin, ICDE'08): for J(A,B) ≥ τ, the smallest element of A∩B under
+    * ANY global total order must lie within the first
+    * |X| − ⌈τ·|X|⌉ + 1 elements of BOTH sets — so candidate pairs only
+    * need to be generated from those per-doc prefixes, taken in the
+    * canonical rarest-first order (df asc, shingle asc) so the prefixes
+    * land on the LEAST shared shingles. This is EXACT (no false
+    * negatives), which is why the declared queries that use it keep their
+    * unchanged all-pairs DuckDB oracles.
+    *
+    * Scale shape vs the all-co-occurrence plan: candidate rows shrink
+    * from Σ_s df(s)² over every shingle to Σ over prefix occurrences of
+    * the rarest ~(1−τ) of each doc's shingles (sf1 documents: 138 M
+    * co-occurrence rows → 11 M candidates at τ=0.8), and verification is
+    * one `array_intersect` per DISTINCT candidate against doc-sized
+    * shingle arrays joined by id — joins that shuffle candidate-count
+    * rows, never the quadratic stream, and no broadcast of anything
+    * corpus-sized. The ⌈τ·n⌉ is computed with a −1e−9 guard so binary
+    * rounding of τ·n can only LENGTHEN a prefix (safe direction); a
+    * size-compatibility filter (τ·max ≤ min, same guard) prunes before
+    * the intersect.
+    *
+    * @param kept the (s, ms: sorted member list) retained-shingle groups
+    *             (post df-cap) — Jaccard is over that universe
+    */
+  private def prefixFilteredPairs(kept: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0.0 && tau <= 1.0, s"minJaccard must be in (0,1], got $tau")
+    // flat retained rows with each shingle's df riding along (size of the
+    // member list the row was exploded from)
+    val rows = kept.select(col("s"), size(col("ms")).as("df"), explode(col("ms")).as("__id"))
+    val byDoc  = Window.partitionBy("__id")
+    val ranked = rows
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("nn", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .where(col("rk") <= col("nn") - ceil(lit(tau) * col("nn") - lit(1e-9)) + 1)
+      .select("__id", "s", "rk", "nn")
+    // in-place ordered expansion over prefix occurrences only, with
+    // PPJoin's positional filter applied per collision BEFORE the distinct:
+    // J ≥ τ needs overlap ≥ α = ⌈τ/(1+τ)·(nA+nB)⌉, and a collision at
+    // ranks (rkA, rkB) bounds the overlap by 1 + min(nA−rkA, nB−rkB)
+    // (every other common element sits after both ranks). The smallest
+    // common element of a true pair always passes, so keeping pairs where
+    // ANY collision passes loses nothing — while collisions on LATE
+    // prefix ranks (the bulk, since random co-occurrences are uniform in
+    // rank) are dropped before they ever reach the shuffle.
+    val alphaNum = lit(tau / (1.0 + tau))
+    val cand = prefix
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("__id").as("id"), col("rk"), col("nn")))).as("ps"))
+      .where(size(col("ps")) > 1)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .where(lit(1) + least(col("a.nn") - col("a.rk"), col("b.nn") - col("b.rk")) >=
+        ceil(alphaNum * (col("a.nn") + col("b.nn")) - lit(1e-9)))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    // per-doc retained-shingle arrays for exact verification (order-free;
+    // the arrays are distinct by construction so array_intersect is the
+    // exact intersection count)
+    val arrs = rows.groupBy(col("__id")).agg(collect_list(col("s")).as("arr"))
+    val verified = cand
+      .join(arrs.select(col("__id").as("a_id"), col("arr").as("sa")), Seq("a_id"))
+      .join(arrs.select(col("__id").as("b_id"), col("arr").as("sb")), Seq("b_id"))
+      .withColumn("na", size(col("sa")))
+      .withColumn("nb", size(col("sb")))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(tau) * greatest(col("na"), col("nb")) - lit(1e-9))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+    verified.where(col("jaccard") >= tau)
   }
 
   /** Cross-corpus contamination matrix: n-gram Jaccard overlap between

@@ -97,8 +97,10 @@ object DupClusters {
     * production bound that keeps pair expansion sub-quadratic at corpus
     * scale (a universal stop-shingle otherwise funds O(df²) pair rows);
     * capped runs compute Jaccard over the retained-shingle universe
-    * (deterministic, and replayable by a SQL oracle). Pass `None` for
-    * exact all-shingle Jaccard (oracle parity, e.g. q69/q84/q90/q100).
+    * (deterministic, and replayable by a SQL oracle — the declared
+    * q69/q84/q90/q100 run this default capped plan with the df cap
+    * replayed in their DuckDB oracles). Pass `None` for exact
+    * all-shingle Jaccard (spec-pinned at tiny scale in DedupSpec).
     *
     * Returns one row per input document: (`idCol`, cluster_id) with
     * cluster_id = min reachable document id.
@@ -111,8 +113,11 @@ object DupClusters {
       tau: Double = 0.8,
       maxShingleDf: Option[Long] = Some(Dedup.DefaultMaxShingleDf),
       maxIters: Int = 50): DataFrame = {
+    // threshold known here ⇒ prefix-filtered generation (exact for ≥ tau;
+    // see Dedup.prefixFilteredPairs) — candidates come from the rarest
+    // (1−tau) of each doc's shingles instead of every co-occurrence
     val edges = Dedup
-      .ngramJaccardPairs(docs, idCol, textCol, n, maxShingleDf)
+      .ngramJaccardPairs(docs, idCol, textCol, n, maxShingleDf, minJaccard = Some(tau))
       .where(col("jaccard") >= tau)
       .select("a_id", "b_id")
     connectedComponents(docs.select(graft.core.Cols.q(idCol).as("id")), edges, maxIters)

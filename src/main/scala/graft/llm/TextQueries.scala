@@ -612,8 +612,15 @@ object TextQueries {
   /** Near-dup clusters: connected components (hash-min label propagation,
     * [[DupClusters]]) over the n-gram-Jaccard ≥ 0.8 pair graph; every
     * document gets the min doc_id of its component (isolated docs label
-    * themselves). The DuckDB oracle replays the fixpoint as a recursive
-    * CTE, so the component labelling itself is hash-checked.
+    * themselves). Runs the CAPPED production plan — the library-default
+    * `maxShingleDf` ([[Dedup.DefaultMaxShingleDf]] = 1024) drops
+    * stop-shingles BEFORE pair expansion, which is what bounds pair rows
+    * at corpus scale (Σ df² is quadratic in an uncapped run). The cap is
+    * a deterministic df filter, so the DuckDB oracle replays it verbatim
+    * (the `kept` CTE) along with the component fixpoint — the capped
+    * labelling itself is hash-checked. Uncapped all-shingle exactness is
+    * spec-pinned at tiny scale in DedupSpec; q103 pins the cap semantics
+    * with a cap that BINDS at test scale.
     */
   val q69DupClusters: Declared = Declared.sql(
     "q69_dup_clusters",
@@ -624,11 +631,13 @@ object TextQueries {
       |              generate_series(1, len(tk) - 2),
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |    GROUP BY a.doc_id, b.doc_id) x
       |  JOIN cnt ca ON ca.doc_id = a_id
       |  JOIN cnt cb ON cb.doc_id = b_id
@@ -642,7 +651,7 @@ object TextQueries {
       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     DupClusters
-      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = None)
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text")
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
       .orderBy("doc_id")
   }
@@ -685,7 +694,9 @@ object TextQueries {
 
   /** Leakage-safe train/test split ([[DupClusters.leakSafeSplit]]): the
     * split is drawn from the near-dup CLUSTER label (q69's components),
-    * so paraphrase duplicates can never straddle train and test. The
+    * so paraphrase duplicates can never straddle train and test. Runs
+    * the CAPPED production edge plan (library-default `maxShingleDf`,
+    * see q69) with the df cap replayed in the oracle's `kept` CTE. The
     * oracle replays the component fixpoint (recursive CTE) and the same
     * salted-md5 threshold, hash-checking every document's assignment.
     */
@@ -698,11 +709,13 @@ object TextQueries {
       |              generate_series(1, len(tk) - 2),
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |    GROUP BY a.doc_id, b.doc_id) x
       |  JOIN cnt ca ON ca.doc_id = a_id
       |  JOIN cnt cb ON cb.doc_id = b_id
@@ -720,7 +733,7 @@ object TextQueries {
       |       THEN 'train' ELSE 'test' END AS split
       |FROM comp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val comp = DupClusters
-      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = None)
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text")
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     DupClusters
       .leakSafeSplit(comp)
@@ -961,8 +974,11 @@ object TextQueries {
     * cluster-aware split keeps near-dups on one side, a bigram model is
     * trained ONLY on the train side ([[Vocab.bigramLogProbHoldout]]),
     * and the test side is scored under it (unseen transitions fall back
-    * to the smoothing mass). The oracle replays the component fixpoint,
-    * the split draw, and the left-joined model scoring end to end.
+    * to the smoothing mass). Runs the CAPPED production edge plan
+    * (library-default `maxShingleDf`, see q69) with the df cap replayed
+    * in the oracle's `kept` CTE. The oracle replays the component
+    * fixpoint, the split draw, and the left-joined model scoring end to
+    * end.
     */
   val q100HoldoutScore: Declared = Declared.sql(
     "q100_holdout_score",
@@ -973,11 +989,13 @@ object TextQueries {
       |              generate_series(1, len(tk) - 2),
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |prs AS (
       |  SELECT a_id, b_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |    GROUP BY a.doc_id, b.doc_id) x
       |  JOIN cnt ca ON ca.doc_id = a_id
       |  JOIN cnt cb ON cb.doc_id = b_id
@@ -1010,7 +1028,7 @@ object TextQueries {
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
     val comp = DupClusters
-      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = None)
+      .clusterDocuments(docs, "doc_id", "text")
       .select(col("doc_id"), col("cluster_id"))
     val withSplit = docs
       .join(DupClusters.leakSafeSplit(comp).select("doc_id", "split"), Seq("doc_id"))
@@ -1347,7 +1365,9 @@ object TextQueries {
   /** Canonical-document election over the q69 near-dup clusters: per
     * cluster keep the HIGHEST-QUALITY member (q32's score, rounded before
     * ranking; doc_id breaks ties) — the dedup decision a pipeline ships,
-    * vs q69's raw cluster labels. Cluster assignment, survivor, and keep
+    * vs q69's raw cluster labels. Runs the CAPPED production edge plan
+    * (library-default `maxShingleDf`, see q69) with the df cap replayed
+    * in the oracle's `kept` CTE. Cluster assignment, survivor, and keep
     * flag are all hash-checked.
     */
   val q84DupSurvivors: Declared = Declared.sql(
@@ -1359,11 +1379,13 @@ object TextQueries {
       |              generate_series(1, len(tk) - 2),
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |    GROUP BY a.doc_id, b.doc_id) x
       |  JOIN cnt ca ON ca.doc_id = a_id
       |  JOIN cnt cb ON cb.doc_id = b_id
@@ -1392,7 +1414,7 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
     val clusters = DupClusters
-      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = None)
+      .clusterDocuments(docs, "doc_id", "text")
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     val q = docs.select(
       col("doc_id").cast("long").as("doc_id"),

@@ -46,18 +46,29 @@ object NgramCapBench {
       graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text").explain("formatted")
     } else {
       time("capped_default")(graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+      time("prefix_tau08")(
+        graft.llm.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.8)))
       time("uncapped_oracle")(
         graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxShingleDf = None))
       // q69's PRODUCTION path: capped edge generation + hash-min label
       // propagation (the declared q69 runs uncapped for oracle parity)
       time("clusters_capped") {
+        graft.llm.DupClusters.clusterDocuments(docs, "doc_id", "text")
+      }
+      locally {
         import org.apache.spark.sql.functions.col
-        val edges = graft.llm.Dedup
-          .ngramJaccardPairs(docs, "doc_id", "text")
-          .where(col("jaccard") >= 0.8)
+        // edges materialized once OUTSIDE the timed block → cc_only times
+        // the propagation fixpoint alone
+        val edgesCp = graft.llm.Dedup
+          .ngramJaccardPairs(docs, "doc_id", "text", minJaccard = Some(0.8))
           .select("a_id", "b_id")
-        graft.llm.DupClusters
-          .connectedComponents(docs.select(col("doc_id").as("id")), edges)
+          .localCheckpoint(true)
+        println(s"[ngramcap] n_edges=${edgesCp.count()}")
+        time("cc_only") {
+          graft.llm.DupClusters
+            .connectedComponents(docs.select(col("doc_id").as("id")), edgesCp)
+        }
       }
     }
     spark.stop()

@@ -96,6 +96,47 @@ class DedupSpec extends AnyFunSuite {
     assert(j.size == 1 && math.abs(j.head - 1.0 / 7) < 1e-12)
   }
 
+  test("prefix-filtered pairs equal the all-pairs plan filtered at tau (exactness)") {
+    // fuzzed corpus with planted near-dups, exact dups, chains of partial
+    // overlap, and tiny docs — the shapes prefix/positional filtering
+    // could get wrong (false negatives) if the prefix-length or
+    // overlap-bound math were off by one
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc() = (0 until (8 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 25).map(_ => doc())
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      val mutated = {
+        val toks = b.split(" ")
+        toks.updated(rnd.nextInt(toks.length), "mut" + i).mkString(" ")
+      }
+      Seq((i * 3L, b), (i * 3L + 1, b), (i * 3L + 2, mutated))
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.8, 1.0)) {
+      val want = Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+        .where(col("jaccard") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_.toString).toSeq
+      val got = Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None,
+          minJaccard = Some(tau))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_.toString).toSeq
+      assert(got == want, s"prefix-filtered != all-pairs at tau=$tau")
+    }
+  }
+
+  test("prefix-filtered pairs respect the df cap (capped universe, same as all-pairs)") {
+    val want = Dedup
+      .ngramJaccardPairs(stopShingleCorpus, "doc_id", "text", n = 3, maxShingleDf = Some(4L))
+      .where(col("jaccard") >= 0.1)
+      .count()
+    val got = Dedup
+      .ngramJaccardPairs(stopShingleCorpus, "doc_id", "text", n = 3, maxShingleDf = Some(4L),
+        minJaccard = Some(0.1))
+      .count()
+    assert(got == want)
+  }
+
   test("df-cut jaccard equals the uncut value when no shingle exceeds the cap") {
     val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, maxShingleDf = None)
       .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq

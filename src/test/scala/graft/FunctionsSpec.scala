@@ -209,4 +209,49 @@ class FunctionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("Jobs.collectFast never touches the caller session's AQE conf") {
+    import java.util.concurrent.atomic.AtomicBoolean
+    val key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    // a stat plan slow enough that a concurrent observer is guaranteed to
+    // sample the conf DURING the collect (the old set/restore
+    // implementation held AQE=false on the shared conf for that window)
+    val slow = spark
+      .range(0, 8, 1, 4)
+      .selectExpr("java_method('java.lang.Thread', 'sleep', 150L) AS z", "id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val sawFalse = new AtomicBoolean(false)
+    val stop     = new AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      while (!stop.get()) {
+        if (spark.conf.get(key, "true") == "false") sawFalse.set(true)
+        Thread.sleep(2)
+      }
+    })
+    watcher.start()
+    val rows =
+      try graft.core.Jobs.collectFast(slow)
+      finally { stop.set(true); watcher.join() }
+    assert(rows(0).getAs[Long]("n") == 8L && rows(0).getAs[Long]("s") == 28L)
+    assert(spark.conf.get(key) == "true", "AQE conf must be restored")
+    assert(!sawFalse.get(), "caller session observed a transient AQE-off window")
+    // and the stat session's plan really ran without AQE: observed plans
+    // fall back in-session, everything else executes on the child — both
+    // paths return correct rows (values asserted above); the no-global-
+    // mutation property is the contract under test here
+  }
+
+  test("Jobs.collectFast handles observed plans in-session (Observation still fires)") {
+    val obs = org.apache.spark.sql.Observation("cf_obs_" + System.nanoTime())
+    val df = spark
+      .range(0, 100)
+      .observe(obs, count(lit(1)).as("n"))
+      .groupBy()
+      .agg(sum(col("id")).as("s"))
+    val rows = graft.core.Jobs.collectFast(df)
+    assert(rows(0).getAs[Long]("s") == 4950L)
+    assert(obs.get("n").asInstanceOf[Long] == 100L, "Observation must fire for observed plans")
+  }
 }

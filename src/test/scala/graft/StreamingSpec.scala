@@ -39,7 +39,7 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
         .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -58,7 +58,7 @@ class StreamingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
         .select(
           col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
       // every event lands in exactly windowDuration/slide = 4 windows
       val events = graft.core.Tables(spark, dir).events.count()
       val expanded = want.agg(sum("n")).collect()(0).getLong(0)
@@ -97,7 +97,7 @@ class StreamingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
         .select(
           col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -135,7 +135,7 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -151,7 +151,7 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got  = stream.sparkSession.table("paths_out")
       val want = StreamingOps.sessionPaths(graft.core.Tables(spark, dir).events)
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -239,7 +239,7 @@ class StreamingSpec extends AnyFunSuite {
       val want = StreamingOps
         .similarCandidatesStream(corpus, corpus, "vec_id", "embedding", tau = 0.5)
         .distinct()
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -307,7 +307,7 @@ class StreamingSpec extends AnyFunSuite {
         .join(dim, Seq("user_id"), "left")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 
@@ -359,7 +359,7 @@ class StreamingSpec extends AnyFunSuite {
       // scoring projection is stateless; stats come from the static side)
       val want = Bm25.scoreStream(docs, docs, "doc_id", "text", terms, minScore = 1e-6)
       assert(want.count() > 0, "fixture matched no query terms; spec is vacuous")
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
       // and the stream's top-k agrees with the declared batch ranking
       val batchTop = Bm25.topK(docs, "doc_id", "text", terms, k = 5)
         .where(col("score") > 0) // the stream filters at minScore; zero-score
@@ -393,7 +393,7 @@ class StreamingSpec extends AnyFunSuite {
       val got  = spark.table("cms_out")
       val want = graft.llm.Sketches.countMinSketch(spark.read.parquet(d), "text",
         depth = 4, width = 32)
-      TestSpark.assertFrameEqual(got, want)
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
     } finally q.stop()
   }
 

@@ -19,19 +19,29 @@ object TestSpark {
   }
 
   /** Schema (names + types) and sorted-row equality with double tolerance.
-    * TIMESTAMP_NTZ columns are compared as TIMESTAMP: batch readers keep
-    * the parquet NTZ type (oracle-aligned) while streaming event time must
-    * be TIMESTAMP, and under the suite's UTC session the cast is
-    * value-preserving — the comparison should not fork on that encoding.
+    * Schema equality is STRICT by default — a query whose output type
+    * drifts between TIMESTAMP_NTZ and TIMESTAMP fails, because the NTZ
+    * encoding is part of the oracle contract (q11 alignment). The
+    * streaming-vs-batch parity comparisons opt in to `normalizeNtz`:
+    * batch readers keep the parquet NTZ type while streaming event time
+    * must be TIMESTAMP, and under the suite's UTC session the cast is
+    * value-preserving — only THAT comparison should not fork on the
+    * encoding.
     */
-  def assertFrameEqual(got: DataFrame, want: DataFrame, tol: Double = 1e-9): Unit = {
+  def assertFrameEqual(
+      got: DataFrame,
+      want: DataFrame,
+      tol: Double = 1e-9,
+      normalizeNtz: Boolean = false): Unit = {
     def norm(df: DataFrame): DataFrame =
-      df.select(df.schema.fields.map { f =>
-        import org.apache.spark.sql.functions.col
-        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-          col(s"`${f.name}`").cast("timestamp").as(f.name)
-        else col(s"`${f.name}`")
-      }.toSeq: _*)
+      if (!normalizeNtz) df
+      else
+        df.select(df.schema.fields.map { f =>
+          import org.apache.spark.sql.functions.col
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            col(s"`${f.name}`").cast("timestamp").as(f.name)
+          else col(s"`${f.name}`")
+        }.toSeq: _*)
     val (gotN, wantN) = (norm(got), norm(want))
     assert(
       gotN.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
