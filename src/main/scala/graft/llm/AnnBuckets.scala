@@ -92,10 +92,36 @@ object AnnBuckets {
         b
       }
 
-    // cosine is computed INSIDE each table's bucket join so only
-    // (a_id, b_id, cos_sim) crosses the union/dedup shuffle — never the
-    // embedding arrays (at 64 dims that's a ~30× smaller shuffle).
-    val candidates = (0 until nTables)
+    val candidates = candidatePairs(e, bits, dims, nTables, seed)
+
+    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("rn"), col("cos_sim"))
+  }
+
+  /** Directed same-bucket candidate pairs (a_id, b_id, cos_sim) unioned
+    * over `nTables` independent tables — the bucketed-ANN candidate stage
+    * shared by [[approxTopK]] and the approximate hard-negative miner
+    * ([[graft.llm.EmbeddingStats.hardNegativesApprox]]).
+    *
+    * Cosine is computed INSIDE each table's bucket join so only
+    * (a_id, b_id, cos_sim) crosses the union/dedup shuffle — never the
+    * embedding arrays (at 64 dims that's a ~30× smaller shuffle). The
+    * join emits BOTH directions of each pair (a×b with a ≠ b), so
+    * consumers get anchor→neighbour rows without a symmetrize explode.
+    *
+    * @param e (vec_id, emb: array&lt;double&gt;, nrm) — the normalized base
+    *          projection
+    */
+  private[llm] def candidatePairs(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      nTables: Int,
+      seed: Long): DataFrame =
+    (0 until nTables)
       .map { t =>
         val bucketed = withBucket(e, "emb", bits, dims, seed + t)
         val a = bucketed.select(
@@ -110,13 +136,6 @@ object AnnBuckets {
       }
       .reduce(_ unionByName _)
       .dropDuplicates("a_id", "b_id")
-
-    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
-    candidates
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("a_id"), col("b_id"), col("rn"), col("cos_sim"))
-  }
 
   /** One row per (table, bucket) with the combined partition key
     * `tb = tbl · 2^nBits + bucket`.

@@ -321,4 +321,52 @@ object EmbeddingStats {
       .where(col("rn") <= k)
       .select("anchor", "anchor_label", "neighbor", "neighbor_label", "cos_sim", "rn")
   }
+
+  /** Corpus-scale hard-negative mining: the same per-anchor different-label
+    * top-k ≥ tau semantics as [[hardNegatives]], but the pair stage is the
+    * bucketed LSH candidate generation ([[AnnBuckets.candidatePairs]])
+    * instead of the guarded exact kernel — candidate volume scales with
+    * bucket occupancy (held constant by `autoBits`), never O(n²), so this
+    * is the entry point a 100 TB miner runs. Recall is approximate by
+    * construction (a hard negative whose bucket never collides with its
+    * anchor in any table is missed); raise `nTables` to trade compute for
+    * recall. Output schema and ranking rules are identical to
+    * [[hardNegatives]] (rounded cosine desc, neighbour id asc).
+    */
+  def hardNegativesApprox(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      tau: Double,
+      k: Int,
+      nBits: Int = AnnBuckets.Auto,
+      dims: Int = 64,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.dot
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = df
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val cand = AnnBuckets
+      .candidatePairs(e, bits, dims, nTables, seed)
+      .where(col("cos_sim") >= tau)
+      .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
+    val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))
+    val w   = Window.partitionBy("anchor").orderBy(col("cos_sim").desc, col("neighbor").asc)
+    cand
+      .join(lbl.select(col("__lid").as("anchor"), col("__lbl").as("anchor_label")), Seq("anchor"))
+      .join(
+        lbl.select(col("__lid").as("neighbor"), col("__lbl").as("neighbor_label")),
+        Seq("neighbor"))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("anchor", "anchor_label", "neighbor", "neighbor_label", "cos_sim", "rn")
+  }
 }

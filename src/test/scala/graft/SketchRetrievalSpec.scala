@@ -197,6 +197,64 @@ class SketchRetrievalSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("approx hard negatives recover the exact miner's pairs on the planted geometry") {
+    import graft.llm.EmbeddingStats
+    val emb = Seq(
+      (1L, "pos", Array(1.0f, 0.0f)),
+      (2L, "pos", Array(0.95f, 0.31f)),
+      (3L, "neg", Array(0.9f, 0.43f)),
+      (4L, "neg", Array(0.0f, 1.0f)),
+      (5L, "pos", Array(0.99f, 0.14f))).toDF("vec_id", "label", "embedding")
+    val exact = EmbeddingStats
+      .hardNegatives(emb, "vec_id", "label", "embedding", tau = 0.5, k = 2)
+      .select("anchor", "neighbor")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = EmbeddingStats
+      .hardNegativesApprox(emb, "vec_id", "label", "embedding", tau = 0.5, k = 2,
+        nBits = 2, dims = 2, nTables = 4)
+      .select("anchor", "neighbor")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    // every anchor here has at most k different-label neighbours above tau,
+    // so the exact miner keeps them all — the approx result can only MISS
+    // pairs (bucket non-collision), never add them
+    assert(approx.subsetOf(exact), s"approx produced non-exact pairs: ${approx diff exact}")
+    // the planted cluster is tight (all hard negatives within ~25°), so 4
+    // independent tables recover everything at this scale
+    assert(approx == exact, s"approx missed pairs: ${exact diff approx}")
+  }
+
+  test("approx hard negatives on corpus embeddings: subset semantics and majority overlap") {
+    import graft.llm.EmbeddingStats
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val exact = EmbeddingStats
+      .hardNegatives(emb, "vec_id", "label", "embedding", tau = 0.3, k = 3)
+      .select("anchor", "neighbor")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = EmbeddingStats
+      .hardNegativesApprox(emb, "vec_id", "label", "embedding", tau = 0.3, k = 3,
+        nBits = 4, nTables = 8)
+      .select("anchor", "neighbor")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val overlap = (approx intersect exact).size.toDouble / exact.size
+    info(f"approx-vs-exact miner overlap = $overlap%.3f (exact pairs: ${exact.size})")
+    // measured 0.721 at these settings (nBits=4, nTables=8, seed 42) —
+    // the gate is measured-minus-margin: 0.55 catches a bucketing
+    // regression while tolerating seed variance (4 tables measured 0.439,
+    // so the tables knob is doing real recall work). Note approx is NOT
+    // necessarily a subset here: an anchor with >k negatives above tau
+    // can promote a lower-ranked one when a higher-ranked bucket never
+    // collides.
+    assert(overlap >= 0.55, s"approx-vs-exact miner overlap too low: $overlap")
+  }
+
   test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
     import graft.llm.Dedup
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
