@@ -158,6 +158,45 @@ class MiceSpec extends AnyFunSuite {
     }
   }
 
+  /** iraq_vote-shaped fixture: numeric predictors + a boolean vote column
+    * with NAs — the external anchor for the LINEAR-PROBABILITY branch.
+    * Complete cases split 4/4 on the vote (so any constant/mode fill is
+    * wrong for one of the probe rows); the two missing-vote rows sit
+    * deep inside each class in predictor space.
+    */
+  private def iraqVoteShaped = {
+    val rows = Seq(
+      (0L, 10.0, 1.0, Option(false)),
+      (1L, 12.0, 2.0, Option(false)),
+      (2L, 9.0, 1.0, Option(false)),
+      (3L, 11.0, 3.0, Option(false)),
+      (4L, 30.0, 8.0, Option(true)),
+      (5L, 32.0, 9.0, Option(true)),
+      (6L, 29.0, 9.0, Option(true)),
+      (7L, 31.0, 7.0, Option(true)),
+      (8L, 10.5, 2.0, Option.empty[Boolean]),
+      (9L, 30.5, 8.0, Option.empty[Boolean]))
+    GraftFrame(rows.toDF("row_id", "x1", "x2", "vote"))
+  }
+
+  test("boolean-target external golden: LPM draw lands on the cc-prediction side") {
+    // golden numbers derived OUTSIDE this engine by tools/mice_golden.py
+    // (numpy normal equations over the 8 complete cases): cc-LPM pred for
+    // row 8 = 0.008929, row 9 = 0.991071, sigma = 0.069233 — so
+    // P(imputed true) = Phi((pred-0.5)/sigma) is < 1e-12 for row 8 and
+    // > 1 - 1e-12 for row 9. ALL 10 imputations must therefore agree
+    // (a draw on the wrong side would need a >7-sigma noise excursion),
+    // and the two rows must disagree with each other, which rejects any
+    // constant or mode fill outright.
+    val out = Mice(iraqVoteShaped, "row_id", nBurnin = 20, nImputations = 10, nSpread = 20)
+    assert(out.where(col("row_id") === 8 && col("vote") === true).count() == 0,
+      "row 8 (deep in the false class: cc-LPM pred 0.009) imputed true")
+    assert(out.where(col("row_id") === 9 && col("vote") === false).count() == 0,
+      "row 9 (deep in the true class: cc-LPM pred 0.991) imputed false")
+    assert(out.where(col("vote").isNull).count() == 0)
+    assert(out.schema("vote").dataType.typeName == "boolean")
+  }
+
   test("reference 20/10/20 schedule completes on a small frame (one job per Jacobi sweep)") {
     val rows = (0 until 50).map { i =>
       val x = (i % 25).toDouble

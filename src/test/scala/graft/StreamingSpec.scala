@@ -155,6 +155,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session paths drop a late event beyond the watermark, across a restart") {
+    import spark.implicits._
+    val d  = java.nio.file.Files.createTempDirectory("late_events").toString
+    val cp = java.nio.file.Files.createTempDirectory("late_cp").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(d)
+    // batch 1: user 1's session (two events) plus a user-2 event far
+    // ahead, which moves the watermark to 12:50 at the batch commit —
+    // persisted in the checkpoint, so it survives the restart
+    writeBatch(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 13:00:00"), 2L, "x", 1.0, "{}")))
+    // the memory sink cannot recover from a checkpoint, so the restart
+    // semantics are driven through the file sink (append-mode parquet)
+    val out = java.nio.file.Files.createTempDirectory("late_out").toString
+    def start() = {
+      val stream = StreamingOps.sessionPaths(
+        StreamingOps.readEventStream(spark, d).withWatermark("ts", "10 minutes"))
+      stream.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: a LATE user-1 event (10:10 — its one-event session window
+    // ends 10:40, far below the restored 12:50 watermark ⇒ documented
+    // drop), plus a fresh event so the restarted batch runs eviction
+    writeBatch(Seq(
+      (4L, ts("2024-01-01 10:10:00"), 1L, "zz", 1.0, "{}"),
+      (5L, ts("2024-01-01 13:05:00"), 2L, "y", 1.0, "{}")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .where(col("user_id") === 1L)
+        .select(col("n_events"), col("path"))
+        .as[(Long, String)]
+        .collect()
+        .toSeq
+      assert(got == Seq((2L, "a>b")),
+        s"user 1's finalized session must be the pre-watermark transcript without the late event; got $got")
+    } finally q2.stop()
+  }
+
   test("foreachBatch parquet sink round-trips every event") {
     val outDir = java.nio.file.Files.createTempDirectory("sink").toString
     val q = StreamingOps

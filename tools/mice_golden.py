@@ -64,3 +64,34 @@ b, s = cc_fit(1)
 print(f"Solar[5]  cc pred = {b @ np.array([1, 28, 14.9, 1]):.6f}  sigma = {s:.6f}  "
       f"(mean-fill 172.625 must violate pred±2σ)")
 print("supports: Ozone [8,41], Solar.R [19,313], Wind [7.4,20.1]")
+
+# ---------------------------------------------------------------------------
+# Boolean-target fixture (iraq_vote shape: numeric predictors + a y/n vote
+# column with NAs) — the external anchor for Mice.scala's LINEAR-PROBABILITY
+# branch. Booleans join the chained equations as 0/1 columns; the draw is
+# pred + sigma*probit(u) clamped to [0,1] and the OUTPUT threshold is
+# >= 0.5, so P(imputed true) = Phi((pred - 0.5) / sigma) exactly (clamping
+# at 0/1 cannot move a draw across 0.5). The numbers below are what
+# MiceSpec's boolean-golden test hard-codes.
+from math import erf, sqrt
+
+V = np.array([  # row_id, x1, x2, vote (complete cases 0..7)
+    [10, 1, 0],
+    [12, 2, 0],
+    [9, 1, 0],
+    [11, 3, 0],
+    [30, 8, 1],
+    [32, 9, 1],
+    [29, 9, 1],
+    [31, 7, 1],
+], float)
+Xv = np.column_stack([np.ones(8), V[:, 0], V[:, 1]])
+yv = V[:, 2]
+bv = np.linalg.solve(Xv.T @ Xv + RIDGE * np.eye(3), Xv.T @ yv)
+rv = yv - Xv @ bv
+sv = float(np.sqrt(rv @ rv / (8 - 3)))
+phi = lambda z: 0.5 * (1 + erf(z / sqrt(2)))
+for rid, x1, x2 in [(8, 10.5, 2.0), (9, 30.5, 8.0)]:
+    p = bv @ np.array([1, x1, x2])
+    pt = phi((p - 0.5) / sv)
+    print(f"vote[{rid}]  cc-LPM pred = {p:.6f}  sigma = {sv:.6f}  P(true) = {pt:.6f}")
