@@ -460,9 +460,72 @@ object SimilarityQueries {
       .orderBy("anchor", "rn")
   }
 
+  /** ANN-backed hard-negative mining
+    * ([[EmbeddingStats.hardNegativesApprox]]): q118's semantics with the
+    * pair stage swapped from the guarded exact kernel to the LSH bucket
+    * join — the plan a 100 TB miner actually runs. With the index pinned
+    * (nBits=4, 2 tables, seed 42) every stage is deterministic, so the
+    * WHOLE approximate path hash-oracles: the DuckDB SQL embeds the same
+    * seeded hyperplanes as literals (q67 pattern), replays the per-table
+    * same-bucket self-join, the distinct candidate union, the rounded
+    * cosine, the label filter, and the per-anchor window. A bucketing or
+    * candidate-generation bug therefore fails the hash gate directly
+    * instead of hiding inside a recall envelope. (The production default
+    * `nBits = Auto` sizes the index from corpus occupancy; the declared
+    * query pins 4 bits for oracle reproducibility — same split as
+    * q41/q67.)
+    */
+  val q120HardNegativesAnn: Declared = {
+    val nBits   = 4
+    val dims    = 64
+    val seed    = 42L
+    val nTables = 2
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n     + ")
+      s"SELECT vec_id, $tb AS table_id, CAST($bits AS INTEGER) AS bucket FROM n"
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")}),
+         |c AS (SELECT DISTINCT x.vec_id AS anchor, y.vec_id AS neighbor
+         |      FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+         |                       AND x.vec_id <> y.vec_id),
+         |p AS (SELECT c.anchor, na.label AS anchor_label, c.neighbor, nb.label AS neighbor_label,
+         |             round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+         |      FROM c JOIN n na ON na.vec_id = c.anchor JOIN n nb ON nb.vec_id = c.neighbor),
+         |h AS (SELECT anchor, anchor_label, neighbor, neighbor_label, cos_sim,
+         |        row_number() OVER (PARTITION BY anchor ORDER BY cos_sim DESC, neighbor ASC) AS rn
+         |      FROM p WHERE cos_sim >= 0.3 AND anchor_label <> neighbor_label)
+         |SELECT anchor, anchor_label, neighbor, neighbor_label, cos_sim, CAST(rn AS INTEGER) AS rn
+         |FROM h WHERE rn <= 3
+         |ORDER BY anchor, rn""".stripMargin
+    Declared.sql("q120_hard_negatives_ann", oracle) { (spark, dir) =>
+      EmbeddingStats
+        .hardNegativesApprox(
+          t(spark, dir).embeddings,
+          "vec_id",
+          "label",
+          "embedding",
+          tau = 0.3,
+          k = 3,
+          nBits = nBits,
+          dims = dims,
+          nTables = nTables,
+          seed = seed)
+        .orderBy("anchor", "rn")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
-      q118HardNegatives)
+      q118HardNegatives, q120HardNegativesAnn)
 }

@@ -354,7 +354,44 @@ object EventQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Last-touch click attribution: for every click, the LATEST view by the
+    * same user within the preceding 30 minutes (view_id breaks exact-ts
+    * ties, newest id wins). The pair stage is
+    * [[StreamingOps.viewClickPairs]] — the SAME plan runs as a watermarked
+    * stream-stream interval join (StreamingSpec pins batch/stream pair
+    * parity); the last-touch window on top is the batch half, since
+    * per-key ranking after a stream-stream join isn't expressible in
+    * append mode (a downstream consumer does it per trigger window).
+    */
+  val q121ClickAttribution: Declared = Declared.sql(
+    "q121_click_attribution",
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts,
+      |             CAST(date_diff('second', v.view_ts, c.click_ts) AS BIGINT) AS gap_s
+      |      FROM c JOIN v ON c.user_id = v.user_id
+      |       AND c.click_ts >= v.view_ts
+      |       AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY click_id
+      |                                   ORDER BY view_ts DESC, view_id DESC) AS rn
+      |      FROM p)
+      |SELECT click_id, user_id, CAST(click_ts AS TIMESTAMP) AS click_ts, view_id,
+      |       CAST(view_ts AS TIMESTAMP) AS view_ts, gap_s
+      |FROM r WHERE rn = 1
+      |ORDER BY click_id""".stripMargin) { (spark, dir) =>
+    val pairs = StreamingOps.viewClickPairs(t(spark, dir).events)
+    val w = Window.partitionBy("click_id").orderBy(col("view_ts").desc, col("view_id").desc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts", "gap_s")
+      .orderBy("click_id")
+  }
+
   val all: Seq[Declared] =
     Seq(q11EventsTumbling1h, q12EventsSessions, q13EventsJsonK, q14EventsAsofOrder, q64Funnel,
-      q65Retention, q66EventsSliding, q81SessionPaths, q85SkipgramPairs, q115RateAnomaly)
+      q65Retention, q66EventsSliding, q81SessionPaths, q85SkipgramPairs, q115RateAnomaly,
+      q121ClickAttribution)
 }

@@ -188,6 +188,60 @@ object StreamingOps {
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAM-STREAM interval join: every (view, click) pair by the same
+    * user with the click inside `[view_ts, view_ts + within]` — the
+    * attribution/correlation primitive two live event substreams need
+    * (the one Structured Streaming join shape [[enrichedEvents]] can't
+    * cover, because there the dimension side is static).
+    *
+    * Works on batch AND streaming frames off the same plan. In streaming
+    * mode both sides carry a `watermark` and the join condition carries
+    * the event-time interval, which is exactly what Spark's
+    * stream-stream join needs to BOUND STATE: a buffered view row is
+    * evictable once the click watermark passes `view_ts + within`, so
+    * state is O(events inside the watermark+interval horizon), never the
+    * full history. At cluster scale both sides shuffle on `user_id` —
+    * one co-partitioned exchange each, no broadcast, no driver state.
+    *
+    * `gap_s` is the floor-second difference (both engines count whole
+    * second boundaries, so it hash-matches DuckDB's
+    * `date_diff('second', ...)`).
+    */
+  def viewClickPairs(
+      events: DataFrame,
+      within: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    // batch readers keep the oracle-aligned NTZ type; normalize to TIMESTAMP
+    // (value-preserving under the UTC session timezone) so the gap math and
+    // the streaming plan (already TIMESTAMP via readEventStream) agree
+    val cast = events.withColumn("ts", col("ts").cast("timestamp"))
+    val src  = if (cast.isStreaming) cast.withWatermark("ts", watermark) else cast
+    val v = src
+      .where(col("event_type") === "view")
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    val c = src
+      .where(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(
+        c,
+        col("view_user") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(
+        col("click_id"),
+        col("click_user").as("user_id"),
+        col("click_ts"),
+        col("view_id"),
+        col("view_ts"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts"))).as("gap_s"))
+  }
+
   /** Streaming document source (doc_id, text, lang, source, n_chars). */
   def readDocumentStream(
       spark: SparkSession,

@@ -255,6 +255,20 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(overlap >= 0.55, s"approx-vs-exact miner overlap too low: $overlap")
   }
 
+  test("declared q120 ANN miner: contract holds on every emitted row") {
+    val got = SparkEntry
+      .queries("q120_hard_negatives_ann")(spark, "/root/testdata/sf0.001")
+      .select("anchor", "anchor_label", "neighbor", "neighbor_label", "cos_sim", "rn")
+      .as[(Long, String, Long, String, Double, Int)]
+      .collect()
+    assert(got.nonEmpty, "q120 returned no rows at sf0.001")
+    assert(got.forall { case (_, al, _, nl, c, rn) => al != nl && c >= 0.3 && rn >= 1 && rn <= 3 })
+    // rn is dense per anchor: an anchor's ranks are exactly 1..count
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length), s"non-dense ranks for anchor $a")
+    }
+  }
+
   test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
     import graft.llm.Dedup
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents

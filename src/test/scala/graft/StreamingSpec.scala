@@ -155,6 +155,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch pair plan across 3+ micro-batches") {
+    import spark.implicits._
+    // stage the corpus events into three CONTIGUOUS time ranges, written in
+    // ts order (mod-time order drives FileStreamSource) so no event is ever
+    // late: the watermark after batch k is maxTs(k) - 10 min, and a batch
+    // k+1 click only needs views ≤ 30 min older than itself — evicted view
+    // state is > 40 min older than the range boundary and cannot match, so
+    // stream and batch pair sets must be IDENTICAL
+    val d = java.nio.file.Files.createTempDirectory("ss_join_events").toString
+    val src = graft.core.Tables(spark, dir).events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val times = src.select(epoch).as[Long].collect().sorted
+    val (b1, b2) = (times(times.length / 3), times(2 * times.length / 3))
+    Seq(
+      src.where(epoch < b1),
+      src.where(epoch.between(b1, b2 - 1)),
+      src.where(epoch >= b2))
+      .foreach(_.coalesce(1).write.mode("append").parquet(d))
+    val stream = StreamingOps.viewClickPairs(
+      StreamingOps.readEventStream(spark, d, maxFilesPerTrigger = Some(1)))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("ss_pairs_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(
+        q.recentProgress.count(_.numInputRows > 0) >= 3,
+        s"expected >=3 non-empty micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+      val got  = stream.sparkSession.table("ss_pairs_out")
+      val want = StreamingOps.viewClickPairs(spark.read.parquet(d))
+      assert(want.count() > 0, "staged events produced no view->click pairs")
+      TestSpark.assertFrameEqual(got, want, normalizeNtz = true)
+    } finally q.stop()
+  }
+
   test("session paths drop a late event beyond the watermark, across a restart") {
     import spark.implicits._
     val d  = java.nio.file.Files.createTempDirectory("late_events").toString
