@@ -523,9 +523,89 @@ object SimilarityQueries {
     }
   }
 
+  /** Shared oracle prefix for q122/q123: two unrolled Lloyd rounds (the
+    * q105 BPE unrolling pattern — deterministic iteration replayed as
+    * chained CTEs). Seeds via the q80 salted-md5 rank; per-round mean
+    * centroids rounded 6 dp (what keeps round k+1's input bit-identical
+    * across engines); assignment via the ‖v‖²−2v·c+‖c‖² expansion in
+    * `list_dot_product` index order; empty clusters COALESCE to the
+    * previous centroid.
+    */
+  private val kmeansOracleCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS s2 FROM e),
+      |x AS (SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e),
+      |sd AS (SELECT vec_id AS lbl, emb AS cvec FROM e
+      |       ORDER BY md5('kmeans|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |c0 AS (SELECT lbl, generate_subscripts(cvec, 1) AS pos, unnest(cvec) AS cv FROM sd),
+      |d1 AS (SELECT n.vec_id, s.lbl,
+      |              round(sqrt(greatest(n.s2 - 2 * list_dot_product(n.emb, s.cvec)
+      |                                  + list_dot_product(s.cvec, s.cvec), 0.0)), 6) AS dist
+      |       FROM n CROSS JOIN sd s),
+      |a1 AS (SELECT vec_id, lbl, dist,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, lbl ASC) AS rn
+      |       FROM d1),
+      |u1 AS (SELECT a1.lbl, x.pos, round(avg(x.v), 6) AS cv
+      |       FROM a1 JOIN x USING (vec_id) WHERE a1.rn = 1 GROUP BY a1.lbl, x.pos),
+      |c1 AS (SELECT c0.lbl, c0.pos, COALESCE(u1.cv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN u1 ON u1.lbl = c0.lbl AND u1.pos = c0.pos),
+      |c1l AS (SELECT lbl, list(cv ORDER BY pos) AS cvec FROM c1 GROUP BY lbl),
+      |d2 AS (SELECT n.vec_id, c.lbl,
+      |              round(sqrt(greatest(n.s2 - 2 * list_dot_product(n.emb, c.cvec)
+      |                                  + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+      |       FROM n CROSS JOIN c1l c),
+      |a2 AS (SELECT vec_id, lbl, dist,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, lbl ASC) AS rn
+      |       FROM d2),
+      |u2 AS (SELECT a2.lbl, x.pos, round(avg(x.v), 6) AS cv
+      |       FROM a2 JOIN x USING (vec_id) WHERE a2.rn = 1 GROUP BY a2.lbl, x.pos),
+      |c2 AS (SELECT c1.lbl, c1.pos, COALESCE(u2.cv, c1.cv) AS cv
+      |       FROM c1 LEFT JOIN u2 ON u2.lbl = c1.lbl AND u2.pos = c1.pos),
+      |c2l AS (SELECT lbl, list(cv ORDER BY pos) AS cvec FROM c2 GROUP BY lbl),
+      |d3 AS (SELECT n.vec_id, c.lbl,
+      |              round(sqrt(greatest(n.s2 - 2 * list_dot_product(n.emb, c.cvec)
+      |                                  + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+      |       FROM n CROSS JOIN c2l c),
+      |a3 AS (SELECT vec_id, lbl, dist,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, lbl ASC) AS rn
+      |       FROM d3),
+      |fin AS (SELECT vec_id, lbl AS cluster, dist FROM a3 WHERE rn = 1)""".stripMargin
+
+  /** Distributed Lloyd k-means over the corpus embeddings
+    * ([[KMeans.fit]]): domain discovery for mixture balancing. The WHOLE
+    * optimizer loop hash-oracles — init, two assignment/update rounds,
+    * and the final assignment are all deterministic (see [[KMeans]]'s
+    * rounding contract), so a drift in any round fails the gate.
+    */
+  val q122DomainClusters: Declared = Declared.sql(
+    "q122_domain_clusters",
+    s"""$kmeansOracleCtes
+       |SELECT vec_id, cluster, dist FROM fin ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    KMeans
+      .fit(t(spark, dir).embeddings, "vec_id", "embedding", k = 4, iters = 2)
+      ._1
+      .orderBy("vec_id")
+  }
+
+  /** Uniform-mixture reweighting over the discovered domains
+    * ([[KMeans.mixtureWeights]]): `weight = (n/k) / n_c`, the sampling
+    * multiplier that equalizes domain mass — the step between clustering
+    * and a mixture draw (q60/q101 consume weights like these).
+    */
+  val q123ClusterMixture: Declared = Declared.sql(
+    "q123_cluster_mixture",
+    s"""$kmeansOracleCtes
+       |, g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY cluster)
+       |SELECT cluster, n,
+       |       round(((SELECT count(*) FROM fin) / 4.0) / n, 6) AS weight
+       |FROM g ORDER BY cluster""".stripMargin) { (spark, dir) =>
+    val (assigned, _) = KMeans.fit(t(spark, dir).embeddings, "vec_id", "embedding", k = 4, iters = 2)
+    KMeans.mixtureWeights(assigned, k = 4).orderBy("cluster")
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
-      q118HardNegatives, q120HardNegativesAnn)
+      q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture)
 }
