@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.core.Jobs
+import graft.model.RunModel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document filtering: logistic regression trained by IRLS
+  * (iteratively reweighted least squares) over the corpus — the
+  * fastText/CCNet-style quality-classifier pattern (train a linear model
+  * on a labeled seed set, score every document, keep above threshold)
+  * re-expressed as Spark aggregates.
+  *
+  * Scale shape: ONE weighted-Gram aggregate per IRLS iteration — the
+  * [[graft.model.RunModel.gramFit]] pattern with per-row weights
+  * `w = p(1−p)` folded into the sums, map-side combined to
+  * (k+1)(k+4)/2 doubles per task — and a driver-side (k+1)×(k+1) solve
+  * ([[RunModel.invertSpd]], shared with OLS/MICE). Driver state is
+  * O(k²) per iteration; corpus size only enters through the scan, and at
+  * 1000 executors each iteration is one partial-aggregate round. Scoring
+  * is a pure codegen projection of the broadcast coefficient vector.
+  *
+  * Determinism: IRLS from β = 0 for a FIXED iteration count is a pure
+  * function of the data up to float summation order in the aggregates
+  * (~1e-15 relative); the spec checks coefficients against an
+  * independent numpy IRLS on the same fixture (`tools/logit_golden.py`,
+  * the [[graft.na.Mice]] golden pattern) and the declared q124 is
+  * rows-only by design, like the other iterative-solver outputs.
+  */
+object Logit {
+
+  /** Fitted model: coefficients in `1.0 +: features` order (intercept
+    * first), the fixed iteration count it ran, and the complete-row
+    * count it trained on.
+    */
+  final case class LogitFit(beta: Array[Double], iters: Int, n: Long)
+
+  /** IRLS fit of P(label | features). `label` must be 0/1 (booleans are
+    * cast); rows with any null feature/label are excluded (the
+    * [[RunModel.gramFit]] listwise rule). `ridge` stabilizes separable /
+    * near-collinear designs the way MICE's column models do.
+    */
+  def fit(
+      df: DataFrame,
+      label: Column,
+      features: Seq[Column],
+      iters: Int = 8,
+      ridge: Double = 1e-6): LogitFit = {
+    require(features.nonEmpty, "logit: no features")
+    require(iters >= 1, s"logit: iters must be >= 1, got $iters")
+    val xs: Seq[Column] = lit(1.0) +: features.map(_.cast("double"))
+    val y               = label.cast("double")
+    val k               = xs.size
+    val complete        = df.where(xs.foldLeft(y.isNotNull)(_ && _.isNotNull))
+
+    var beta = Array.fill(k)(0.0)
+    var n    = 0L
+    for (_ <- 1 to iters) {
+      val eta = xs.zip(beta.toIndexedSeq).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+      val p   = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w   = p * (lit(1.0) - p) + lit(1e-12)
+      // working response folded in: X'Wz with z = η + (y−p)/w is
+      // X'(Wη + (y−p)) — no division by a vanishing weight
+      val r = w * eta + (y - p)
+      val aggs: Seq[Column] =
+        (for { i <- 0 until k; j <- i until k }
+          yield sum(w * xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
+          (0 until k).map(i => sum(xs(i) * r).as(s"xr_$i")) ++
+          Seq(count(lit(1)).as("n"))
+      val row = Jobs.collectFast(complete.agg(aggs.head, aggs.tail: _*))(0)
+      val xtx = Array.tabulate(k, k) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        row.getAs[Double](s"xx_${a}_$b") + (if (i == j) ridge else 0.0)
+      }
+      val xr  = Array.tabulate(k)(i => row.getAs[Double](s"xr_$i"))
+      val inv = RunModel.invertSpd(xtx)
+      beta = Array.tabulate(k)(i => (0 until k).map(j => inv(i)(j) * xr(j)).sum)
+      n = row.getAs[Long]("n")
+    }
+    LogitFit(beta, iters, n)
+  }
+
+  /** Sigmoid score column for a fitted model — one codegen projection. */
+  def scoreCol(features: Seq[Column], model: LogitFit): Column = {
+    val xs  = lit(1.0) +: features.map(_.cast("double"))
+    val eta = xs.zip(model.beta.toIndexedSeq).map { case (x, b) => x * lit(b) }.reduce(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-eta))
+  }
+
+  /** Score + keep flag at `threshold` for every row. */
+  def score(
+      df: DataFrame,
+      idCol: Column,
+      features: Seq[Column],
+      model: LogitFit,
+      threshold: Double = 0.5): DataFrame = {
+    val s = round(scoreCol(features, model), 6)
+    df.select(idCol.as("doc_id"), s.as("score"), (s >= lit(threshold)).as("keep"))
+  }
+}

@@ -2171,7 +2171,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Model-based document filter ([[Logit]]): logistic regression trained
+    * by distributed IRLS on a label derived from the corpus itself
+    * (lang == 'zh'), then every document scored and thresholded — the
+    * fastText/CCNet quality-filter shape. Rows-only by design (like q39
+    * MICE, its sibling iterative solver): coefficients come out of 8
+    * driver-side (k+1)×(k+1) solves, which no SQL oracle replays;
+    * LogitSpec pins them against an independent numpy IRLS
+    * (`tools/logit_golden.py`) plus a planted-parameter recovery case.
+    */
+  val q124LogitFilter: Declared = Declared.rowsOnly("q124_logit_filter") { (spark, dir) =>
+    val docs = t(spark, dir).documents
+      .where(col("text").isNotNull && col("lang").isNotNull && length(col("text")) > 0)
+    val len = length(col("text")).cast("double")
+    val features = Seq(
+      log1p(len),
+      (len - length(regexp_replace(col("text"), " ", "")).cast("double")) / len,
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / len)
+    val model = Logit.fit(docs, col("lang") === "zh", features)
+    Logit.score(docs, col("doc_id"), features, model).orderBy("doc_id")
+  }
+
   val all: Seq[Declared] = Seq(
+    q124LogitFilter,
     q15TextLangStats,
     q16DedupExact,
     q17MinhashSignatures,

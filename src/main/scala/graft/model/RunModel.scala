@@ -157,7 +157,7 @@ object RunModel {
   }
 
   /** Gauss-Jordan inverse with partial pivoting (k is tiny — driver-side). */
-  private def invertSpd(m: Array[Array[Double]]): Array[Array[Double]] = {
+  private[graft] def invertSpd(m: Array[Array[Double]]): Array[Array[Double]] = {
     val k   = m.length
     val a   = Array.tabulate(k, 2 * k)((i, j) => if (j < k) m(i)(j) else if (j - k == i) 1.0 else 0.0)
     for (colI <- 0 until k) {
