@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators (SURVEY.md §2B north star).
@@ -86,6 +86,124 @@ object Dedup {
       .drop("__rn")
       .withColumnRenamed("__digest", "digest")
   }
+
+  /** One row per doc with content digest + `nSigs` minhash components —
+    * the record a NEAR-dup ingest index stores (fixed ~`nSigs`·33 bytes
+    * per historical doc, never the text). Signature formula is byte-equal
+    * to [[bandedProjection]]/[[minhashSignatures]] (one family, no drift).
+    */
+  private[llm] def signatureProjection(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nSigs: Int): DataFrame = {
+    val base = docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(
+        Cols.q(idCol).as("__id"),
+        md5(Cols.q(textCol).cast("binary")).as("digest"),
+        array_distinct(split(Cols.q(textCol), " ")).as("__toks"))
+    base.select(
+      col("__id") +: col("digest") +:
+        (0 until nSigs).map(i =>
+          expr(s"array_min(transform(__toks, t -> md5(cast(concat('s$i|', t) AS BINARY))))")
+            .as(s"sig$i")): _*)
+  }
+
+  /** Persist the NEAR-dup half of the ingest index: (digest, sig0..sigN)
+    * distinct by content — signatures, never text, so the index stays
+    * O(distinct docs) rows of fixed width at any corpus size.
+    */
+  def writeNearDupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      nSigs: Int = 8): Unit =
+    signatureProjection(docs, idCol, textCol, nSigs)
+      .drop("__id")
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** Incremental NEAR-dup dedup of a new batch against a persisted
+    * signature index — the fuzzy counterpart of [[incrementalNew]], which
+    * only stops byte-identical re-ingests. A new doc is dropped when some
+    * indexed doc shares ≥ 1 signature band (candidate generation — one
+    * equi-join on the band key, exactly the [[nearDupPairs]] bucket
+    * shape) AND its signature agreement `|{i : sig_i = idx_i}| / nSigs`
+    * reaches `simTau` (verification — minhash collision probability
+    * estimates Jaccard, so this is the estimated-Jaccard threshold;
+    * exact dups agree on every component and are subsumed). Within-batch
+    * exact election (lowest id per digest) matches [[incrementalNew]];
+    * within-batch NEAR-dup resolution stays with [[DupClusters]] — this
+    * op's contract is "new vs history".
+    *
+    * Scale shape: candidates join band keys against a fixed-width index
+    * (no text moves); verification touches candidate rows only; the
+    * historical corpus is never re-read. Returns surviving
+    * (id, digest) rows.
+    */
+  def incrementalNearDupNew(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      simTau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n        = bands * rowsPerBand
+    val matchMin = math.ceil(simTau * n).toInt
+    val newSigs  = signatureProjection(newDocs, idCol, textCol, n)
+    val idx = index.select(
+      col("digest").as("__idig") +:
+        (0 until n).map(i => col(s"sig$i").as(s"__isig_$i")): _*)
+    def bandCols(sigName: Int => String): Seq[Column] =
+      (0 until bands).map { b =>
+        struct(
+          lit(b).as("band_idx"),
+          concat_ws("|", (0 until rowsPerBand).map(r => col(sigName(b * rowsPerBand + r))): _*)
+            .as("band_val"))
+      }
+    val newBands = newSigs
+      .select(col("__id"), explode(array(bandCols(i => s"sig$i"): _*)).as("b"))
+      .select(col("__id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val idxBands = idx
+      .select(col("__idig"), explode(array(bandCols(i => s"__isig_$i"): _*)).as("b"))
+      .select(col("__idig"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val cand = newBands
+      .join(idxBands, Seq("band_idx", "band_val"))
+      .select("__id", "__idig")
+      .distinct()
+    val dropped = cand
+      .join(newSigs, Seq("__id"))
+      .join(idx, Seq("__idig"))
+      .withColumn(
+        "__matched",
+        (0 until n)
+          .map(i => when(col(s"sig$i") === col(s"__isig_$i"), 1).otherwise(0))
+          .reduce(_ + _))
+      .where(col("__matched") >= matchMin)
+      .select("__id")
+      .distinct()
+    val w = Window.partitionBy("digest").orderBy(col("__id"))
+    newSigs
+      .join(dropped, Seq("__id"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("digest"))
+  }
+
+  /** [[incrementalNearDupNew]] against a persisted index directory. */
+  def incrementalNearDupNew(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String): DataFrame =
+    incrementalNearDupNew(
+      newDocs, idCol, textCol, newDocs.sparkSession.read.parquet(indexDir))
 
   /** Deterministic MinHash signatures: `nSigs` salted min-md5 hash
     * families over the token set (same family as q17, generalized).

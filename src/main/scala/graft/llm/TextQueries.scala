@@ -2118,6 +2118,82 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup ingest ([[Dedup.incrementalNearDupNew]]):
+    * q117's exact-digest gate only stops byte-identical re-ingests; this
+    * one verifies signature agreement against a fixed-width minhash
+    * index, so a MUTATED re-ingest (the planted clones append a token)
+    * is also dropped. History/new split and the planted clones are
+    * derived in-query from salted md5 (q117 pattern) so the oracle
+    * replays index build, band-candidate join, signature verification,
+    * and the within-batch election end to end.
+    */
+  val q125IncrementalNeardup: Declared = Declared.sql(
+    "q125_incremental_neardup", {
+      // 16 signatures / 4-row bands / agreement >= 12 (simTau 0.75): at
+      // 8 sigs the tiny shared vocabulary of the synthetic corpus makes
+      // half-agreement ubiquitous (1 survivor of 172); at 16x0.75 every
+      // planted mutated clone is dropped while genuinely-new docs survive
+      val oSigs = (0 until 16).map(i => s"min(md5('s$i|' || tok)) AS i$i").mkString(",\n|          ")
+      val nSigs = (0 until 16).map(i => s"min(md5('s$i|' || tok)) AS s$i").mkString(",\n|          ")
+      val nBands = (0 until 4)
+        .map { b =>
+          val v = (0 until 4).map(r => s"s${4 * b + r}").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, $v AS band_val FROM nsig"
+        }
+        .mkString("\n|      UNION ALL ")
+      val iBands = (0 until 4)
+        .map { b =>
+          val v = (0 until 4).map(r => s"i${4 * b + r}").mkString(" || '|' || ")
+          s"SELECT idig, $b AS band_idx, $v AS band_val FROM osig"
+        }
+        .mkString("\n|      UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN ns.s$i = o.i$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |old AS (SELECT doc_id, text FROM d
+         |        WHERE substr(md5('ninc|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+         |fresh AS (SELECT doc_id, text FROM d
+         |          WHERE substr(md5('ninc|' || CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'),
+         |mut AS (SELECT doc_id + 2000000 AS doc_id, text || ' zq7' AS text FROM old
+         |        WHERE substr(md5('nclone|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'),
+         |newb AS (SELECT * FROM fresh UNION ALL SELECT * FROM mut),
+         |osig AS (SELECT md5(text) AS idig,
+         |          $oSigs
+         |         FROM (SELECT text, unnest(string_split(text, ' ')) AS tok FROM old)
+         |         GROUP BY md5(text)),
+         |nsig AS (SELECT doc_id, md5(text) AS digest,
+         |          $nSigs
+         |         FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM newb)
+         |         GROUP BY doc_id, md5(text)),
+         |nb AS ($nBands),
+         |ib AS ($iBands),
+         |cand AS (SELECT DISTINCT n.doc_id, i.idig
+         |         FROM nb n JOIN ib i ON n.band_idx = i.band_idx AND n.band_val = i.band_val),
+         |dropd AS (SELECT DISTINCT c.doc_id
+         |          FROM cand c JOIN nsig ns ON ns.doc_id = c.doc_id
+         |                      JOIN osig o ON o.idig = c.idig
+         |          WHERE $agree >= 12),
+         |surv AS (SELECT doc_id, digest,
+         |           row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         |         FROM nsig WHERE doc_id NOT IN (SELECT doc_id FROM dropd))
+         |SELECT doc_id, digest FROM surv WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs   = t(spark, dir).documents.where(col("text").isNotNull)
+    val bucket = Sampling.hashBucket(col("doc_id"), "ninc")
+    val old    = docs.where(bucket < "cc").select("doc_id", "text")
+    val fresh  = docs.where(bucket >= "cc").select("doc_id", "text")
+    val mut = old
+      .where(Sampling.hashBucket(col("doc_id"), "nclone") < "33")
+      .select((col("doc_id") + 2000000L).as("doc_id"), concat(col("text"), lit(" zq7")).as("text"))
+    val idx = Dedup.signatureProjection(old, "doc_id", "text", nSigs = 16).drop("__id").distinct()
+    Dedup
+      .incrementalNearDupNew(
+        fresh.unionByName(mut), "doc_id", "text", idx,
+        bands = 4, rowsPerBand = 4, simTau = 0.75)
+      .orderBy("doc_id")
+  }
+
   /** DuckDB nibble-fold of the salted md5 u32 over an arbitrary SQL key
     * expression (the q92 trick, generalized): `u32(md5(salt || '|' ||
     * key))`.
@@ -2254,5 +2330,6 @@ object TextQueries {
     q113NgramNovelty,
     q116ShardSummary,
     q117IncrementalIngest,
+    q125IncrementalNeardup,
     q119SpanCorrupt)
 }

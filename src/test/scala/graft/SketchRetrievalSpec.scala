@@ -269,6 +269,43 @@ class SketchRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup index drops mutated re-ingests but keeps novel docs") {
+    import graft.llm.Dedup
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .where(col("text").isNotNull)
+      .select("doc_id", "text")
+    val old = docs.where(col("doc_id") < 300)
+    // mutated clones: one appended token — NOT exact dups, still near-dups
+    val clones = old.where(col("doc_id") < 30)
+      .select((col("doc_id") + 9000L).as("doc_id"), concat(col("text"), lit(" zq7")).as("text"))
+    // novel docs: tokens outside the corpus vocabulary — must survive
+    val novel = Seq(
+      (9990L, "xerophyte quincunx bezoar llanfair pwll ogof zyzzyva mato grosso"),
+      (9991L, "antidisestablishment otorhinolaryngology floccinaucinihilipilification qq ww ee rr"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    Dedup.writeNearDupIndex(old, "doc_id", "text", idxDir, nSigs = 16)
+    // the persisted index is signatures + digest only — no text column
+    val idxCols = spark.read.parquet(idxDir).columns.toSet
+    assert(!idxCols.contains("text") && idxCols.contains("digest") && idxCols.contains("sig15"))
+
+    val newBatch = clones.unionByName(novel)
+    val survDir = Dedup
+      .incrementalNearDupNew(newBatch, "doc_id", "text",
+        spark.read.parquet(idxDir), bands = 4, rowsPerBand = 4, simTau = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survDir == Set(9990L, 9991L),
+      s"expected only the novel docs to survive, got $survDir")
+    // persisted-dir entry point equals the in-memory variant... via the
+    // default 8-sig parameters on both paths
+    val viaDir = Dedup.incrementalNearDupNew(newBatch, "doc_id", "text", idxDir)
+      .select("doc_id").as[Long].collect().toSet
+    val viaMem = Dedup
+      .incrementalNearDupNew(newBatch, "doc_id", "text", spark.read.parquet(idxDir))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaDir == viaMem, "indexDir and in-memory index paths diverge")
+  }
+
   test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
     import graft.llm.Dedup
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
