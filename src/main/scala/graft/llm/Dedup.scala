@@ -152,7 +152,8 @@ object Dedup {
       index: DataFrame,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      simTau: Double = 0.5): DataFrame = {
+      simTau: Double = 0.5,
+      maxBandDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n        = bands * rowsPerBand
     val matchMin = math.ceil(simTau * n).toInt
@@ -167,12 +168,24 @@ object Dedup {
           concat_ws("|", (0 until rowsPerBand).map(r => col(sigName(b * rowsPerBand + r))): _*)
             .as("band_val"))
       }
-    val newBands = newSigs
-      .select(col("__id"), explode(array(bandCols(i => s"sig$i"): _*)).as("b"))
-      .select(col("__id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    val idxBands = idx
-      .select(col("__idig"), explode(array(bandCols(i => s"__isig_$i"): _*)).as("b"))
-      .select(col("__idig"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    // a hot bucket (thousands of docs sharing one band value — the
+    // synthetic corpus measured df 18k at sf1) funds df_new × df_idx
+    // candidate rows and carries no near-dup signal; the cap drops it
+    // from BOTH sides before the join, the q34/nearDupPairs rule
+    def cut(df: DataFrame): DataFrame = maxBandDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy("band_idx", "band_val")
+        df.withColumn("__df", count(lit(1)).over(w)).where(col("__df") <= cap).drop("__df")
+      case None => df
+    }
+    val newBands = cut(
+      newSigs
+        .select(col("__id"), explode(array(bandCols(i => s"sig$i"): _*)).as("b"))
+        .select(col("__id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val")))
+    val idxBands = cut(
+      idx
+        .select(col("__idig"), explode(array(bandCols(i => s"__isig_$i"): _*)).as("b"))
+        .select(col("__idig"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val")))
     val cand = newBands
       .join(idxBands, Seq("band_idx", "band_val"))
       .select("__id", "__idig")

@@ -2166,8 +2166,14 @@ object TextQueries {
          |          $nSigs
          |         FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM newb)
          |         GROUP BY doc_id, md5(text)),
-         |nb AS ($nBands),
-         |ib AS ($iBands),
+         |nb0 AS ($nBands),
+         |nb AS (SELECT doc_id, band_idx, band_val FROM (
+         |         SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS df FROM nb0)
+         |       WHERE df <= 1024),
+         |ib0 AS ($iBands),
+         |ib AS (SELECT idig, band_idx, band_val FROM (
+         |         SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS df FROM ib0)
+         |       WHERE df <= 1024),
          |cand AS (SELECT DISTINCT n.doc_id, i.idig
          |         FROM nb n JOIN ib i ON n.band_idx = i.band_idx AND n.band_val = i.band_val),
          |dropd AS (SELECT DISTINCT c.doc_id
