@@ -92,7 +92,7 @@ object Dedup {
     * per historical doc, never the text). Signature formula is byte-equal
     * to [[bandedProjection]]/[[minhashSignatures]] (one family, no drift).
     */
-  private[llm] def signatureProjection(
+  private[graft] def signatureProjection(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -123,6 +123,13 @@ object Dedup {
     signatureProjection(docs, idCol, textCol, nSigs)
       .drop("__id")
       .distinct()
+      // bootstrap provenance: the streaming ingest loop appends survivor
+      // signatures tagged with their batch id and dedups batch N against
+      // `src_batch < N` only, which makes a REPLAYED batch see exactly
+      // the pre-append index (its own survivors excluded) instead of
+      // dropping them as self-duplicates. Batch consumers ignore the
+      // column ([[incrementalNearDupNew]] selects digest + sigs).
+      .withColumn("src_batch", lit(-1L))
       .write
       .mode("overwrite")
       .parquet(outDir)

@@ -288,6 +288,65 @@ object StreamingOps {
       .withColumn("digest", md5(col(textCol).cast("binary")))
       .dropDuplicates("digest")
 
+  /** STREAMING near-dup ingest loop: each micro-batch is deduplicated
+    * against the persisted signature index
+    * ([[graft.llm.Dedup.incrementalNearDupNew]] — band candidates +
+    * signature-agreement verification, df-capped), survivors land in an
+    * idempotent `batch_id=` partition, and the survivors' OWN signatures
+    * are appended to the index — so batch N+1 dedups against everything
+    * through batch N and the loop is self-evolving. foreachBatch is the
+    * right Structured Streaming shape here: the decision is a per-batch
+    * relational program (anti-join + window election), not a running
+    * aggregation, and the index append is a transactional side effect
+    * per batch.
+    *
+    * Replay safety: the survivor write is keyed by batch id (overwrite —
+    * exactly-once), and the index carries `src_batch` provenance — batch
+    * N dedups against `src_batch < N` only, so a REPLAYED batch (crash
+    * after its index append) sees exactly the pre-append index instead
+    * of dropping its own survivors as self-duplicates. Spec-pinned:
+    * two-batch stream ≡ sequential batch application, and a replayed
+    * batch reproduces its survivor partition byte-for-byte.
+    */
+  def nearDupIngestStream(
+      docs: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      simTau: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val nSigs = bands * rowsPerBand
+        val index = spark.read.parquet(indexDir).where(col("src_batch") < id)
+        val survivors = graft.llm.Dedup
+          .incrementalNearDupNew(batch.toDF(), idCol, textCol, index, bands, rowsPerBand, simTau)
+        val survivorDocs = batch.toDF().join(survivors.select(idCol), Seq(idCol), "left_semi")
+        // materialize the decision ONCE: the survivor write and the index
+        // append must see the same rows even though the index they were
+        // computed against is about to change
+        val pinned = survivorDocs.persist()
+        try {
+          pinned.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+          graft.llm.Dedup
+            .signatureProjection(pinned, idCol, textCol, nSigs)
+            .drop("__id")
+            .distinct()
+            .withColumn("src_batch", lit(id))
+            .write
+            .mode("append")
+            .parquet(indexDir)
+        } finally pinned.unpersist(false)
+        ()
+      }
+      .start()
+
   /** Streaming count-min sketch — [[graft.llm.Sketches.countMinSketch]]
     * applied VERBATIM to an unbounded document stream: the sketch is a
     * (row, bucket) aggregation, so under `outputMode("update")` or

@@ -239,6 +239,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dup ingest loop: index evolves across batches, replay is exact") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = graft.core.Tables(spark, dir).documents
+      .where(col("text").isNotNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val old = docs.where(col("doc_id") < 300)
+    val b1  = docs.where(col("doc_id").between(300, 360))
+    // batch 2: mutated clones of BATCH-1 docs (droppable only because the
+    // index evolved after batch 1) plus a genuinely novel doc
+    val b2 = b1
+      .orderBy("doc_id")
+      .limit(10)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(Seq((7777L, "xylophone quagga zeppelin marzipan fjord kumquat", "en", "srcx", 48L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val streamDir = java.nio.file.Files.createTempDirectory("nd_ingest_in").toString
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("nd_ingest_idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("nd_ingest_out").toString
+    val cp     = java.nio.file.Files.createTempDirectory("nd_ingest_cp").toString
+    Dedup.writeNearDupIndex(old, "doc_id", "text", idxDir, nSigs = 16)
+
+    val q = StreamingOps.nearDupIngestStream(
+      StreamingOps.readDocumentStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+      idxDir, outDir, cp)
+    try q.processAllAvailable() finally q.stop()
+
+    def partIds(batchId: Long): Set[Long] =
+      spark.read.parquet(s"$outDir/batch_id=$batchId").select("doc_id").as[Long].collect().toSet
+
+    // sequential batch application over the same evolving index
+    val idx0  = Dedup.signatureProjection(old, "doc_id", "text", 16).drop("__id").distinct()
+    val s1    = Dedup.incrementalNearDupNew(b1, "doc_id", "text", idx0, 4, 4, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    val surv1 = b1.where(col("doc_id").isin(s1.toSeq: _*))
+    val idx1  = idx0.unionByName(
+      Dedup.signatureProjection(surv1, "doc_id", "text", 16).drop("__id").distinct())
+    val s2 = Dedup.incrementalNearDupNew(b2, "doc_id", "text", idx1, 4, 4, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(partIds(0) == s1, s"batch 0 survivors diverge: ${partIds(0)} vs $s1")
+    assert(partIds(1) == s2, s"batch 1 survivors diverge: ${partIds(1)} vs $s2")
+    // the novel doc survives; the batch-1 mutated clones were dropped by
+    // the EVOLVED index (their originals are not in the bootstrap index)
+    assert(s2.contains(7777L), "novel doc must survive batch 2")
+    assert(!s2.exists(i => i >= 5300 && i < 5400), s"mutated clones must be dropped, got $s2")
+
+    // replay with a fresh checkpoint: batch ids recur, the src_batch < id
+    // filter hides each batch's own (and later) appends, so survivor
+    // partitions reproduce exactly despite the polluted index
+    val cp2 = java.nio.file.Files.createTempDirectory("nd_ingest_cp2").toString
+    val q2 = StreamingOps.nearDupIngestStream(
+      StreamingOps.readDocumentStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+      idxDir, outDir, cp2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(partIds(0) == s1 && partIds(1) == s2, "replayed batches diverged from the first run")
+  }
+
   test("foreachBatch parquet sink round-trips every event") {
     val outDir = java.nio.file.Files.createTempDirectory("sink").toString
     val q = StreamingOps
