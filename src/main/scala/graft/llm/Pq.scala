@@ -1,0 +1,192 @@
+package graft.llm
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the embedding-compression leg of the ANN
+  * scale story next to [[AnnBuckets]] (LSH pruning) and [[IvfIndex]]
+  * (coarse partitioning): split each d-dim vector into `m` subvectors,
+  * quantize each against its own k-entry codebook, and store `m` small
+  * codes per vector — 64 float32 dims at m=4/k=16 compress 64× (256 B →
+  * 4 B), which is what lets a 100 TB embedding corpus hold its index in
+  * cluster memory. Distances are answered WITHOUT decompression via ADC
+  * (asymmetric distance computation): per query, an m×k lookup table of
+  * exact subspace distances is computed once on the driver and each
+  * candidate costs m table lookups — a pure codegen projection over the
+  * code arrays, no vector math per row.
+  *
+  * Determinism: codebooks come from [[KMeans]] per subspace (salted-md5
+  * init, rounded iterations), so with a pinned iteration count the WHOLE
+  * encode → ADC path is engine-replayable — q126/q127 pin `iters = 0`
+  * (codebook = the k seed subvectors) so the oracle replays seed pick,
+  * per-subspace argmin encoding, and the ADC ranking relationally;
+  * training iterations are the library default and are spec-checked by
+  * the reconstruction-error contract (trained codebooks must not be
+  * worse than the seed codebooks they started from).
+  */
+object Pq {
+
+  /** One codebook per subspace: `books(s)(c)` is centroid `c` (a d/m-dim
+    * vector) of subspace `s`; `labels(s)(c)` its stable [[KMeans]] label.
+    */
+  final case class Codebooks(
+      m: Int,
+      subDim: Int,
+      books: Array[Array[Array[Double]]],
+      labels: Array[Array[Long]])
+
+  /** Train per-subspace codebooks: m independent [[KMeans.fit]] runs over
+    * the sliced corpus — m·iters bounded aggregates total, O(m·k·d/m) =
+    * O(k·d) driver state. `iters = 0` keeps the deterministic seed
+    * subvectors (the oracle-replayable mode).
+    */
+  def train(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 2,
+      salt: String = "pq"): Codebooks = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    val fits = (0 until m).map { s =>
+      val sub = emb.select(
+        Cols.q(idCol).as("vec_id"),
+        slice(Cols.q(vecCol).cast("array<double>"), s * subDim + 1, subDim).as("sub"))
+      if (iters == 0) KMeans.initCentroids(sub, "vec_id", "sub", k, s"$salt$s")
+      else KMeans.fit(sub, "vec_id", "sub", k, iters, s"$salt$s")._2
+    }
+    Codebooks(
+      m,
+      subDim,
+      fits.map(_.map(_.vec)).toArray,
+      fits.map(_.map(_.label)).toArray)
+  }
+
+  /** Encode every vector as m codebook indices (0-based position in the
+    * label-sorted codebook): per subspace, the argmin of the ROUNDED
+    * euclidean distance, smaller index on ties — the [[KMeans]]
+    * assignment contract. One codegen projection; nothing shuffles.
+    */
+  def encode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val vec = Cols.q(vecCol).cast("array<double>")
+    val codeCols = (0 until cb.m).map { s =>
+      val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
+      val ds = cb.books(s).zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        round(
+          sqrt(greatest(
+            graft.functions.GraftFunctions.dot(sub, sub) -
+              lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(c.toSeq)) + lit(c2),
+            lit(0.0))),
+          6).as(s"__pd_${s}_$i")
+      }
+      (ds, s)
+    }
+    // project every subspace distance once, then fold argmins over column
+    // references (the SemDedup/KMeans fold rule)
+    val withDs = emb.select(
+      (Cols.q(idCol).as("vec_id") +: codeCols.flatMap(_._1)): _*)
+    val codes = codeCols.map { case (_, s) =>
+      val first = col(s"__pd_${s}_0")
+      val best = (1 until cb.books(s).length).foldLeft((lit(0), first)) {
+        case ((bestI, bestD), i) =>
+          val d = col(s"__pd_${s}_$i")
+          (when(d < bestD, lit(i)).otherwise(bestI), least(d, bestD))
+      }
+      best._1.as(s"code$s")
+    }
+    withDs.select(col("vec_id") +: codes: _*)
+  }
+
+  /** Per-vector reconstruction error ‖v − decode(encode(v))‖ (rounded):
+    * the quantization-quality metric the training contract is stated in.
+    */
+  def reconstructionError(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val vec     = Cols.q(vecCol).cast("array<double>")
+    val encoded = encode(emb, idCol, vecCol, cb)
+    val joined = emb
+      .select(Cols.q(idCol).as("vec_id"), vec.as("__v"))
+      .join(encoded, Seq("vec_id"))
+    val errSq = (0 until cb.m)
+      .map { s =>
+        val sub = slice(col("__v"), s * cb.subDim + 1, cb.subDim)
+        // squared distance to the CHOSEN centroid, via a k-branch CASE on
+        // the code (k is small by construction)
+        val d2 = cb.books(s).zipWithIndex
+          .map { case (c, i) =>
+            val c2 = c.map(x => x * x).sum
+            (i,
+              graft.functions.GraftFunctions.dot(sub, sub) -
+                lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(c.toSeq)) + lit(c2))
+          }
+          .foldLeft(lit(0.0)) { case (acc, (i, d)) =>
+            when(col(s"code$s") === i, d).otherwise(acc)
+          }
+        greatest(d2, lit(0.0))
+      }
+      .reduce(_ + _)
+    joined.select(
+      col("vec_id") +:
+        (0 until cb.m).map(s => col(s"code$s")) :+
+        round(sqrt(errSq), 6).as("err"): _*)
+  }
+
+  /** ADC top-k: the query's exact distance to every codebook centroid is
+    * an m×k driver-side table; each encoded vector's approximate distance
+    * is the sum of its m looked-up entries (one codegen projection over
+    * the code columns). Rounded before ranking, vec_id tie-break — the
+    * q19 determinism contract.
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      query: Array[Double],
+      cb: Codebooks,
+      k: Int = 5): DataFrame = {
+    require(query.length == cb.m * cb.subDim, "query dims do not match codebooks")
+    // expansion form (q·q − 2 q·c + c·c), each dot summed in index order —
+    // the same arithmetic an SQL oracle's list_dot_product replays, so the
+    // table entries are bit-identical across engines
+    def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+      s
+    }
+    val tables: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
+      val qq = {
+        var acc = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          acc += query(s * cb.subDim + i) * query(s * cb.subDim + i); i += 1
+        }
+        acc
+      }
+      cb.books(s).map { c =>
+        var cc = 0.0
+        var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        math.max(qq - 2.0 * dot(query, s * cb.subDim, c) + cc, 0.0)
+      }
+    }
+    val approx = (0 until cb.m)
+      .map(s => element_at(typedlit(tables(s).toSeq), col(s"code$s") + 1))
+      .reduce(_ + _)
+    encoded
+      .select(col("vec_id"), round(sqrt(greatest(approx, lit(0.0))), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -603,9 +603,97 @@ object SimilarityQueries {
     KMeans.mixtureWeights(assigned, k = 4).orderBy("cluster")
   }
 
+  /** Shared per-subspace CTEs for the PQ oracles (q126/q127): 4 subspaces
+    * of 16 dims, 8 seed centroids each (`iters = 0` — the deterministic
+    * codebook mode; Lloyd-trained codebooks are the library default and
+    * are spec-gated by the reconstruction-error contract instead).
+    * Codebook index = rank of the seed's vec_id among the picked seeds,
+    * matching [[KMeans.initCentroids]]'s label-sorted order.
+    */
+  private def pqCtes(withD2: Boolean): String = {
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = s * 16 + 16
+      val d2 =
+        s"greatest(list_dot_product(t.sub, t.sub) - 2 * list_dot_product(t.sub, s.cvec)" +
+          s" + list_dot_product(s.cvec, s.cvec), 0)"
+      val d2Col = if (withD2) s",\n         |          $d2 AS d2" else ""
+      val aCols = if (withD2) "vec_id, code, d2" else "vec_id, code"
+      s"""sub$s AS (SELECT vec_id, emb[$lo:$hi] AS sub FROM e),
+         |sd$s AS (SELECT sub AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
+         |          (SELECT vec_id, sub FROM sub$s
+         |           ORDER BY md5('pq$s|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |d$s AS (SELECT t.vec_id, s.code,
+         |          round(sqrt($d2), 6) AS dist$d2Col
+         |        FROM sub$s t CROSS JOIN sd$s s),
+         |a$s AS (SELECT $aCols FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
+         |        WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${subs.mkString(",\n")}""".stripMargin
+  }
+
+  /** Product quantization encode + reconstruction error ([[Pq]]): every
+    * vector compressed to 4 codebook indices (64× vs float32) with the
+    * per-vector quantization error — the embedding-compression leg of
+    * the ANN story next to LSH (q41/q67) and IVF (q50). Whole path
+    * hash-oracled under the pinned seed codebooks.
+    */
+  val q126PqEncode: Declared = Declared.sql(
+    "q126_pq_encode",
+    s"""${pqCtes(withD2 = true)}
+       |SELECT vec_id,
+       |       CAST(a0.code AS INTEGER) AS code0, CAST(a1.code AS INTEGER) AS code1,
+       |       CAST(a2.code AS INTEGER) AS code2, CAST(a3.code AS INTEGER) AS code3,
+       |       round(sqrt(a0.d2 + a1.d2 + a2.d2 + a3.d2), 6) AS err
+       |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = t(spark, dir).embeddings
+    val cb  = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 8, iters = 0)
+    Pq.reconstructionError(emb, "vec_id", "embedding", cb).orderBy("vec_id")
+  }
+
+  /** ADC top-10 for the vec-42 query ([[Pq.adcTopK]]): approximate
+    * distances from the m×k lookup table — each candidate costs 4 table
+    * lookups, no vector math per row. Hash-oracled end to end (table
+    * entries, code lookups, ranking) under the pinned codebooks.
+    */
+  val q127PqAdcTopk: Declared = Declared.sql(
+    "q127_pq_adc_topk", {
+      val tbs = (0 until 4)
+        .map { s =>
+          s"""tb$s AS (SELECT s.code,
+             |           greatest(list_dot_product(q.sub, q.sub) - 2 * list_dot_product(q.sub, s.cvec)
+             |                    + list_dot_product(s.cvec, s.cvec), 0) AS d2
+             |         FROM sd$s s CROSS JOIN (SELECT sub FROM sub$s WHERE vec_id = 42) q)""".stripMargin
+        }
+        .mkString(",\n")
+      s"""${pqCtes(withD2 = false)},
+         |$tbs
+         |SELECT a0.vec_id,
+         |       round(sqrt(greatest(t0.d2 + t1.d2 + t2.d2 + t3.d2, 0)), 6) AS adc_dist
+         |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |JOIN tb0 t0 ON t0.code = a0.code JOIN tb1 t1 ON t1.code = a1.code
+         |JOIN tb2 t2 ON t2.code = a2.code JOIN tb3 t3 ON t3.code = a3.code
+         |ORDER BY adc_dist ASC, a0.vec_id ASC LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    val emb = t(spark, dir).embeddings
+    val cb  = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 8, iters = 0)
+    val enc = Pq.encode(emb, "vec_id", "embedding", cb)
+    val q = graft.core.Jobs
+      .collectFast(emb.where(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>")))(0)
+      .getSeq[Double](0)
+      .toArray
+    Pq.adcTopK(enc, q, cb, k = 10)
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
-      q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture)
+      q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
+      q126PqEncode, q127PqAdcTopk)
 }
