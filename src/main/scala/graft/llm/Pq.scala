@@ -67,12 +67,103 @@ object Pq {
       fits.map(_.map(_.label)).toArray)
   }
 
+  /** Above this m·k, [[encode]] switches from the m·k-column expression
+    * projection to a broadcast codebook kernel: 64 higher-order-function
+    * distance expressions fused into one stage exceed the JVM's 64 KB
+    * method limit and whole-stage codegen silently falls back to
+    * interpretation — the kernel scans one flat primitive array instead.
+    * Results are bit-identical (same expansion, index order, round6,
+    * strict-< argmin), spec-pinned.
+    */
+  val KernelBudget: Int = 32
+
   /** Encode every vector as m codebook indices (0-based position in the
     * label-sorted codebook): per subspace, the argmin of the ROUNDED
     * euclidean distance, smaller index on ties — the [[KMeans]]
-    * assignment contract. One codegen projection; nothing shuffles.
+    * assignment contract. One projection (codegen below [[KernelBudget]]
+    * expressions, broadcast kernel above); nothing shuffles.
     */
   def encode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame =
+    encodeVia(emb, idCol, vecCol, cb, cb.m * cb.books.map(_.length).max > KernelBudget)
+
+  private[graft] def encodeVia(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks,
+      useKernel: Boolean): DataFrame =
+    if (useKernel) encodeKernel(emb, idCol, vecCol, cb)
+    else encodeExpr(emb, idCol, vecCol, cb)
+
+  private def encodeKernel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame =
+    encodeRawKernel(emb, idCol, vecCol, cb).select(
+      col("vec_id") +: (0 until cb.m).map(s => col("__codes")(s).as(s"code$s")): _*)
+
+  /** Kernel producing codes AND the reconstruction error in one pass:
+    * argmin per subspace on the ROUNDED distance (expression-path
+    * contract), error from the RAW squared distance of the chosen
+    * centroid, summed in subspace order.
+    */
+  private def encodeRawKernel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    emb
+      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, v) =>
+          val codes = new Array[Int](b.m)
+          var errSq = 0.0
+          var s = 0
+          while (s < b.m) {
+            val off = s * b.subDim
+            var ss  = 0.0
+            var i   = 0
+            while (i < b.subDim) { ss += v(off + i) * v(off + i); i += 1 }
+            var bestI  = 0
+            var bestD  = Double.MaxValue
+            var bestD2 = 0.0
+            var c = 0
+            while (c < b.books(s).length) {
+              val cen = b.books(s)(c)
+              var dp = 0.0
+              var cc = 0.0
+              var j  = 0
+              while (j < b.subDim) {
+                dp += v(off + j) * cen(j)
+                cc += cen(j) * cen(j)
+                j += 1
+              }
+              val d2 = math.max(ss - 2.0 * dp + cc, 0.0)
+              val d  = BruteForce.round6(math.sqrt(d2))
+              if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestI = c; bestD2 = d2 }
+              c += 1
+            }
+            codes(s) = bestI
+            errSq += bestD2
+            s += 1
+          }
+          (id, codes, BruteForce.round6(math.sqrt(errSq)))
+        }
+      }
+      .toDF("vec_id", "__codes", "__err")
+  }
+
+  private def encodeExpr(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -115,6 +206,11 @@ object Pq {
       idCol: String,
       vecCol: String,
       cb: Codebooks): DataFrame = {
+    if (cb.m * cb.books.map(_.length).max > KernelBudget)
+      return encodeRawKernel(emb, idCol, vecCol, cb).select(
+        col("vec_id") +:
+          (0 until cb.m).map(s => col("__codes")(s).as(s"code$s")) :+
+          col("__err").as("err"): _*)
     val vec     = Cols.q(vecCol).cast("array<double>")
     val encoded = encode(emb, idCol, vecCol, cb)
     val joined = emb

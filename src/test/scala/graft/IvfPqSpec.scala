@@ -1,0 +1,81 @@
+package graft
+
+import graft.llm.{IvfPq, Pq}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables(spark, "/root/testdata/sf0.001").embeddings
+
+  private def exactTopK(q: Array[Double], k: Int): Seq[Long] = {
+    val sub = col("embedding").cast("array<double>")
+    emb.select(
+        col("vec_id"),
+        sqrt(greatest(
+          graft.functions.GraftFunctions.dot(sub, sub) -
+            lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(q.toSeq)) +
+            lit(q.map(x => x * x).sum),
+          lit(0.0))).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id").as[Long].collect().toSeq
+  }
+
+  test("residual quantization reconstructs better than raw PQ at the same budget") {
+    val (idx, _) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    // the residual reconstruction error IS ||v - (centroid + decode(res))||
+    val cents = idx.centroids.zipWithIndex.map { case (c, i) => graft.llm.KMeans.Centroid(i.toLong, c) }
+    val res = graft.llm.KMeans.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"),
+        zip_with(col("__emb"),
+          idx.centroids.zipWithIndex.foldLeft(typedlit(Seq.empty[Double]): org.apache.spark.sql.Column) {
+            case (acc, (c, i)) => when(col("cluster") === i.toLong, typedlit(c.toSeq)).otherwise(acc)
+          },
+          (a, b) => a - b).as("res"))
+      .localCheckpoint()
+    val errIvf = Pq.reconstructionError(res, "vec_id", "res", idx.cb)
+      .agg(avg("err")).collect()(0).getDouble(0)
+    val rawCb = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 16)
+    val errRaw = Pq.reconstructionError(emb, "vec_id", "embedding", rawCb)
+      .agg(avg("err")).collect()(0).getDouble(0)
+    info(f"mean reconstruction err: raw PQ=$errRaw%.4f residual (IVFADC)=$errIvf%.4f")
+    assert(errIvf < errRaw, s"residual quantization should beat raw PQ: $errRaw -> $errIvf")
+  }
+
+  test("IVFADC search: full probe ranks by quantized distance; pruned probe keeps recall") {
+    val (idx, encoded) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val q = emb.where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val truth = exactTopK(q, 10).toSet
+
+    val full = IvfPq.topK(idx, encoded, q, k = 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val pruned = IvfPq.topK(idx, encoded, q, k = 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val rFull   = (full intersect truth).size / 10.0
+    val rPruned = (pruned intersect truth).size / 10.0
+    info(f"recall@10 vs exact: full-probe=$rFull%.2f nProbe=4=$rPruned%.2f")
+    // random-vector regime floor (see the ANN recall section of
+    // BENCH_SF1.md); gates are measured-minus-margin
+    assert(rFull >= 0.2, s"full-probe IVFADC recall collapsed: $rFull")
+    assert(rPruned >= 0.1, s"pruned IVFADC recall collapsed: $rPruned")
+    // pruning can only remove candidates, never add beyond full probe's
+    // candidate set ordering — and the query's own vector must be found
+    assert(full.contains(42L) && pruned.contains(42L),
+      "query vector must rank in its own top-10")
+  }
+
+  test("build and search are deterministic") {
+    val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    assert(i1.centroids.flatten.toSeq == i2.centroids.flatten.toSeq)
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val a = IvfPq.topK(i1, e1, q, k = 5).as[(Long, Double)].collect().toSeq
+    val b = IvfPq.topK(i2, e2, q, k = 5).as[(Long, Double)].collect().toSeq
+    assert(a == b, s"search not deterministic: $a vs $b")
+  }
+}

@@ -50,6 +50,17 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel encode is bit-identical to the expression path") {
+    // k=16 codebooks dispatch to the kernel by default (m*k=64 HOF
+    // expressions blow the 64 KB codegen method limit); force both paths
+    // over the same codebooks and compare exactly
+    val cb = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 16, iters = 1)
+    def run(kernel: Boolean) = Pq
+      .encodeVia(emb, "vec_id", "embedding", cb, useKernel = kernel)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(run(true).sameElements(run(false)), "kernel and expression encodes diverge")
+  }
+
   test("codes are within the codebook range and encode is deterministic") {
     val cb = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 8, iters = 2)
     val a = Pq.encode(emb, "vec_id", "embedding", cb)
