@@ -690,10 +690,30 @@ object SimilarityQueries {
     Pq.adcTopK(enc, q, cb, k = 10)
   }
 
+  /** IVFADC search ([[IvfPq]]): coarse-cell probing + residual-PQ ADC —
+    * the composed FAISS architecture. Rows-only by design (the coarse
+    * centroids come from [[IvfIndex.trainCentroids]]'s driver-side
+    * sampled Lloyd, which no SQL oracle replays — the q50 clause);
+    * IvfPqSpec gates reconstruction improvement vs raw PQ, recall vs the
+    * exact kernel, kernel/expression encode bit-equality, and
+    * determinism.
+    */
+  val q128IvfPqTopk: Declared = Declared.rowsOnly("q128_ivfpq_topk") { (spark, dir) =>
+    val emb = t(spark, dir).embeddings
+    val (idx, encoded) =
+      IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val q = graft.core.Jobs
+      .collectFast(emb.where(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>")))(0)
+      .getSeq[Double](0)
+      .toArray
+    IvfPq.topK(idx, encoded, q, k = 10, nProbe = 4)
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
-      q126PqEncode, q127PqAdcTopk)
+      q126PqEncode, q127PqAdcTopk, q128IvfPqTopk)
 }
