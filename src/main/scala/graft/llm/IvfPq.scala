@@ -89,6 +89,151 @@ object IvfPq {
     (IvfPqIndex(centroids, cb), encoded)
   }
 
+  /** One-pass encoder against a BUILT index: cell assignment, residual,
+    * and PQ codes computed in a single broadcast kernel over the raw
+    * embedding — a stateless projection, so the SAME method encodes a
+    * batch corpus or an unbounded stream (the online index-ingestion
+    * path; see `StreamingOps.ivfPqEncodeStream`). Bit-identical to the
+    * build-time assignment+encode pipeline (same round6/argmin/tie
+    * contracts at every stage; spec-pinned).
+    */
+  def encodeForIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    emb
+      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ix = bc.value
+        val cb = ix.cb
+        it.map { case (id, v) =>
+          // coarse cell: the KMeans assignment contract (rounded dist,
+          // strict-< displacement over ascending cell ids)
+          var vv = 0.0
+          var i = 0
+          while (i < v.length) { vv += v(i) * v(i); i += 1 }
+          var cell  = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ix.centroids.length) {
+            val cen = ix.centroids(c)
+            var dp = 0.0
+            var cc = 0.0
+            var j  = 0
+            while (j < cen.length) { dp += v(j) * cen(j); cc += cen(j) * cen(j); j += 1 }
+            val d = BruteForce.round6(math.sqrt(math.max(vv - 2.0 * dp + cc, 0.0)))
+            if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; cell = c }
+            c += 1
+          }
+          val cen = ix.centroids(cell)
+          val res = Array.tabulate(v.length)(j => v(j) - cen(j))
+          // residual PQ codes: the Pq kernel contract per subspace
+          val codes = new Array[Int](cb.m)
+          var s = 0
+          while (s < cb.m) {
+            val off = s * cb.subDim
+            var ss  = 0.0
+            var k0  = 0
+            while (k0 < cb.subDim) { ss += res(off + k0) * res(off + k0); k0 += 1 }
+            var bestI = 0
+            var bestPd = Double.MaxValue
+            var p = 0
+            while (p < cb.books(s).length) {
+              val pc = cb.books(s)(p)
+              var dp2 = 0.0
+              var cc2 = 0.0
+              var j2  = 0
+              while (j2 < cb.subDim) {
+                dp2 += res(off + j2) * pc(j2)
+                cc2 += pc(j2) * pc(j2)
+                j2 += 1
+              }
+              val pd = BruteForce.round6(math.sqrt(math.max(ss - 2.0 * dp2 + cc2, 0.0)))
+              if (java.lang.Double.compare(pd, bestPd) < 0) { bestPd = pd; bestI = p }
+              p += 1
+            }
+            codes(s) = bestI
+            s += 1
+          }
+          (id, cell, codes)
+        }
+      }
+      .toDF("vec_id", "cell", "__codes")
+      .select(
+        col("vec_id") +: col("cell") +:
+          (0 until index.cb.m).map(s => col("__codes")(s).as(s"code$s")): _*)
+  }
+
+  /** Persist the composed index: the encoded corpus as one partition dir
+    * per cell (`cells/cell=<id>/` — m codes + id per row, nothing else),
+    * plus centroid and codebook sidecars (nCells + m·k rows). A probe
+    * filter over this layout is STATIC partition pruning: a query at
+    * nProbe=p reads p directories of code rows, never the corpus.
+    */
+  def writeIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDir: String,
+      dims: Int,
+      nCells: Int = 16,
+      m: Int = 4,
+      k: Int = 16,
+      pqIters: Int = 2,
+      seed: Int = 42): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (idx, encoded) = build(emb, idCol, vecCol, dims, nCells, m, k, pqIters, seed)
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    (for {
+      s <- 0 until idx.cb.m
+      c <- idx.cb.books(s).indices
+    } yield (s, c, idx.cb.labels(s)(c), idx.cb.books(s)(c).toSeq))
+      .toDF("subspace", "code", "label", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
+  /** Query a [[writeIndex]] index: sidecars rebuild the in-memory
+    * [[IvfPqIndex]] (O(nCells + m·k) driver rows), and [[topK]]'s probe
+    * filter over the partitioned cell table executes as partition
+    * pruning — spec-asserted via the executed scan's partition count.
+    */
+  def topKIndexed(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      query: Array[Double],
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read
+      .parquet(s"$indexDir/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read
+      .parquet(s"$indexDir/codebooks")
+      .orderBy("subspace", "code")
+      .collect()
+    val m      = cbRows.map(_.getInt(0)).max + 1
+    val books  = Array.tabulate(m)(s =>
+      cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](3).toArray))
+    val labels = Array.tabulate(m)(s =>
+      cbRows.filter(_.getInt(0) == s).map(_.getLong(2)))
+    val cb  = Pq.Codebooks(m, books(0)(0).length, books, labels)
+    val idx = IvfPqIndex(centroids, cb)
+    topK(idx, spark.read.parquet(s"$indexDir/cells"), query, k, nProbe)
+  }
+
   /** ADC search over the probed cells: the query's residual AGAINST EACH
     * probed cell gets its own m×k exact-distance table (coarse centroids
     * differ per cell, so the residual query differs per cell); each

@@ -347,6 +347,23 @@ object StreamingOps {
       }
       .start()
 
+  /** ONLINE IVFADC encoding: assign each streamed embedding its coarse
+    * cell and residual-PQ codes — the index-ingestion half of
+    * [[graft.llm.IvfPq]] running on a live stream. Both stages are pure
+    * projections (cell = [[graft.llm.KMeans.assign]]'s argmin over the
+    * broadcast centroids, codes = the PQ argmin over the broadcast
+    * codebooks), so the SAME expressions run batch and streaming with no
+    * state and no watermark; a downstream `partitionBy("cell")` sink
+    * appends straight into the [[graft.llm.IvfPq.writeIndex]] layout.
+    * StreamingSpec pins batch ≡ stream code-for-code.
+    */
+  def ivfPqEncodeStream(
+      embeddings: DataFrame,
+      index: graft.llm.IvfPq.IvfPqIndex,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.llm.IvfPq.encodeForIndex(embeddings, idCol, vecCol, index)
+
   /** Streaming count-min sketch — [[graft.llm.Sketches.countMinSketch]]
     * applied VERBATIM to an unbounded document stream: the sketch is a
     * (row, bucket) aggregation, so under `outputMode("update")` or

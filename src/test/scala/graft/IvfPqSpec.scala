@@ -68,6 +68,39 @@ class IvfPqSpec extends AnyFunSuite {
       "query vector must rank in its own top-10")
   }
 
+  test("persisted IVFADC index reproduces the in-memory search and prunes cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val q = emb.where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val fromIndex = IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4)
+    val (idx, encoded) =
+      IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val inMemory = IvfPq.topK(idx, encoded, q, k = 10, nProbe = 4)
+    TestSpark.assertFrameEqual(fromIndex, inMemory)
+    // the probe filter over the cell-partitioned layout must execute as
+    // partition pruning: nProbe=4 of 16 cells -> <= 4 partitions scanned
+    val res = IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_idx")))
+    assert(scans.nonEmpty, "no index scan found in the executed plan")
+    scans.foreach { s =>
+      assert(s.relation.partitionSchema.nonEmpty, "cells table is not partitioned")
+      val parts = s.selectedPartitions.partitionCount
+      assert(parts <= 4, s"expected <= 4 pruned partitions, scan read $parts")
+    }
+  }
+
   test("build and search are deterministic") {
     val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)

@@ -301,6 +301,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(partIds(0) == s1 && partIds(1) == s2, "replayed batches diverged from the first run")
   }
 
+  test("streaming IVFADC encode matches the batch encoder and the build pipeline") {
+    import graft.llm.IvfPq
+    val emb = graft.core.Tables(spark, dir).embeddings
+    val (idx, builtEncoded) =
+      IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    // cross-path parity: the one-pass kernel equals the build-time
+    // assignment + residual + encode pipeline bit-for-bit
+    val kernelBatch = IvfPq.encodeForIndex(emb, "vec_id", "embedding", idx)
+    TestSpark.assertFrameEqual(
+      kernelBatch,
+      builtEncoded.select("vec_id", "cell", "code0", "code1", "code2", "code3"))
+    // stream ≡ batch: the same projection over a 2-file embedding stream
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    emb.where(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(d)
+    emb.where(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(d)
+    val stream = StreamingOps.ivfPqEncodeStream(
+      StreamingOps.readEmbeddingStream(spark, d, maxFilesPerTrigger = Some(1)), idx)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("ivfpq_enc_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = stream.sparkSession.table("ivfpq_enc_out")
+      TestSpark.assertFrameEqual(got, kernelBatch)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink round-trips every event") {
     val outDir = java.nio.file.Files.createTempDirectory("sink").toString
     val q = StreamingOps
