@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-quality diagnostics for training-data pipelines: per-label
@@ -320,6 +320,56 @@ object EmbeddingStats {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("anchor", "anchor_label", "neighbor", "neighbor_label", "cos_sim", "rn")
+  }
+
+  /** Contrastive TRIPLET construction: per anchor, its best same-label
+    * neighbour (the positive) and its best different-label neighbour (the
+    * hard negative), both drawn from the ≥ `tau` candidate set — the
+    * (anchor, positive, negative) table a triplet/InfoNCE finetune
+    * consumes directly. Anchors missing either side are dropped (no
+    * gradient signal without both). Pair stage and ranking contract are
+    * [[hardNegatives]]'s (guarded exact kernel at oracle scale; swap in
+    * [[AnnBuckets.candidatePairs]] for the corpus-scale variant, as
+    * [[hardNegativesApprox]] does); the two per-anchor windows each run
+    * over that anchor's ≥ tau candidates only.
+    */
+  def trainingTriplets(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val pairs = BruteForce.neardupPairs(spark, df, idCol, vecCol, tau)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim")),
+        struct(col("b_id").as("anchor"), col("a_id").as("neighbor"), col("cos_sim")))).as("e"))
+      .select(col("e.anchor").as("anchor"), col("e.neighbor").as("neighbor"), col("e.cos_sim"))
+    val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))
+    val tagged = sym
+      .join(lbl.select(col("__lid").as("anchor"), col("__lbl").as("anchor_label")), Seq("anchor"))
+      .join(
+        lbl.select(col("__lid").as("neighbor"), col("__lbl").as("neighbor_label")),
+        Seq("neighbor"))
+    val w = Window.partitionBy("anchor").orderBy(col("cos_sim").desc, col("neighbor").asc)
+    def top1(cond: Column, nCol: String, cCol: String): DataFrame =
+      tagged
+        .where(cond)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(
+          col("anchor"),
+          col("anchor_label"),
+          col("neighbor").as(nCol),
+          col("cos_sim").as(cCol))
+    top1(col("anchor_label") === col("neighbor_label"), "pos_id", "pos_cos")
+      .join(
+        top1(col("anchor_label") =!= col("neighbor_label"), "neg_id", "neg_cos")
+          .drop("anchor_label"),
+        Seq("anchor"))
+      .select("anchor", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos")
   }
 
   /** Corpus-scale hard-negative mining: the same per-anchor different-label

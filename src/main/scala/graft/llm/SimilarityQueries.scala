@@ -603,6 +603,37 @@ object SimilarityQueries {
     KMeans.mixtureWeights(assigned, k = 4).orderBy("cluster")
   }
 
+  /** Contrastive triplet construction ([[EmbeddingStats.trainingTriplets]]):
+    * per anchor its best same-label neighbour (positive) and best
+    * different-label neighbour (hard negative), both ≥ tau — the
+    * (anchor, positive, negative) table a triplet/InfoNCE finetune
+    * consumes. The oracle replays the q118 pair set with two per-anchor
+    * windows (label-equal and label-distinct) joined on the anchor.
+    */
+  val q129TrainingTriplets: Declared = Declared.sql(
+    "q129_training_triplets",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
+      |             b.vec_id AS neighbor, b.label AS neighbor_label,
+      |             round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_sim
+      |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+      |pos AS (SELECT anchor, anchor_label, neighbor AS pos_id, cos_sim AS pos_cos,
+      |               row_number() OVER (PARTITION BY anchor
+      |                                  ORDER BY cos_sim DESC, neighbor ASC) AS rn
+      |        FROM p WHERE cos_sim >= 0.3 AND anchor_label = neighbor_label),
+      |neg AS (SELECT anchor, neighbor AS neg_id, cos_sim AS neg_cos,
+      |               row_number() OVER (PARTITION BY anchor
+      |                                  ORDER BY cos_sim DESC, neighbor ASC) AS rn
+      |        FROM p WHERE cos_sim >= 0.3 AND anchor_label <> neighbor_label)
+      |SELECT pos.anchor, pos.anchor_label, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
+      |FROM pos JOIN neg ON pos.anchor = neg.anchor AND pos.rn = 1 AND neg.rn = 1
+      |ORDER BY pos.anchor""".stripMargin) { (spark, dir) =>
+    EmbeddingStats
+      .trainingTriplets(t(spark, dir).embeddings, "vec_id", "label", "embedding", tau = 0.3)
+      .orderBy("anchor")
+  }
+
   /** Shared per-subspace CTEs for the PQ oracles (q126/q127): 4 subspaces
     * of 16 dims, 8 seed centroids each (`iters = 0` — the deterministic
     * codebook mode; Lloyd-trained codebooks are the library default and
@@ -715,5 +746,5 @@ object SimilarityQueries {
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
-      q126PqEncode, q127PqAdcTopk, q128IvfPqTopk)
+      q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets)
 }

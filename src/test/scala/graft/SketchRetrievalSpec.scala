@@ -197,6 +197,26 @@ class SketchRetrievalSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("training triplets pick the nearest positive and hard negative per anchor") {
+    import graft.llm.EmbeddingStats
+    val emb = Seq(
+      (1L, "pos", Array(1.0f, 0.0f)),
+      (2L, "pos", Array(0.95f, 0.31f)),
+      (3L, "neg", Array(0.9f, 0.43f)),
+      (4L, "neg", Array(0.0f, 1.0f)),
+      (5L, "pos", Array(0.99f, 0.14f))).toDF("vec_id", "label", "embedding")
+    val got = EmbeddingStats
+      .trainingTriplets(emb, "vec_id", "label", "embedding", tau = 0.5)
+      .select("anchor", "pos_id", "neg_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    // anchors 3 and 4 drop: 4 has no candidate above tau, 3 has no
+    // same-label candidate above tau (no positive -> no triplet); every
+    // pos anchor pairs its nearest pos neighbour with hard negative 3
+    assert(got == Set((1L, 5L, 3L), (2L, 5L, 3L), (5L, 1L, 3L)), s"got $got")
+  }
+
   test("approx hard negatives recover the exact miner's pairs on the planted geometry") {
     import graft.llm.EmbeddingStats
     val emb = Seq(
