@@ -9,23 +9,39 @@ object Jobs {
 
   /** One dedicated statistics session per parent session: shares the
     * SparkContext and SharedState (same executors, same cached data) but
-    * owns its OWN SessionState/conf with AQE permanently off — so running
-    * a stat collect never mutates the caller's session conf, and a
-    * concurrent query on the caller's session keeps AQE. Cardinality is
-    * bounded by the number of live SparkSessions in the JVM (one in every
-    * graft entry point), so the map cannot grow unbounded in practice.
+    * owns its own SessionState with AQE permanently off — so running a
+    * stat collect never mutates the caller's conf. The child mirrors the
+    * caller's CURRENT session conf (timezone, ANSI mode, case
+    * sensitivity and anything else `spark.conf.set` changed after
+    * startup — a bare `newSession()` would snapshot the context-level
+    * conf and silently drop runtime overrides; `cloneSession` would be
+    * ideal but is `private[sql]`): each call snapshots `conf.getAll`
+    * (sub-ms) and REBUILDS the child only when the snapshot changed,
+    * because the rebuild itself — one session + ~300 validated sets with
+    * static-conf rejections — costs real milliseconds that a hot
+    * solver loop (MICE, IRLS, Lloyd) would pay per iteration.
+    * Cardinality is bounded by live SparkSessions in the JVM.
     */
-  private val StatSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private final case class StatChild(child: SparkSession, snapshot: Map[String, String])
 
-  private def statSession(parent: SparkSession): SparkSession =
-    StatSessions.computeIfAbsent(
-      parent,
-      p => {
-        val s = p.newSession()
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        s
-      })
+  private val StatSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, StatChild]()
+
+  private def statSession(parent: SparkSession): SparkSession = {
+    val snap   = parent.conf.getAll
+    val cached = StatSessions.get(parent)
+    if (cached != null && cached.snapshot == snap) cached.child
+    else {
+      val s = parent.newSession()
+      snap.foreach { case (key, v) =>
+        try s.conf.set(key, v)
+        catch { case _: Exception => () }
+      }
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      StatSessions.put(parent, StatChild(s, snap))
+      s
+    }
+  }
 
   /** Collect a driver-bounded statistics result (a one-row aggregate, a
     * capped distinct list, an argmax row) with AQE disabled for the

@@ -119,7 +119,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       outDir: String,
-      nSigs: Int = 8): Unit =
+      nSigs: Int = DefaultNearDupSigs): Unit =
     signatureProjection(docs, idCol, textCol, nSigs)
       .drop("__id")
       .distinct()
@@ -152,18 +152,35 @@ object Dedup {
     * historical corpus is never re-read. Returns surviving
     * (id, digest) rows.
     */
+  /** One ingest-index signature-width default for the whole family —
+    * [[writeNearDupIndex]]'s bootstrap and [[incrementalNearDupNew]]'s
+    * `bands × rowsPerBand` must agree or the band projection cannot
+    * resolve the index's columns (checked below with a named error).
+    * 16 sigs / 0.75 agreement is the operating point the q125 probe
+    * measured: 8 × 0.5 degenerates on small shared vocabularies.
+    */
+  val DefaultNearDupSigs: Int = 16
+
   def incrementalNearDupNew(
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
       index: DataFrame,
       bands: Int = 4,
-      rowsPerBand: Int = 2,
-      simTau: Double = 0.5,
+      rowsPerBand: Int = 4,
+      simTau: Double = 0.75,
       maxBandDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n        = bands * rowsPerBand
-    val matchMin = math.ceil(simTau * n).toInt
+    val n = bands * rowsPerBand
+    require(
+      index.columns.contains(s"sig${n - 1}"),
+      s"near-dup index is narrower than bands*rowsPerBand = $n signatures " +
+        s"(index columns: ${index.columns.filter(_.startsWith("sig")).length}) — " +
+        "bootstrap with writeNearDupIndex(nSigs = bands*rowsPerBand)")
+    // -1e-9: binary rounding of simTau*n can land a hair above the exact
+    // integer (0.55*20 = 11.000000000000002) and silently raise the
+    // effective threshold — the prefixFilteredPairs ceil guard
+    val matchMin = math.ceil(simTau * n - 1e-9).toInt
     val newSigs  = signatureProjection(newDocs, idCol, textCol, n)
     val idx = index.select(
       col("digest").as("__idig") +:

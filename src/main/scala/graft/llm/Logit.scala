@@ -62,11 +62,10 @@ object Logit {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val xs: Seq[Column] = (0 until k).map(i => col(s"__x$i"))
     val y               = col("__y")
-    val complete        = design
 
     var beta = Array.fill(k)(0.0)
     var n    = 0L
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val eta = xs.zip(beta.toIndexedSeq).map { case (x, b) => x * lit(b) }.reduce(_ + _)
       val p   = lit(1.0) / (lit(1.0) + exp(-eta))
       val w   = p * (lit(1.0) - p) + lit(1e-12)
@@ -78,7 +77,7 @@ object Logit {
           yield sum(w * xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
           (0 until k).map(i => sum(xs(i) * r).as(s"xr_$i")) ++
           Seq(count(lit(1)).as("n"))
-      val row = Jobs.collectFast(complete.agg(aggs.head, aggs.tail: _*))(0)
+      val row = Jobs.collectFast(design.agg(aggs.head, aggs.tail: _*))(0)
       val xtx = Array.tabulate(k, k) { (i, j) =>
         val (a, b) = if (i <= j) (i, j) else (j, i)
         row.getAs[Double](s"xx_${a}_$b") + (if (i == j) ridge else 0.0)
@@ -87,8 +86,7 @@ object Logit {
       val inv = RunModel.invertSpd(xtx)
       beta = Array.tabulate(k)(i => (0 until k).map(j => inv(i)(j) * xr(j)).sum)
       n = row.getAs[Long]("n")
-    }
-    design.unpersist(blocking = false)
+    } finally design.unpersist(blocking = false)
     LogitFit(beta, iters, n)
   }
 

@@ -167,35 +167,47 @@ object Pq {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks,
+      withErr: Boolean = false): DataFrame = {
     val vec = Cols.q(vecCol).cast("array<double>")
-    val codeCols = (0 until cb.m).map { s =>
+    val perSub = (0 until cb.m).map { s =>
       val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
-      val ds = cb.books(s).zipWithIndex.map { case (c, i) =>
+      val cols = cb.books(s).zipWithIndex.map { case (c, i) =>
         val c2 = c.map(x => x * x).sum
-        round(
-          sqrt(greatest(
-            graft.functions.GraftFunctions.dot(sub, sub) -
-              lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(c.toSeq)) + lit(c2),
-            lit(0.0))),
-          6).as(s"__pd_${s}_$i")
+        val raw = greatest(
+          graft.functions.GraftFunctions.dot(sub, sub) -
+            lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(c.toSeq)) + lit(c2),
+          lit(0.0))
+        (round(sqrt(raw), 6).as(s"__pd_${s}_$i"), raw.as(s"__pr_${s}_$i"))
       }
-      (ds, s)
+      (cols, s)
     }
     // project every subspace distance once, then fold argmins over column
-    // references (the SemDedup/KMeans fold rule)
-    val withDs = emb.select(
-      (Cols.q(idCol).as("vec_id") +: codeCols.flatMap(_._1)): _*)
-    val codes = codeCols.map { case (_, s) =>
-      val first = col(s"__pd_${s}_0")
-      val best = (1 until cb.books(s).length).foldLeft((lit(0), first)) {
-        case ((bestI, bestD), i) =>
-          val d = col(s"__pd_${s}_$i")
-          (when(d < bestD, lit(i)).otherwise(bestI), least(d, bestD))
-      }
-      best._1.as(s"code$s")
+    // references (the SemDedup/KMeans fold rule); the raw squared
+    // distances ride along only when the error is requested (one pass —
+    // no second scan, no re-join, mirroring the kernel)
+    val projected = perSub.flatMap { case (cols, _) =>
+      if (withErr) cols.flatMap { case (d, r) => Seq(d, r) } else cols.map(_._1)
     }
-    withDs.select(col("vec_id") +: codes: _*)
+    val withDs = emb.select(
+      (Cols.q(idCol).cast("long").as("vec_id") +: projected): _*)
+    val folded = perSub.map { case (_, s) =>
+      val init = (lit(0), col(s"__pd_${s}_0"), col(s"__pr_${s}_0"))
+      (1 until cb.books(s).length).foldLeft(init) {
+        case ((bestI, bestD, bestR), i) =>
+          val d = col(s"__pd_${s}_$i")
+          (
+            when(d < bestD, lit(i)).otherwise(bestI),
+            least(d, bestD),
+            when(d < bestD, col(s"__pr_${s}_$i")).otherwise(bestR))
+      }
+    }
+    val codes = folded.zipWithIndex.map { case ((c, _, _), s) => c.as(s"code$s") }
+    if (!withErr) withDs.select(col("vec_id") +: codes: _*)
+    else {
+      val err = round(sqrt(folded.map(_._3).reduce(_ + _)), 6).as("err")
+      withDs.select(col("vec_id") +: codes :+ err: _*)
+    }
   }
 
   /** Per-vector reconstruction error ‖v − decode(encode(v))‖ (rounded):
@@ -207,37 +219,13 @@ object Pq {
       vecCol: String,
       cb: Codebooks): DataFrame = {
     if (cb.m * cb.books.map(_.length).max > KernelBudget)
-      return encodeRawKernel(emb, idCol, vecCol, cb).select(
+      encodeRawKernel(emb, idCol, vecCol, cb).select(
         col("vec_id") +:
           (0 until cb.m).map(s => col("__codes")(s).as(s"code$s")) :+
           col("__err").as("err"): _*)
-    val vec     = Cols.q(vecCol).cast("array<double>")
-    val encoded = encode(emb, idCol, vecCol, cb)
-    val joined = emb
-      .select(Cols.q(idCol).as("vec_id"), vec.as("__v"))
-      .join(encoded, Seq("vec_id"))
-    val errSq = (0 until cb.m)
-      .map { s =>
-        val sub = slice(col("__v"), s * cb.subDim + 1, cb.subDim)
-        // squared distance to the CHOSEN centroid, via a k-branch CASE on
-        // the code (k is small by construction)
-        val d2 = cb.books(s).zipWithIndex
-          .map { case (c, i) =>
-            val c2 = c.map(x => x * x).sum
-            (i,
-              graft.functions.GraftFunctions.dot(sub, sub) -
-                lit(2.0) * graft.functions.GraftFunctions.dot(sub, typedlit(c.toSeq)) + lit(c2))
-          }
-          .foldLeft(lit(0.0)) { case (acc, (i, d)) =>
-            when(col(s"code$s") === i, d).otherwise(acc)
-          }
-        greatest(d2, lit(0.0))
-      }
-      .reduce(_ + _)
-    joined.select(
-      col("vec_id") +:
-        (0 until cb.m).map(s => col(s"code$s")) :+
-        round(sqrt(errSq), 6).as("err"): _*)
+    // expression path: codes and error come out of the SAME argmin fold
+    // (one scan, no re-join), mirroring the kernel's single pass
+    else encodeExpr(emb, idCol, vecCol, cb, withErr = true)
   }
 
   /** ADC top-k: the query's exact distance to every codebook centroid is

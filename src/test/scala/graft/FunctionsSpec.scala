@@ -243,6 +243,27 @@ class FunctionsSpec extends AnyFunSuite {
     // mutation property is the contract under test here
   }
 
+  test("Jobs.collectFast honors the caller's runtime session confs") {
+    // a runtime `spark.conf.set` made AFTER session start must reach the
+    // stat session — a bare newSession() child would snapshot the
+    // context-level conf and silently evaluate under the default
+    // timezone. Use an isolated caller so the shared test session's
+    // timezone is untouched.
+    val caller = spark.newSession()
+    def hourAgg = caller
+      .sql("SELECT hour(CAST('2024-01-01 12:00:00 UTC' AS TIMESTAMP)) AS h")
+      .groupBy()
+      .agg(max("h").as("h"))
+    caller.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val viaFast = graft.core.Jobs.collectFast(hourAgg)(0).getAs[Int]("h")
+    assert(viaFast == 7, s"expected 07:00 New York for noon UTC, got $viaFast")
+    // a LATER conf change is also seen (the cached child rebuilds); the
+    // frame is re-created because the timezone binds at analysis time
+    caller.conf.set("spark.sql.session.timeZone", "UTC")
+    val after = graft.core.Jobs.collectFast(hourAgg)(0).getAs[Int]("h")
+    assert(after == 12, s"conf change not propagated to the stat session: got $after")
+  }
+
   test("Jobs.collectFast handles observed plans in-session (Observation still fires)") {
     val obs = org.apache.spark.sql.Observation("cf_obs_" + System.nanoTime())
     val df = spark

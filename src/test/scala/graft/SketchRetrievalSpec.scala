@@ -316,8 +316,8 @@ class SketchRetrievalSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(survDir == Set(9990L, 9991L),
       s"expected only the novel docs to survive, got $survDir")
-    // persisted-dir entry point equals the in-memory variant... via the
-    // default 8-sig parameters on both paths
+    // persisted-dir entry point equals the in-memory variant under the
+    // library defaults (16 sigs / 0.75) on both paths
     val viaDir = Dedup.incrementalNearDupNew(newBatch, "doc_id", "text", idxDir)
       .select("doc_id").as[Long].collect().toSet
     val viaMem = Dedup
