@@ -28,19 +28,23 @@ object Jobs {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, StatChild]()
 
   private def statSession(parent: SparkSession): SparkSession = {
-    val snap   = parent.conf.getAll
-    val cached = StatSessions.get(parent)
-    if (cached != null && cached.snapshot == snap) cached.child
-    else {
-      val s = parent.newSession()
-      snap.foreach { case (key, v) =>
-        try s.conf.set(key, v)
-        catch { case _: Exception => () }
-      }
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      StatSessions.put(parent, StatChild(s, snap))
-      s
-    }
+    val snap = parent.conf.getAll
+    // compute() makes the snapshot check + rebuild atomic per parent, so two
+    // threads racing on the same parent can't both rebuild and leak a child.
+    StatSessions.compute(
+      parent,
+      (_, cached) =>
+        if (cached != null && cached.snapshot == snap) cached
+        else {
+          val s = parent.newSession()
+          snap.foreach { case (key, v) =>
+            try s.conf.set(key, v)
+            catch { case _: Exception => () }
+          }
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          StatChild(s, snap)
+        }
+    ).child
   }
 
   /** Collect a driver-bounded statistics result (a one-row aggregate, a

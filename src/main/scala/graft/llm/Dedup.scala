@@ -129,8 +129,13 @@ object Dedup {
       // the pre-append index (its own survivors excluded) instead of
       // dropping them as self-duplicates. Batch consumers ignore the
       // column ([[incrementalNearDupNew]] selects digest + sigs).
+      // src_batch is a PARTITION column: each ingest batch owns the
+      // `src_batch=<id>` directory, so a replayed batch's append is a
+      // dynamic-partition overwrite (idempotent) instead of a monotonic
+      // duplicate-append, and the `src_batch < N` read prunes partitions.
       .withColumn("src_batch", lit(-1L))
       .write
+      .partitionBy("src_batch")
       .mode("overwrite")
       .parquet(outDir)
 

@@ -208,12 +208,32 @@ object KMeans {
         .select(col("cluster"), posexplode(col("__emb")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(round(avg("v"), 6).as("cv"))
+      // size each updated centroid by the PREVIOUS centroid's dimensionality
+      // (not the aggregated row count): ragged embedding arrays or a null
+      // position mean must fail loudly, not produce a short/corrupt centroid
+      val dims = cents.map(c => c.label -> c.vec.length).toMap
       val byLabel = Jobs
         .collectFast(upd)
         .groupBy(_.getLong(0))
         .map { case (lbl, rows) =>
-          val vec = new Array[Double](rows.length)
-          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+          val dim = dims.getOrElse(
+            lbl,
+            throw new IllegalStateException(s"kmeans: aggregated unknown cluster label $lbl"))
+          require(
+            rows.length == dim,
+            s"kmeans: cluster $lbl aggregated ${rows.length} positions, expected $dim " +
+              "(ragged embedding input)")
+          val vec = new Array[Double](dim)
+          rows.foreach { r =>
+            require(
+              !r.isNullAt(1) && !r.isNullAt(2),
+              s"kmeans: null position/mean aggregated for cluster $lbl (null embedding element)")
+            val pos = r.getInt(1)
+            require(
+              pos >= 0 && pos < dim,
+              s"kmeans: position $pos out of bounds for dimensionality $dim (ragged embedding input)")
+            vec(pos) = r.getDouble(2)
+          }
           lbl -> vec
         }
       cents = cents.map(c => Centroid(c.label, byLabel.getOrElse(c.label, c.vec)))

@@ -56,8 +56,11 @@ object Logit {
     // `iters` jobs re-runs the source scan + feature expressions (regexes,
     // string ops) — measured 3.1 s -> ~1 s on q124 at sf0.1. k+1 doubles
     // per complete row, spilled to disk if it outgrows memory
+    // listwise-exclude NaN as well as null: a NaN feature (0/0 from an
+    // upstream ratio) passes isNotNull and would silently poison every Gram
+    // sum into NaN coefficients
     val design = df
-      .where(rawXs.foldLeft(rawY.isNotNull)(_ && _.isNotNull))
+      .where((rawY +: rawXs).map(c => c.isNotNull && !isnan(c)).reduce(_ && _))
       .select(rawY.as("__y") +: rawXs.zipWithIndex.map { case (x, i) => x.as(s"__x$i") }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val xs: Seq[Column] = (0 until k).map(i => col(s"__x$i"))

@@ -334,13 +334,19 @@ object StreamingOps {
         val pinned = survivorDocs.persist()
         try {
           pinned.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+          // dynamic-partition overwrite of THIS batch's src_batch partition:
+          // a crash-replayed batch rewrites the same directory instead of
+          // re-appending duplicate signature rows, so the index stays
+          // O(distinct survivors) across any number of replays
           graft.llm.Dedup
             .signatureProjection(pinned, idCol, textCol, nSigs)
             .drop("__id")
             .distinct()
             .withColumn("src_batch", lit(id))
             .write
-            .mode("append")
+            .partitionBy("src_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(indexDir)
         } finally pinned.unpersist(false)
         ()

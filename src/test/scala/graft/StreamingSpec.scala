@@ -293,12 +293,17 @@ class StreamingSpec extends AnyFunSuite {
     // replay with a fresh checkpoint: batch ids recur, the src_batch < id
     // filter hides each batch's own (and later) appends, so survivor
     // partitions reproduce exactly despite the polluted index
+    val idxRowsAfterFirstRun = spark.read.parquet(idxDir).count()
     val cp2 = java.nio.file.Files.createTempDirectory("nd_ingest_cp2").toString
     val q2 = StreamingOps.nearDupIngestStream(
       StreamingOps.readDocumentStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
       idxDir, outDir, cp2)
     try q2.processAllAvailable() finally q2.stop()
     assert(partIds(0) == s1 && partIds(1) == s2, "replayed batches diverged from the first run")
+    // index append is idempotent: the replay dynamic-overwrites each batch's
+    // src_batch partition, so the index must NOT grow across replays
+    assert(spark.read.parquet(idxDir).count() == idxRowsAfterFirstRun,
+      "replayed batches must overwrite their src_batch partitions, not re-append")
   }
 
   test("streaming IVFADC encode matches the batch encoder and the build pipeline") {
