@@ -328,10 +328,10 @@ object EmbeddingStats {
     * (anchor, positive, negative) table a triplet/InfoNCE finetune
     * consumes directly. Anchors missing either side are dropped (no
     * gradient signal without both). Pair stage and ranking contract are
-    * [[hardNegatives]]'s (guarded exact kernel at oracle scale; swap in
-    * [[AnnBuckets.candidatePairs]] for the corpus-scale variant, as
-    * [[hardNegativesApprox]] does); the two per-anchor windows each run
-    * over that anchor's ≥ tau candidates only.
+    * [[hardNegatives]]'s (guarded exact kernel at oracle scale;
+    * [[trainingTripletsApprox]] is the corpus-scale variant with the LSH
+    * candidate stage); the two per-anchor windows each run over that
+    * anchor's ≥ tau candidates only.
     */
   def trainingTriplets(
       df: DataFrame,
@@ -339,7 +339,6 @@ object EmbeddingStats {
       labelCol: String,
       vecCol: String,
       tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val pairs = BruteForce.neardupPairs(spark, df, idCol, vecCol, tau)
     val sym = pairs
@@ -347,8 +346,58 @@ object EmbeddingStats {
         struct(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim")),
         struct(col("b_id").as("anchor"), col("a_id").as("neighbor"), col("cos_sim")))).as("e"))
       .select(col("e.anchor").as("anchor"), col("e.neighbor").as("neighbor"), col("e.cos_sim"))
+    tripletElection(df, idCol, labelCol, sym)
+  }
+
+  /** Corpus-scale triplet construction: [[trainingTriplets]]'s semantics
+    * with the pair stage swapped from the guarded exact kernel to the LSH
+    * bucket join ([[AnnBuckets.candidatePairs]]) — the same exact→approx
+    * upgrade [[hardNegativesApprox]] applies to [[hardNegatives]].
+    * Candidate volume scales with bucket occupancy (held constant by
+    * `autoBits`), never O(n²). Approximate by construction: an anchor
+    * whose true positive or hard negative never shares a bucket in any
+    * table elects a lower-ranked (or no) neighbour; raise `nTables` to
+    * trade compute for recall. Election rules and output schema are
+    * identical to the exact path.
+    */
+  def trainingTripletsApprox(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      tau: Double,
+      nBits: Int = AnnBuckets.Auto,
+      dims: Int = 64,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val e = df
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val cand = AnnBuckets
+      .candidatePairs(e, bits, dims, nTables, seed)
+      .where(col("cos_sim") >= tau)
+      .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
+    tripletElection(df, idCol, labelCol, cand)
+  }
+
+  /** Shared triplet election: tag each (anchor, neighbor, cos_sim)
+    * candidate with both labels, then per anchor keep the best same-label
+    * neighbour (positive) and best different-label neighbour (hard
+    * negative); anchors missing either side drop. Both windows run over
+    * that anchor's candidates only.
+    */
+  private def tripletElection(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))
-    val tagged = sym
+    val tagged = cand
       .join(lbl.select(col("__lid").as("anchor"), col("__lbl").as("anchor_label")), Seq("anchor"))
       .join(
         lbl.select(col("__lid").as("neighbor"), col("__lbl").as("neighbor_label")),

@@ -634,6 +634,69 @@ object SimilarityQueries {
       .orderBy("anchor")
   }
 
+  /** ANN-backed triplet construction
+    * ([[EmbeddingStats.trainingTripletsApprox]]): q129's election over
+    * q120's LSH candidate stage — the plan a corpus-scale contrastive
+    * finetune actually runs. Index pinned (nBits=4, 2 tables, seed 42) so
+    * the WHOLE approximate path hash-oracles: the DuckDB SQL embeds the
+    * seeded hyperplanes as literals, replays the per-table same-bucket
+    * self-join, the distinct candidate union, the rounded cosine, and the
+    * two per-anchor windows. Production default `nBits = Auto` sizes the
+    * index from corpus occupancy (same declared/production split as
+    * q41/q67/q120).
+    */
+  val q130TrainingTripletsAnn: Declared = {
+    val nBits   = 4
+    val dims    = 64
+    val seed    = 42L
+    val nTables = 2
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n     + ")
+      s"SELECT vec_id, $tb AS table_id, CAST($bits AS INTEGER) AS bucket FROM n"
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")}),
+         |c AS (SELECT DISTINCT x.vec_id AS anchor, y.vec_id AS neighbor
+         |      FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+         |                       AND x.vec_id <> y.vec_id),
+         |p AS (SELECT c.anchor, na.label AS anchor_label, c.neighbor, nb.label AS neighbor_label,
+         |             round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+         |      FROM c JOIN n na ON na.vec_id = c.anchor JOIN n nb ON nb.vec_id = c.neighbor),
+         |pos AS (SELECT anchor, anchor_label, neighbor AS pos_id, cos_sim AS pos_cos,
+         |               row_number() OVER (PARTITION BY anchor
+         |                                  ORDER BY cos_sim DESC, neighbor ASC) AS rn
+         |        FROM p WHERE cos_sim >= 0.3 AND anchor_label = neighbor_label),
+         |neg AS (SELECT anchor, neighbor AS neg_id, cos_sim AS neg_cos,
+         |               row_number() OVER (PARTITION BY anchor
+         |                                  ORDER BY cos_sim DESC, neighbor ASC) AS rn
+         |        FROM p WHERE cos_sim >= 0.3 AND anchor_label <> neighbor_label)
+         |SELECT pos.anchor, pos.anchor_label, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
+         |FROM pos JOIN neg ON pos.anchor = neg.anchor AND pos.rn = 1 AND neg.rn = 1
+         |ORDER BY pos.anchor""".stripMargin
+    Declared.sql("q130_training_triplets_ann", oracle) { (spark, dir) =>
+      EmbeddingStats
+        .trainingTripletsApprox(
+          t(spark, dir).embeddings,
+          "vec_id",
+          "label",
+          "embedding",
+          tau = 0.3,
+          nBits = nBits,
+          dims = dims,
+          nTables = nTables,
+          seed = seed)
+        .orderBy("anchor")
+    }
+  }
+
   /** Shared per-subspace CTEs for the PQ oracles (q126/q127): 4 subspaces
     * of 16 dims, 8 seed centroids each (`iters = 0` — the deterministic
     * codebook mode; Lloyd-trained codebooks are the library default and
@@ -746,5 +809,6 @@ object SimilarityQueries {
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
-      q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets)
+      q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
+      q130TrainingTripletsAnn)
 }
