@@ -170,10 +170,16 @@ object TextQueries {
     }
   }
 
-  /** N-gram (3-shingle) Jaccard near-dup: top-5 most similar document
-    * pairs. Shingle sets stay distinct per doc; the pair join runs on the
-    * exploded shingle table (inverted index), never on raw text — the
-    * standard scalable shape for n-gram dedup.
+  /** N-gram (3-shingle) Jaccard near-dup pairs at threshold ≥ 0.5 —
+    * the CAPPED PRODUCTION plan: library-default `maxShingleDf` drops
+    * stop-shingles before pair expansion and the PPJoin prefix filter
+    * prunes candidates, both exact under the threshold contract. The
+    * DuckDB oracle replays the df cap verbatim (`kept` CTE, the
+    * q69/q103 pattern) and the threshold; prefix/positional filtering
+    * is a pure candidate-pruning step so the oracle needn't replay it.
+    * (The previous rank-all-by-Jaccard contract materialized every pair
+    * — Σ df² rows — and disk-exhausted at 500 k docs; rank-all remains
+    * spec-pinned at tiny scale in DedupSpec.)
     */
   val q34NgramJaccard: Declared = Declared.sql(
     "q34_ngram_jaccard",
@@ -183,25 +189,24 @@ object TextQueries {
       |              generate_series(1, len(tk) - 2),
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       |           GROUP BY a.doc_id, b.doc_id)
       |SELECT a_id, b_id,
       |       round(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
       |FROM common
       |JOIN cnt ca ON ca.doc_id = a_id
       |JOIN cnt cb ON cb.doc_id = b_id
-      |ORDER BY jaccard DESC, a_id, b_id
-      |LIMIT 5""".stripMargin) { (spark, dir) =>
-    // oracle parity ⇒ no df-cut here; production near-dup passes set
-    // Dedup.ngramJaccardPairs(maxShingleDf = Some(cap)) to bound the
-    // inverted-index self-join against stop-shingles
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
     Dedup
-      .ngramJaccardPairs(t(spark, dir).documents, "doc_id", "text", n = 3, maxShingleDf = None)
+      .ngramJaccardPairs(t(spark, dir).documents, "doc_id", "text", n = 3,
+        minJaccard = Some(0.5))
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-      .limit(5)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Whitespace vs BPE-ish tokenizer counts per language. */

@@ -137,6 +137,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rank-all top-5 by Jaccard (retired q34 contract) holds at tiny scale") {
+    // rank-all materializes every pair (Sigma df^2 rows — disk-exhausted at
+    // 500 k docs), so it lives here as a tiny-sf spec while the declared
+    // q34 runs the capped threshold contract; the threshold plan at the
+    // 5th-best Jaccard must contain the rank-all winners
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+    val all = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val top5 = all.sortBy(t => (-t._3, t._1, t._2)).take(5)
+    assert(top5.length == 5 && top5.last._3 > 0.0)
+    val tau = top5.last._3
+    val thresholded = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxShingleDf = None,
+        minJaccard = Some(tau))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    top5.foreach(p => assert(thresholded.contains(p), s"threshold plan missing top-5 pair $p"))
+  }
+
   test("df-cut jaccard equals the uncut value when no shingle exceeds the cap") {
     val uncut = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, maxShingleDf = None)
       .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).sortBy(_.toString).toSeq
