@@ -115,7 +115,13 @@ object Bench {
     val queryCases: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.map { case (name, fn) => name -> (() => force(fn(spark, sfDir))) }
 
-    val cases  = (queryCases ++ stageCases).sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY=q126,q128 runs only cases whose name starts
+    // with a listed prefix — an iteration aid; the per-round driver bench
+    // leaves it unset and runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val cases = (queryCases ++ stageCases)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .sortBy(_._1)
     // untimed warm-up pass, then 3 timed rounds, per-case MEDIAN — the
     // BASELINE.md methodology ("median of 3 runs, warm data")
     for ((name, run) <- cases) {
@@ -184,7 +190,9 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.out")
     // APPEND both records (mins first, then the full total line) so no later
     // write can destroy the gate evidence; each line is a complete JSON
-    // record tagged by "record"
+    // record tagged by "record". Filtered (BENCH_ONLY) runs don't append —
+    // a subset total would pollute the artifact's run history.
+    if (only.isEmpty)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (minsLine + "\n" + json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

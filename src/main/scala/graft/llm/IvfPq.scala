@@ -42,7 +42,7 @@ object IvfPq {
     * (vec_id, cell, res). Assignment is the [[KMeans]] argmin contract
     * (rounded distance, smaller cell on ties) over the given centroids.
     */
-  private def residuals(
+  private[graft] def residuals(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -57,6 +57,58 @@ object IvfPq {
           col("__emb"),
           centroidCase(centroids, col("cluster").cast("int")),
           (a, b) => a - b).as("res"))
+  }
+
+  /** The same (vec_id, cell, res) frame as [[residuals]], computed by one
+    * broadcast kernel instead of the expression CASE + zip_with
+    * (bit-identical, spec-pinned): the argmin replicates the [[KMeans]]
+    * kernel contract, the residual is the same index-order subtraction.
+    * Left LAZY on purpose — the fused [[Pq.train]] passes are
+    * mapPartitions kernels that evaluate their input stream once per
+    * pass, so re-deriving the residual costs one cheap kernel per pass
+    * instead of a corpus-sized localCheckpoint materialization (measured
+    * 16 s of q128's 21 s at sf10).
+    */
+  private[graft] def residualKernelFrame(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c2s = centroids.map(c => c.map(x => x * x).sum)
+    val bc  = spark.sparkContext.broadcast((centroids, c2s))
+    emb
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cents, c2s) = bc.value
+        it.map { case (id, v) =>
+          var s2 = 0.0
+          var i  = 0
+          while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+          var cell  = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cen = cents(c)
+            var dp  = 0.0
+            var j   = 0
+            while (j < cen.length) { dp += v(j) * cen(j); j += 1 }
+            val d = BruteForce.round6(math.sqrt(math.max(s2 - 2.0 * dp + c2s(c), 0.0)))
+            if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; cell = c }
+            c += 1
+          }
+          val cen = cents(cell)
+          val res = new Array[Double](v.length)
+          var p = 0
+          while (p < v.length) { res(p) = v(p) - cen(p); p += 1 }
+          (id, cell, res)
+        }
+      }
+      .toDF("vec_id", "cell", "res")
   }
 
   /** Train the composed index and encode the corpus: returns the index
@@ -74,19 +126,35 @@ object IvfPq {
       seed: Int = 42): (IvfPqIndex, DataFrame) = {
     require(nCells >= 1 && nCells <= 64, s"nCells=$nCells out of the CASE-expression range")
     val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nCells, seed = seed)
-    // localCheckpoint: the residual is a nCells-branch CASE feeding a
-    // zip_with — left lazy, Pq.encode would re-embed that expression into
-    // every one of its m·k distance columns and the fused stage blows the
-    // JVM's 64 KB method limit (codegen falls back to interpretation).
-    // Materializing the (vec_id, cell, res) projection once keeps every
-    // downstream stage a plain scan + codegen projection — and the
-    // codebook training re-reads it m·iters times anyway.
-    val res = residuals(emb, idCol, vecCol, centroids).localCheckpoint()
+    // residuals via the LAZY broadcast kernel: the fused Pq.train makes
+    // 1 + iters passes total, each re-deriving the residual inside its own
+    // mapPartitions input stream — cheaper than materializing the corpus-
+    // sized frame through localCheckpoint (16 s of q128's 21 s at sf10).
+    // (The old hazard — a lazy CASE/zip_with residual re-embedded into
+    // every one of Pq.encode's m·k distance EXPRESSIONS, blowing the 64 KB
+    // codegen limit — doesn't apply to kernel consumers.)
+    val res = residualKernelFrame(emb, idCol, vecCol, centroids)
     val cb  = Pq.train(res, "vec_id", "res", dims, m, k, pqIters)
-    val encoded = Pq
-      .encode(res, "vec_id", "res", cb)
+    val idx = IvfPqIndex(centroids, cb)
+    // corpus encoding via the one-pass kernel over the RAW embeddings:
+    // cell + codes in a single projection, instead of encoding the
+    // residual frame and re-joining it to itself for the cell column (a
+    // corpus×corpus sort-merge join). Bit-identical to the residual
+    // pipeline ([[encodeViaResiduals]], spec-pinned).
+    (idx, encodeForIndex(emb, idCol, vecCol, idx))
+  }
+
+  /** The two-stage reference encoding (PQ-encode the residual frame, then
+    * re-join it for the cell column) — kept for the kernel parity spec.
+    */
+  private[graft] def encodeViaResiduals(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex): DataFrame = {
+    val res = residuals(emb, idCol, vecCol, index.centroids)
+    Pq.encode(res, "vec_id", "res", index.cb)
       .join(res.select("vec_id", "cell"), Seq("vec_id"))
-    (IvfPqIndex(centroids, cb), encoded)
   }
 
   /** One-pass encoder against a BUILT index: cell assignment, residual,

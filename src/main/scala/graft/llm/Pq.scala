@@ -37,12 +37,71 @@ object Pq {
       books: Array[Array[Array[Double]]],
       labels: Array[Array[Long]])
 
-  /** Train per-subspace codebooks: m independent [[KMeans.fit]] runs over
-    * the sliced corpus — m·iters bounded aggregates total, O(m·k·d/m) =
-    * O(k·d) driver state. `iters = 0` keeps the deterministic seed
-    * subvectors (the oracle-replayable mode).
+  /** Train per-subspace codebooks with the m subspace Lloyd fits FUSED
+    * into one aggregate per round: each pass over the corpus emits every
+    * subspace's (s, cluster, dim) partial sums, so `iters` rounds cost
+    * `iters` scans instead of m·iters (measured ~90% of q128's sf10 cost
+    * before the fusion). Per-subspace bit-parity with independent
+    * [[KMeans.fit]] runs ([[trainPerSubspace]], spec-pinned): same seeds
+    * (per-subspace salt), same rounded-distance strict-< argmin in
+    * ascending label order, same 6-dp-rounded means, empty clusters keep
+    * their previous centroid. Driver state is the k·dims rounded mean
+    * table per round — unchanged. `iters = 0` keeps the deterministic
+    * seed subvectors (the oracle-replayable mode).
     */
   def train(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 2,
+      salt: String = "pq"): Codebooks = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDim = dims / m
+    var books  = seedBooks(emb, idCol, vecCol, subDim, m, k, salt)
+    for (_ <- 1 to iters) {
+      val upd = fusedAssignContrib(emb, idCol, vecCol, books, subDim)
+        .select(col("s"), col("cluster"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("s", "cluster", "pos")
+        .agg(round(avg("v"), 6).as("cv"))
+      val bySub = graft.core.Jobs.collectFast(upd).groupBy(_.getInt(0))
+      books = books.zipWithIndex.map { case (cents, s) =>
+        val byLabel = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1))
+          .map { case (lbl, rows) =>
+            require(
+              rows.length == subDim,
+              s"pq: subspace $s cluster $lbl aggregated ${rows.length} positions, " +
+                s"expected $subDim (ragged embedding input)")
+            val vec = new Array[Double](subDim)
+            rows.foreach { r =>
+              require(
+                !r.isNullAt(2) && !r.isNullAt(3),
+                s"pq: null position/mean aggregated for subspace $s cluster $lbl")
+              val pos = r.getInt(2)
+              require(
+                pos >= 0 && pos < subDim,
+                s"pq: position $pos out of bounds for subspace dim $subDim")
+              vec(pos) = r.getDouble(3)
+            }
+            lbl -> vec
+          }
+        cents.map(c => KMeans.Centroid(c.label, byLabel.getOrElse(c.label, c.vec)))
+      }
+    }
+    Codebooks(
+      m,
+      subDim,
+      books.map(_.map(_.vec)),
+      books.map(_.map(_.label)))
+  }
+
+  /** The pre-fusion reference path: m independent [[KMeans.fit]] runs
+    * (m·iters aggregates). Kept for the fusion bit-parity spec.
+    */
+  private[graft] def trainPerSubspace(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -65,6 +124,134 @@ object Pq {
       subDim,
       fits.map(_.map(_.vec)).toArray,
       fits.map(_.map(_.label)).toArray)
+  }
+
+  /** Per-subspace deterministic seeds in ONE pass: for each subspace s the
+    * k rows with the smallest (md5("<salt><s>|<id>"), id) — exactly
+    * [[KMeans.initCentroids]]'s contract per subspace, but all m
+    * selections ride one scan (a bounded per-partition top-k per subspace,
+    * merged on the driver) instead of m TakeOrdered jobs. Driver traffic
+    * is partitions·m·k candidate rows. Output sorted by label, like
+    * initCentroids.
+    */
+  private def seedBooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subDim: Int,
+      m: Int,
+      k: Int,
+      salt: String): Array[Array[KMeans.Centroid]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val prefixes = Array.tabulate(m)(s => s"$salt$s|")
+    val candidates = emb
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val md  = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        def hexMd5(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val a = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            a(2 * i) = hex((d(i) >> 4) & 0xf)
+            a(2 * i + 1) = hex(d(i) & 0xf)
+            i += 1
+          }
+          new String(a)
+        }
+        // per-subspace max-heap of the k smallest (hash, id) seen so far
+        val heaps = Array.fill(m)(
+          scala.collection.mutable.PriorityQueue.empty[(String, Long, Array[Double])](
+            Ordering.by(t => (t._1, t._2))))
+        it.foreach { case (id, v) =>
+          var s = 0
+          while (s < m) {
+            val h    = hexMd5(prefixes(s) + id)
+            val heap = heaps(s)
+            if (heap.size < k) heap.enqueue((h, id, v))
+            else if (Ordering[(String, Long)].lt((h, id), (heap.head._1, heap.head._2))) {
+              heap.dequeue(); heap.enqueue((h, id, v))
+            }
+            s += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (heap, s) =>
+          heap.iterator.map { case (h, id, v) =>
+            (s, h, id, java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+          }
+        }
+      }
+      .collect()
+    Array.tabulate(m) { s =>
+      candidates.iterator
+        .filter(_._1 == s)
+        .toArray
+        .sortBy(c => (c._2, c._3))
+        .take(k)
+        .map(c => KMeans.Centroid(c._3, c._4))
+        .sortBy(_.label)
+    }
+  }
+
+  /** One fused pass: every vector emits m rows (s, winning cluster label,
+    * subvector) — the argmin replicates [[KMeans]]'s kernel contract
+    * exactly (rounded distance, strict-< displacement over labels in
+    * ascending order) per subspace against the broadcast codebooks.
+    */
+  private def fusedAssignContrib(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Array[Array[KMeans.Centroid]],
+      subDim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m    = books.length
+    val lbls = books.map(_.map(_.label))
+    val flat = books.map { b =>
+      val a = new Array[Double](b.length * subDim)
+      var c = 0
+      while (c < b.length) { System.arraycopy(b(c).vec, 0, a, c * subDim, subDim); c += 1 }
+      a
+    }
+    val c2s = books.map(_.map(c => c.vec.map(x => x * x).sum))
+    val bc  = spark.sparkContext.broadcast((lbls, flat, c2s))
+    emb
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (lbls, flat, c2s) = bc.value
+        val nSub = lbls.length
+        it.flatMap { case (_, v) =>
+          (0 until nSub).iterator.map { s =>
+            val off = s * subDim
+            var ss  = 0.0
+            var i   = 0
+            while (i < subDim) { ss += v(off + i) * v(off + i); i += 1 }
+            var bestL = lbls(s)(0)
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < lbls(s).length) {
+              var dp = 0.0
+              var j  = 0
+              while (j < subDim) { dp += v(off + j) * flat(s)(c * subDim + j); j += 1 }
+              val d = BruteForce.round6(math.sqrt(math.max(ss - 2.0 * dp + c2s(s)(c), 0.0)))
+              if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestL = lbls(s)(c) }
+              c += 1
+            }
+            (s, bestL, java.util.Arrays.copyOfRange(v, off, off + subDim))
+          }
+        }
+      }
+      .toDF("s", "cluster", "sub")
   }
 
   /** Above this m·k, [[encode]] switches from the m·k-column expression

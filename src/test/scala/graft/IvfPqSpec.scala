@@ -24,6 +24,21 @@ class IvfPqSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSeq
   }
 
+  test("kernel residual frame is bit-identical to the expression residual path") {
+    val centroids = graft.llm.IvfIndex.trainCentroids(emb, "vec_id", "embedding", 16, seed = 42)
+    // value comparison (the schemas differ only in nullability metadata:
+    // kernel output is provably non-null)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Seq[Double])] =
+      df.select(col("vec_id").cast("long"), col("cell").cast("int"), col("res"))
+        .as[(Long, Int, Seq[Double])]
+        .collect()
+        .sortBy(_._1)
+        .toSeq
+    val kernel = rows(IvfPq.residualKernelFrame(emb, "vec_id", "embedding", centroids))
+    val expr   = rows(IvfPq.residuals(emb, "vec_id", "embedding", centroids))
+    assert(kernel == expr, "kernel residuals diverge from the expression path")
+  }
+
   test("residual quantization reconstructs better than raw PQ at the same budget") {
     val (idx, _) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     // the residual reconstruction error IS ||v - (centroid + decode(res))||

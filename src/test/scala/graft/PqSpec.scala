@@ -22,6 +22,21 @@ class PqSpec extends AnyFunSuite {
     assert(e2 < e0 * 0.9, s"two Lloyd rounds should improve meaningfully: $e0 -> $e2")
   }
 
+  test("fused trainer is bit-identical to independent per-subspace Lloyd fits") {
+    // one aggregate per round (fused) vs m KMeans.fit runs (reference):
+    // same seeds, same rounded-distance argmin, same 6-dp-rounded means
+    // -> labels and centroid vectors must match exactly
+    val fused = Pq.train(emb, "vec_id", "embedding", dims = 64, m = 4, k = 8, iters = 2)
+    val ref   = Pq.trainPerSubspace(emb, "vec_id", "embedding", dims = 64, m = 4, k = 8, iters = 2)
+    assert(fused.m == ref.m && fused.subDim == ref.subDim)
+    for (s <- 0 until fused.m) {
+      assert(fused.labels(s).toSeq == ref.labels(s).toSeq, s"subspace $s labels diverge")
+      for (c <- fused.books(s).indices)
+        assert(fused.books(s)(c).toSeq == ref.books(s)(c).toSeq,
+          s"subspace $s centroid $c diverges")
+    }
+  }
+
   test("ADC distance error is bounded by the candidate's reconstruction error") {
     // ADC scores ||q - decode(x)||, so |adc - true| <= ||x - decode(x)||
     // exactly (triangle inequality; the query itself is not quantized)

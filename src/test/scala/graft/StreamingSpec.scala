@@ -311,9 +311,14 @@ class StreamingSpec extends AnyFunSuite {
     val emb = graft.core.Tables(spark, dir).embeddings
     val (idx, builtEncoded) =
       IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
-    // cross-path parity: the one-pass kernel equals the build-time
-    // assignment + residual + encode pipeline bit-for-bit
+    // cross-path parity: the one-pass kernel (what build now returns)
+    // equals the two-stage assignment + residual + encode pipeline
+    // bit-for-bit
     val kernelBatch = IvfPq.encodeForIndex(emb, "vec_id", "embedding", idx)
+    TestSpark.assertFrameEqual(
+      kernelBatch,
+      IvfPq.encodeViaResiduals(emb, "vec_id", "embedding", idx)
+        .select("vec_id", "cell", "code0", "code1", "code2", "code3"))
     TestSpark.assertFrameEqual(
       kernelBatch,
       builtEncoded.select("vec_id", "cell", "code0", "code1", "code2", "code3"))
