@@ -87,16 +87,49 @@ object Dedup {
       .withColumnRenamed("__digest", "digest")
   }
 
+  /** Minhash signature hash family. [[XxHash64]] (Spark's codegen'd
+    * 64-bit xxHash, long-typed signatures) is the LIBRARY DEFAULT — the
+    * 16× salted-md5-min fold was the measured compute floor for the whole
+    * ingest family (q17/q104/q125 and the streaming loop), and xxhash64
+    * roughly halves it. [[Md5]] (hex-string signatures) is kept for
+    * oracle parity: DuckDB replays md5, so the DECLARED queries pin it.
+    * Any fixed hash family gives uniform minhash — only collision
+    * probability semantics matter, not which hash. A persisted index's
+    * family is visible in (and auto-detected from) its schema: md5 sigs
+    * are strings, xxhash64 sigs are longs — so a batch can never be
+    * silently verified against an index from the other family.
+    */
+  sealed trait SigHash
+  case object Md5      extends SigHash
+  case object XxHash64 extends SigHash
+
+  /** SQL lambda body for minhash component i under the family. */
+  private def sigExpr(i: Int, family: SigHash, toksCol: String): String = family match {
+    case Md5      => s"array_min(transform($toksCol, t -> md5(cast(concat('s$i|', t) AS BINARY))))"
+    case XxHash64 => s"array_min(transform($toksCol, t -> xxhash64(concat('s$i|', t))))"
+  }
+
+  /** Detect a signature index's hash family from its schema. */
+  private[graft] def indexFamily(index: DataFrame): SigHash =
+    index.schema.find(_.name == "sig0").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.StringType) => Md5
+      case Some(org.apache.spark.sql.types.LongType)   => XxHash64
+      case other =>
+        throw new IllegalArgumentException(
+          s"near-dup index sig0 has unrecognized type $other — expected string (md5) or long (xxhash64)")
+    }
+
   /** One row per doc with content digest + `nSigs` minhash components —
-    * the record a NEAR-dup ingest index stores (fixed ~`nSigs`·33 bytes
-    * per historical doc, never the text). Signature formula is byte-equal
+    * the record a NEAR-dup ingest index stores (fixed-width per
+    * historical doc, never the text). Signature formula is byte-equal
     * to [[bandedProjection]]/[[minhashSignatures]] (one family, no drift).
     */
   private[graft] def signatureProjection(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      nSigs: Int): DataFrame = {
+      nSigs: Int,
+      family: SigHash = XxHash64): DataFrame = {
     val base = docs
       .where(Cols.q(textCol).isNotNull)
       .select(
@@ -105,9 +138,7 @@ object Dedup {
         array_distinct(split(Cols.q(textCol), " ")).as("__toks"))
     base.select(
       col("__id") +: col("digest") +:
-        (0 until nSigs).map(i =>
-          expr(s"array_min(transform(__toks, t -> md5(cast(concat('s$i|', t) AS BINARY))))")
-            .as(s"sig$i")): _*)
+        (0 until nSigs).map(i => expr(sigExpr(i, family, "__toks")).as(s"sig$i")): _*)
   }
 
   /** Persist the NEAR-dup half of the ingest index: (digest, sig0..sigN)
@@ -119,8 +150,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       outDir: String,
-      nSigs: Int = DefaultNearDupSigs): Unit =
-    signatureProjection(docs, idCol, textCol, nSigs)
+      nSigs: Int = DefaultNearDupSigs,
+      family: SigHash = XxHash64): Unit =
+    signatureProjection(docs, idCol, textCol, nSigs, family)
       .drop("__id")
       .distinct()
       // bootstrap provenance: the streaming ingest loop appends survivor
@@ -186,7 +218,9 @@ object Dedup {
     // integer (0.55*20 = 11.000000000000002) and silently raise the
     // effective threshold — the prefixFilteredPairs ceil guard
     val matchMin = math.ceil(simTau * n - 1e-9).toInt
-    val newSigs  = signatureProjection(newDocs, idCol, textCol, n)
+    // the new batch's signatures MUST be the index's family — detected
+    // from the index schema, so a family mismatch cannot silently verify
+    val newSigs = signatureProjection(newDocs, idCol, textCol, n, indexFamily(index))
     val idx = index.select(
       col("digest").as("__idig") +:
         (0 until n).map(i => col(s"sig$i").as(s"__isig_$i")): _*)
@@ -250,14 +284,20 @@ object Dedup {
   /** Deterministic MinHash signatures: `nSigs` salted min-md5 hash
     * families over the token set (same family as q17, generalized).
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, nSigs: Int = 8): DataFrame = {
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nSigs: Int = 8,
+      family: SigHash = XxHash64): DataFrame = {
     val toks = docs.select(Cols.q(idCol).as("__id"), explode(split(Cols.q(textCol), " ")).as("tok"))
+    def sig(i: Int): Column = family match {
+      case Md5      => min(md5(concat(lit(s"s$i|"), col("tok")).cast("binary")))
+      case XxHash64 => min(xxhash64(concat(lit(s"s$i|"), col("tok"))))
+    }
     toks
       .groupBy("__id")
-      .agg(
-        min(md5(concat(lit("s0|"), col("tok")).cast("binary"))).as("sig0"),
-        (1 until nSigs).map(i =>
-          min(md5(concat(lit(s"s$i|"), col("tok")).cast("binary"))).as(s"sig$i")): _*)
+      .agg(sig(0).as("sig0"), (1 until nSigs).map(i => sig(i).as(s"sig$i")): _*)
   }
 
   /** Per-row banded MinHash as a pure PROJECTION — no groupBy, no keyed
@@ -274,7 +314,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int,
+      family: SigHash = XxHash64): DataFrame = {
     val nSigs = bands * rowsPerBand
     // null-text docs are dropped, matching the groupBy-signature path
     // (explode of a null array emits no rows). Without this, null texts
@@ -285,8 +326,7 @@ object Dedup {
       .select(
         Cols.q(idCol).as("__id"),
         array_distinct(split(Cols.q(textCol), " ")).as("toks"))
-    val sigs = (0 until nSigs).map(i =>
-      expr(s"array_min(transform(toks, t -> md5(cast(concat('s$i|', t) AS BINARY))))").as(s"sig$i"))
+    val sigs = (0 until nSigs).map(i => expr(sigExpr(i, family, "toks")).as(s"sig$i"))
     val withSigs = withToks.select(col("__id") +: col("toks") +: sigs: _*)
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -317,13 +357,14 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       tau: Double = 0.5,
-      maxBandDf: Option[Long] = None): DataFrame = {
+      maxBandDf: Option[Long] = None,
+      family: SigHash = XxHash64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ONE banding implementation for batch and streaming: the projection
     // form (array_min over the token array == min over the exploded token
     // group, spec-proven in DedupSpec) — so salt/separator changes cannot
     // drift between the two paths
-    val banded = bandedProjection(docs, idCol, textCol, bands, rowsPerBand)
+    val banded = bandedProjection(docs, idCol, textCol, bands, rowsPerBand, family)
       .select("__id", "band_idx", "band_val")
 
     val bandedCut = maxBandDf match {

@@ -354,4 +354,91 @@ object IvfPq {
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Score MANY queries against the encoded corpus through the index —
+    * the residual-PQ scorer for a query STREAM (each arriving embedding
+    * is a query) as well as batch query tables. Per query: the nProbe
+    * nearest coarse cells (exact distance, cell-id tie-break — [[topK]]'s
+    * probe rule) each get the query-residual's m×k exact subspace
+    * distance table, emitted as one (q_id, cell, table) row by a
+    * stateless kernel; candidates come from ONE equi-join on `cell`
+    * against the encoded corpus — the COMPRESSED (m-byte-code) side, 64×
+    * smaller than raw vectors, which is what keeps the corpus side
+    * broadcastable/shufflable at scale — and each candidate costs m
+    * `element_at` lookups. Emits every probed candidate with its ADC
+    * distance —
+    * per-query top-k is a downstream sort (streams can't rank without an
+    * aggregation mode; [[topK]] IS that sort for one query, spec-pinned
+    * consistent).
+    *
+    * Stateless and watermark-free by construction, so the SAME method
+    * scores a batch frame or an unbounded stream
+    * (`StreamingOps.ivfPqScoreStream`); batch ≡ stream is spec-pinned.
+    */
+  def scoreCandidates(
+      queries: DataFrame,
+      encoded: DataFrame,
+      index: IvfPqIndex,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = index.cb
+    val kk = cb.books.map(_.length).max
+    require(cb.books.forall(_.length == kk), "scoreCandidates requires uniform codebook sizes")
+    val bc = spark.sparkContext.broadcast(index)
+    val probes = queries
+      .select(
+        Cols.q(idCol).cast("long").as("q_id"),
+        Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ix = bc.value
+        val cbk = ix.cb
+        it.flatMap { case (qid, v) =>
+          val probed = ix.centroids.zipWithIndex
+            .map { case (c, i) =>
+              var s = 0.0
+              var p = 0
+              while (p < c.length) { val d = v(p) - c(p); s += d * d; p += 1 }
+              (s, i)
+            }
+            .sortBy { case (d, i) => (d, i) }
+            .take(math.min(nProbe, ix.centroids.length))
+            .map(_._2)
+          probed.iterator.map { cell =>
+            val cen = ix.centroids(cell)
+            val rq  = Array.tabulate(v.length)(i => v(i) - cen(i))
+            val table = new Array[Double](cbk.m * kk)
+            var s = 0
+            while (s < cbk.m) {
+              var c = 0
+              while (c < cbk.books(s).length) {
+                val book = cbk.books(s)(c)
+                var acc  = 0.0
+                var i    = 0
+                while (i < cbk.subDim) {
+                  val d = rq(s * cbk.subDim + i) - book(i); acc += d * d; i += 1
+                }
+                table(s * kk + c) = acc
+                c += 1
+              }
+              s += 1
+            }
+            (qid, cell, table)
+          }
+        }
+      }
+      .toDF("q_id", "cell", "__table")
+    val approx = (0 until cb.m)
+      .map(s => element_at(col("__table"), col(s"code$s") + lit(s * kk) + 1))
+      .reduce(_ + _)
+    probes
+      .join(encoded, Seq("cell"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        round(sqrt(greatest(approx, lit(0.0))), 6).as("adc_dist"))
+  }
 }

@@ -74,8 +74,11 @@ object TextQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // family pinned to Md5: DuckDB replays md5 (XxHash64 is the library
+    // production default)
     Dedup
-      .minhashSignatures(t(spark, dir).documents, "doc_id", "text", nSigs = 4)
+      .minhashSignatures(t(spark, dir).documents, "doc_id", "text", nSigs = 4,
+        family = Dedup.Md5)
       .withColumnRenamed("__id", "doc_id")
       .orderBy("doc_id")
   }
@@ -1729,7 +1732,7 @@ object TextQueries {
     val docs = t(spark, dir).documents
     val edges = Dedup
       .nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.5,
-        maxBandDf = Some(3L))
+        maxBandDf = Some(3L), family = Dedup.Md5)
       .select("a_id", "b_id")
     DupClusters
       .connectedComponents(docs.select(col("doc_id").as("id")), edges)
@@ -2197,7 +2200,10 @@ object TextQueries {
     val mut = old
       .where(Sampling.hashBucket(col("doc_id"), "nclone") < "33")
       .select((col("doc_id") + 2000000L).as("doc_id"), concat(col("text"), lit(" zq7")).as("text"))
-    val idx = Dedup.signatureProjection(old, "doc_id", "text", nSigs = 16).drop("__id").distinct()
+    val idx = Dedup
+      .signatureProjection(old, "doc_id", "text", nSigs = 16, family = Dedup.Md5)
+      .drop("__id")
+      .distinct()
     Dedup
       .incrementalNearDupNew(
         fresh.unionByName(mut), "doc_id", "text", idx,

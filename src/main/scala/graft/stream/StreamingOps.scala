@@ -339,7 +339,9 @@ object StreamingOps {
           // re-appending duplicate signature rows, so the index stays
           // O(distinct survivors) across any number of replays
           graft.llm.Dedup
-            .signatureProjection(pinned, idCol, textCol, nSigs)
+            // append in the INDEX's hash family (schema-detected) so a
+            // loop over an md5-bootstrapped index stays md5 end to end
+            .signatureProjection(pinned, idCol, textCol, nSigs, graft.llm.Dedup.indexFamily(index))
             .drop("__id")
             .distinct()
             .withColumn("src_batch", lit(id))
@@ -369,6 +371,26 @@ object StreamingOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     graft.llm.IvfPq.encodeForIndex(embeddings, idCol, vecCol, index)
+
+  /** ONLINE IVFADC scoring — the serve half of the residual-PQ story
+    * next to [[ivfPqEncodeStream]]'s ingest half: each embedding arriving
+    * on the stream is a QUERY scored against the persisted encoded corpus
+    * ([[graft.llm.IvfPq.scoreCandidates]] — probe-cell tables from a
+    * stateless kernel, one stream-static equi-join on `cell`, m
+    * `element_at` lookups per candidate). Emits (q_id, vec_id, adc_dist)
+    * for every probed candidate; per-query top-k is a downstream sort
+    * (the [[similarCandidatesStream]] contract — streams don't rank).
+    * StreamingSpec pins batch ≡ stream and consistency with
+    * [[graft.llm.IvfPq.topK]].
+    */
+  def ivfPqScoreStream(
+      queries: DataFrame,
+      index: graft.llm.IvfPq.IvfPqIndex,
+      encoded: DataFrame,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.llm.IvfPq.scoreCandidates(queries, encoded, index, nProbe, idCol, vecCol)
 
   /** Streaming count-min sketch — [[graft.llm.Sketches.countMinSketch]]
     * applied VERBATIM to an unbounded document stream: the sketch is a

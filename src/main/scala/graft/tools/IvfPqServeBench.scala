@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build-vs-serve cost split for the persisted IVFADC index: builds the
+  * index ONCE (`IvfPq.writeIndex` — the deployment shape; the declared
+  * q128 pays this in-query only because the oracle must replay one
+  * self-contained plan), then times `topKIndexed` queries against the
+  * cell-partitioned directory and reports the scanned-partition count so
+  * "serve cost = probe scan" is measured, not asserted. Results feed the
+  * BENCH_SF1.md build-vs-serve table.
+  *
+  * `SPARK_GRAFT_SF_DIR` picks the corpus, `SPARK_GRAFT_ROUNDS` the timed
+  * serve rounds (default 5).
+  */
+object IvfPqServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "5").toInt
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.core.Tables(spark, sfDir).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+
+    val tBuild = System.nanoTime()
+    graft.llm.IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    val q = graft.core.Jobs
+      .collectFast(emb.where(col("vec_id") === 42).select(col("embedding").cast("array<double>")))(0)
+      .getSeq[Double](0)
+      .toArray
+
+    def serveOnce(): (Double, org.apache.spark.sql.DataFrame) = {
+      val t0  = System.nanoTime()
+      val res = graft.llm.IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4)
+      res.collect()
+      ((System.nanoTime() - t0) / 1e9, res)
+    }
+    val (warm, _) = serveOnce()
+    val timed     = (1 to rounds).map(_ => serveOnce())
+
+    // scanned partitions of the final run — the probe filter must execute
+    // as partition pruning on the cells directory
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(timed.last._2.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_serve")))
+    val parts = scans.map(_.selectedPartitions.partitionCount).sum
+
+    val serveMin = timed.map(_._1).min
+    println(
+      f"[ivfpq-serve] sf=$sfDir build=$buildSec%.2f s serve warm=$warm%.3f " +
+        timed.map(t => f"${t._1}%.3f").mkString("rounds=[", ", ", "]") +
+        f" min=$serveMin%.3f s scannedPartitions=$parts (nProbe=4 of 16 cells)")
+    spark.stop()
+  }
+}

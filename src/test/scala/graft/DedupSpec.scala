@@ -37,6 +37,43 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach(p => assert(p._3 >= 0.5))
   }
 
+  test("both signature hash families find the planted near-dups; family is schema-visible") {
+    // xxhash64 (library default, long sigs) and md5 (oracle parity,
+    // string sigs) are interchangeable minhash families — same planted
+    // pairs recovered, exact Jaccard verification identical
+    def keys(family: Dedup.SigHash): Set[(Long, Long)] = Dedup
+      .nearDupPairs(corpus, "doc_id", "text", bands = 4, rowsPerBand = 2, tau = 0.5,
+        family = family)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    for (f <- Seq(Dedup.Md5, Dedup.XxHash64)) {
+      val k = keys(f)
+      assert(k.contains((1L, 3L)), s"$f missed the exact dup")
+      assert(!k.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty },
+        s"$f paired an unrelated doc")
+    }
+    // schema-detected family: md5 sigs are strings, xxhash64 sigs longs
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val sMd5 = Dedup.signatureProjection(corpus, "doc_id", "text", 4, Dedup.Md5)
+    val sXx  = Dedup.signatureProjection(corpus, "doc_id", "text", 4, Dedup.XxHash64)
+    assert(sMd5.schema("sig0").dataType == StringType && Dedup.indexFamily(sMd5) == Dedup.Md5)
+    assert(sXx.schema("sig0").dataType == LongType && Dedup.indexFamily(sXx) == Dedup.XxHash64)
+    // the incremental verifier computes the batch's sigs in the INDEX's
+    // family — an md5-bootstrapped index keeps dropping mutated clones
+    // (append-a-token mutation: a superset doc flips a sig only when the
+    // new token wins a min — ~1/|tokens| per family, far under the 4/16
+    // disagreement budget; a REPLACE mutation can flip enough sig
+    // families by salt luck to clear simTau, in either family)
+    val clone = Seq((9L, base + " zq7")).toDF("doc_id", "text")
+    for (f <- Seq(Dedup.Md5, Dedup.XxHash64)) {
+      val idx = Dedup.signatureProjection(corpus, "doc_id", "text", 16, f).drop("__id").distinct()
+      val surv = Dedup.incrementalNearDupNew(clone, "doc_id", "text", idx)
+        .select("doc_id").as[Long].collect().toSet
+      assert(surv.isEmpty, s"$f index failed to drop the mutated clone: $surv")
+    }
+  }
+
   test("signatures are stable and one row per doc") {
     val s1 = Dedup.minhashSignatures(corpus, "doc_id", "text").collect().map(_.toString).sorted.toSeq
     val s2 = Dedup.minhashSignatures(corpus, "doc_id", "text").collect().map(_.toString).sorted.toSeq

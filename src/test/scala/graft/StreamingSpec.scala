@@ -340,6 +340,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVFADC scorer matches the batch scorer and the single-query topK") {
+    import graft.llm.IvfPq
+    val emb = graft.core.Tables(spark, dir).embeddings
+    val (idx, encoded) =
+      IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val enc     = encoded.persist()
+    val queries = emb.where(col("vec_id") < 30)
+    try {
+      val batch = IvfPq.scoreCandidates(queries, enc, idx, nProbe = 4)
+      // single-query consistency: the scorer's candidates, ranked, ARE topK
+      val q42 = emb.where(col("vec_id") === 42)
+        .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+      val viaScorer = IvfPq
+        .scoreCandidates(emb.where(col("vec_id") === 42), enc, idx, nProbe = 4)
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "adc_dist")
+      TestSpark.assertFrameEqual(viaScorer, IvfPq.topK(idx, enc, q42, k = 10, nProbe = 4))
+      // stream ≡ batch across 3 micro-batches
+      val d = java.nio.file.Files.createTempDirectory("ivfpq_score_stream").toString
+      for (r <- 0 until 3)
+        queries.where(col("vec_id") % 3 === r).coalesce(1).write.mode("append").parquet(d)
+      val stream = StreamingOps.ivfPqScoreStream(
+        StreamingOps.readEmbeddingStream(spark, d, maxFilesPerTrigger = Some(1)), idx, enc,
+        nProbe = 4)
+      val q = stream.writeStream
+        .format("memory")
+        .queryName("ivfpq_score_out")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ivfpq_score_out").orderBy("q_id", "vec_id")
+        TestSpark.assertFrameEqual(got, batch.orderBy("q_id", "vec_id"))
+      } finally q.stop()
+    } finally enc.unpersist(false)
+  }
+
   test("foreachBatch parquet sink round-trips every event") {
     val outDir = java.nio.file.Files.createTempDirectory("sink").toString
     val q = StreamingOps
