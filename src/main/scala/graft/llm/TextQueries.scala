@@ -173,16 +173,20 @@ object TextQueries {
     }
   }
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs at threshold ≥ 0.5 —
-    * the CAPPED PRODUCTION plan: library-default `maxShingleDf` drops
-    * stop-shingles before pair expansion and the PPJoin prefix filter
-    * prunes candidates, both exact under the threshold contract. The
-    * DuckDB oracle replays the df cap verbatim (`kept` CTE, the
-    * q69/q103 pattern) and the threshold; prefix/positional filtering
-    * is a pure candidate-pruning step so the oracle needn't replay it.
-    * (The previous rank-all-by-Jaccard contract materialized every pair
-    * — Σ df² rows — and disk-exhausted at 500 k docs; rank-all remains
-    * spec-pinned at tiny scale in DedupSpec.)
+  /** N-gram (3-shingle) Jaccard near-dup pairs at threshold ≥ 0.8 (the
+    * q69-family near-dup threshold; at 0.5 the PPJoin prefix is half of
+    * every doc's shingles and candidate volume was measured 4× worse) —
+    * the CAPPED PRODUCTION plan: `maxShingleDf = 64` drops stop-shingles
+    * before pair expansion (a cap that BINDS at every test scale — the
+    * q103 clause; at 500 k docs even the 1024 default funds an OOM-sized
+    * verification join, so the cap is the corpus-scale knob, not a
+    * formality) and the PPJoin prefix filter prunes candidates, both
+    * exact under the threshold contract. The DuckDB oracle replays the
+    * df cap verbatim (`kept` CTE) and the threshold; prefix/positional
+    * filtering is pure candidate pruning so the oracle needn't replay
+    * it. (The previous rank-all-by-Jaccard contract materialized every
+    * pair — Σ df² rows — and disk-exhausted at 500 k docs; rank-all
+    * remains spec-pinned at tiny scale in DedupSpec.)
     */
   val q34NgramJaccard: Declared = Declared.sql(
     "q34_ngram_jaccard",
@@ -193,7 +197,7 @@ object TextQueries {
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 64),
       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       |           FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -203,11 +207,11 @@ object TextQueries {
       |FROM common
       |JOIN cnt ca ON ca.doc_id = a_id
       |JOIN cnt cb ON cb.doc_id = b_id
-      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
+      |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin) { (spark, dir) =>
     Dedup
       .ngramJaccardPairs(t(spark, dir).documents, "doc_id", "text", n = 3,
-        minJaccard = Some(0.5))
+        maxShingleDf = Some(64L), minJaccard = Some(0.8))
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
