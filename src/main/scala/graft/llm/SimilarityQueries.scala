@@ -804,11 +804,103 @@ object SimilarityQueries {
     IvfPq.topK(idx, encoded, q, k = 10, nProbe = 4)
   }
 
+  /** IVFADC multi-query scoring ([[IvfPq.scoreCandidates]] — the batch
+    * face of the streaming scorer) hash-oracled END TO END: unlike q128
+    * (rows-only because its coarse quantizer is driver-sampled Lloyd),
+    * this declares a fully RELATIONAL index — coarse centroids = the 8
+    * smallest-salted-md5 embeddings (q122's seed clause), residual
+    * codebooks = the per-subspace seed pick over residual subvectors
+    * (q126's clause, `iters = 0`) — so DuckDB replays every stage:
+    * seed pick, rounded-expansion cell assignment, residual computation,
+    * per-subspace encoding, the per-query probe ranking (EXACT
+    * unrounded distance, cell tie-break — [[IvfPq.topK]]'s probe rule),
+    * the per-(query, cell) ADC tables (direct squared-diff sums, the
+    * kernel's arithmetic), and the final m-lookup ADC distance. A drift
+    * anywhere in the IVFADC pipeline minus Lloyd now fails the hash
+    * gate directly.
+    */
+  val q131IvfPqScore: Declared = {
+    val subCtes = (0 until 4).map { s =>
+      val lo = s * 16
+      s"""sub$s AS (SELECT vec_id, res[${lo + 1}:${lo + 16}] AS sub FROM r),
+         |sd$s AS (SELECT sub AS bvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
+         |          (SELECT vec_id, sub FROM sub$s
+         |           ORDER BY md5('pq131$s|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |d$s AS (SELECT t.vec_id, s.code,
+         |          round(sqrt(greatest(list_dot_product(t.sub, t.sub)
+         |                 - 2 * list_dot_product(t.sub, s.bvec)
+         |                 + list_dot_product(s.bvec, s.bvec), 0)), 6) AS dist
+         |        FROM sub$s t CROSS JOIN sd$s s),
+         |a$s AS (SELECT vec_id, code FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
+         |        WHERE rn = 1),
+         |t$s AS (SELECT q_id, cell, code, list_dot_product(d, d) AS d2 FROM (
+         |          SELECT qr.q_id, qr.cell, s.code,
+         |            list_transform(generate_series(1, 16), i -> qr.rq[$lo + i] - s.bvec[i]) AS d
+         |          FROM qr CROSS JOIN sd$s s))""".stripMargin
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
+         |        (SELECT vec_id, emb FROM e
+         |         ORDER BY md5('ivfq131|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |ad AS (SELECT e.vec_id, c.cell,
+         |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
+         |                - 2 * list_dot_product(e.emb, c.cvec)
+         |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+         |       FROM e CROSS JOIN cs c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
+         |        WHERE rn = 1),
+         |r AS (SELECT e.vec_id, a.cell,
+         |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
+         |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
+         |q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+         |pd AS (SELECT q_id, cell, list_dot_product(d, d) AS d2 FROM (
+         |         SELECT q.q_id, c.cell,
+         |           list_transform(generate_series(1, 64), i -> q.emb[i] - c.cvec[i]) AS d
+         |         FROM q CROSS JOIN cs c)),
+         |pr AS (SELECT q_id, cell FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                      ORDER BY d2 ASC, cell ASC) AS rn FROM pd)
+         |       WHERE rn <= 2),
+         |qr AS (SELECT p.q_id, p.cell,
+         |         list_transform(generate_series(1, 64), i -> q.emb[i] - c.cvec[i]) AS rq
+         |       FROM pr p JOIN q ON q.q_id = p.q_id JOIN cs c ON c.cell = p.cell),
+         |${subCtes.mkString(",\n")},
+         |enc AS (SELECT asg.vec_id, asg.cell,
+         |          a0.code AS c0, a1.code AS c1, a2.code AS c2, a3.code AS c3
+         |        FROM asg JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+         |                 JOIN a2 USING (vec_id) JOIN a3 USING (vec_id))
+         |SELECT pr.q_id, enc.vec_id,
+         |       round(sqrt(greatest(t0.d2 + t1.d2 + t2.d2 + t3.d2, 0.0)), 6) AS adc_dist
+         |FROM pr
+         |JOIN enc ON enc.cell = pr.cell
+         |JOIN t0 ON t0.q_id = pr.q_id AND t0.cell = pr.cell AND t0.code = enc.c0
+         |JOIN t1 ON t1.q_id = pr.q_id AND t1.cell = pr.cell AND t1.code = enc.c1
+         |JOIN t2 ON t2.q_id = pr.q_id AND t2.cell = pr.cell AND t2.code = enc.c2
+         |JOIN t3 ON t3.q_id = pr.q_id AND t3.cell = pr.cell AND t3.code = enc.c3
+         |ORDER BY pr.q_id, enc.vec_id""".stripMargin
+    Declared.sql("q131_ivfpq_score", oracle) { (spark, dir) =>
+      val emb   = t(spark, dir).embeddings
+      val cents = KMeans.initCentroids(emb, "vec_id", "embedding", k = 8, salt = "ivfq131").map(_.vec)
+      val res   = IvfPq.residualKernelFrame(emb, "vec_id", "embedding", cents)
+      val cb    = Pq.train(res, "vec_id", "res", dims = 64, m = 4, k = 8, iters = 0, salt = "pq131")
+      val idx   = IvfPq.IvfPqIndex(cents, cb)
+      val encoded = IvfPq.encodeForIndex(emb, "vec_id", "embedding", idx)
+      IvfPq
+        .scoreCandidates(emb.where(col("vec_id") < 8), encoded, idx, nProbe = 2)
+        .orderBy("q_id", "vec_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
-      q130TrainingTripletsAnn)
+      q130TrainingTripletsAnn, q131IvfPqScore)
 }
