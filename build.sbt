@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g over local[32] = 1.5 GB/core — the standard cluster provisioning
+  // band (2-4 cores/executor at 8-16g). The old 8g default gave 0.25
+  // GB/core, 8-16x below what any real executor gets, and array-heavy
+  // verification joins OOM'd at sf10 under it while fitting comfortably
+  // at realistic per-core memory.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -624,15 +624,17 @@ object TextQueries {
   /** Near-dup clusters: connected components (hash-min label propagation,
     * [[DupClusters]]) over the n-gram-Jaccard ≥ 0.8 pair graph; every
     * document gets the min doc_id of its component (isolated docs label
-    * themselves). Runs the CAPPED production plan — the library-default
-    * `maxShingleDf` ([[Dedup.DefaultMaxShingleDf]] = 1024) drops
-    * stop-shingles BEFORE pair expansion, which is what bounds pair rows
-    * at corpus scale (Σ df² is quadratic in an uncapped run). The cap is
-    * a deterministic df filter, so the DuckDB oracle replays it verbatim
-    * (the `kept` CTE) along with the component fixpoint — the capped
-    * labelling itself is hash-checked. Uncapped all-shingle exactness is
-    * spec-pinned at tiny scale in DedupSpec; q103 pins the cap semantics
-    * with a cap that BINDS at test scale.
+    * themselves). Runs the CAPPED production plan with `maxShingleDf =
+    * 64` — a cap that BINDS at every test scale (the q103/q34 clause;
+    * r11 measured the 1024 library default taking ≥ 20 min/pass at
+    * 500 k docs — at corpus scale the cap IS the knob that bounds the
+    * Σ df² pair expansion AND the array-carrying verification join, and
+    * the declared family pins a value sized for the largest bench SF).
+    * The cap is a deterministic df filter, so the DuckDB oracle replays
+    * it verbatim (the `kept` CTE) along with the component fixpoint —
+    * the capped labelling itself is hash-checked. Uncapped all-shingle
+    * exactness is spec-pinned at tiny scale in DedupSpec. q84/q90/q100
+    * inherit this cap (their oracles replay the same `kept` CTE).
     */
   val q69DupClusters: Declared = Declared.sql(
     "q69_dup_clusters",
@@ -644,7 +646,7 @@ object TextQueries {
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 64),
       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
@@ -663,7 +665,7 @@ object TextQueries {
       |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     DupClusters
-      .clusterDocuments(t(spark, dir).documents, "doc_id", "text")
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = Some(64L))
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
       .orderBy("doc_id")
   }
@@ -722,7 +724,7 @@ object TextQueries {
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 64),
       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
@@ -745,7 +747,7 @@ object TextQueries {
       |       THEN 'train' ELSE 'test' END AS split
       |FROM comp ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val comp = DupClusters
-      .clusterDocuments(t(spark, dir).documents, "doc_id", "text")
+      .clusterDocuments(t(spark, dir).documents, "doc_id", "text", maxShingleDf = Some(64L))
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     DupClusters
       .leakSafeSplit(comp)
@@ -1002,7 +1004,7 @@ object TextQueries {
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 64),
       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |prs AS (
       |  SELECT a_id, b_id FROM (
@@ -1040,7 +1042,7 @@ object TextQueries {
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
     val comp = DupClusters
-      .clusterDocuments(docs, "doc_id", "text")
+      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = Some(64L))
       .select(col("doc_id"), col("cluster_id"))
     val withSplit = docs
       .join(DupClusters.leakSafeSplit(comp).select("doc_id", "split"), Seq("doc_id"))
@@ -1392,7 +1394,7 @@ object TextQueries {
       |              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
       |       FROM toks),
       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 1024),
+      |kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df <= 64),
       |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
       |pairs AS (
       |  SELECT a_id, b_id FROM (
@@ -1426,7 +1428,7 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val docs = t(spark, dir).documents
     val clusters = DupClusters
-      .clusterDocuments(docs, "doc_id", "text")
+      .clusterDocuments(docs, "doc_id", "text", maxShingleDf = Some(64L))
       .select(col("doc_id").cast("long").as("doc_id"), col("cluster_id").cast("long"))
     val q = docs.select(
       col("doc_id").cast("long").as("doc_id"),
