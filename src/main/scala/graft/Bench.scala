@@ -122,6 +122,12 @@ object Bench {
     val cases = (queryCases ++ stageCases)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .sortBy(_._1)
+    if (cases.isEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY=${sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")} " +
+          "matched ZERO cases — check the prefixes")
+      sys.exit(2)
+    }
     // untimed warm-up pass, then 3 timed rounds, per-case MEDIAN — the
     // BASELINE.md methodology ("median of 3 runs, warm data")
     for ((name, run) <- cases) {

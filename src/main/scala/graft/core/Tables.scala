@@ -47,22 +47,19 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  // memoized base relations per (session, path); weak session keys so a
-  // stopped session's frames can be collected. Holds the ANALYZED read
-  // plan only — no data, no file caching beyond the relation's own index.
+  // memoized base relations keyed by (session, path). NOT a weak map:
+  // a DataFrame strongly references its SparkSession, so weak session keys
+  // would never be collectible anyway — instead the map is size-bounded
+  // (tables × sessions is tiny in practice; a pathological session-churn
+  // loop at worst clears and re-infers). Holds the ANALYZED read plan
+  // only — no data, no caching beyond the relation's own file index.
+  private val FramesBound = 512
   private val frames =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
-    val perSession = frames.synchronized {
-      Option(frames.get(spark)).getOrElse {
-        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        frames.put(spark, m)
-        m
-      }
-    }
-    perSession.computeIfAbsent(path, _ => build)
+    if (frames.size > FramesBound) frames.clear()
+    frames.computeIfAbsent((spark, path), _ => build)
   }
 
   // one nanosAsLong child session per parent session, created lazily;

@@ -109,6 +109,31 @@ object Dedup {
     case XxHash64 => s"array_min(transform($toksCol, t -> xxhash64(concat('s$i|', t))))"
   }
 
+  /** Refuse a pre-partitioned FLAT near-dup index (parquet files at the
+    * directory root with `src_batch` as a data column — the layout before
+    * `src_batch` became a partition column): appending `src_batch=`
+    * partition directories alongside flat files breaks Spark's partition
+    * discovery mid-stream with an opaque "conflicting directory
+    * structures" error. The fix is a rebuild, so fail with that message
+    * up front.
+    */
+  private[graft] def requirePartitionedIndexLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs   = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val flat = fs.listStatus(path).exists(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      require(
+        !flat,
+        s"near-dup index at $indexDir uses the pre-partitioned FLAT layout (parquet files at " +
+          "the root with src_batch as a data column) — rebuild it with Dedup.writeNearDupIndex " +
+          "before streaming ingest; mixing src_batch= partition dirs with flat files breaks " +
+          "partition discovery")
+    }
+  }
+
   /** Detect a signature index's hash family from its schema. */
   private[graft] def indexFamily(index: DataFrame): SigHash =
     index.schema.find(_.name == "sig0").map(_.dataType) match {

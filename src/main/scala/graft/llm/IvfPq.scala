@@ -86,23 +86,9 @@ object IvfPq {
       .mapPartitions { it =>
         val (cents, c2s) = bc.value
         it.map { case (id, v) =>
-          var s2 = 0.0
-          var i  = 0
-          while (i < v.length) { s2 += v(i) * v(i); i += 1 }
-          var cell  = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val cen = cents(c)
-            var dp  = 0.0
-            var j   = 0
-            while (j < cen.length) { dp += v(j) * cen(j); j += 1 }
-            val d = BruteForce.round6(math.sqrt(math.max(s2 - 2.0 * dp + c2s(c), 0.0)))
-            if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; cell = c }
-            c += 1
-          }
-          val cen = cents(cell)
-          val res = new Array[Double](v.length)
+          val cell = KMeans.nearestIndex(v, 0, v.length, cents, c2s)
+          val cen  = cents(cell)
+          val res  = new Array[Double](v.length)
           var p = 0
           while (p < v.length) { res(p) = v(p) - cen(p); p += 1 }
           (id, cell, res)
@@ -172,60 +158,26 @@ object IvfPq {
       index: IvfPqIndex): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index)
+    val coarseC2s = index.centroids.map(c => c.map(x => x * x).sum)
+    val bookC2s   = index.cb.books.map(_.map(b => b.map(x => x * x).sum))
+    val bc        = spark.sparkContext.broadcast((index, coarseC2s, bookC2s))
     emb
       .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val ix = bc.value
+        val (ix, c2s, bC2s) = bc.value
         val cb = ix.cb
         it.map { case (id, v) =>
-          // coarse cell: the KMeans assignment contract (rounded dist,
-          // strict-< displacement over ascending cell ids)
-          var vv = 0.0
-          var i = 0
-          while (i < v.length) { vv += v(i) * v(i); i += 1 }
-          var cell  = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < ix.centroids.length) {
-            val cen = ix.centroids(c)
-            var dp = 0.0
-            var cc = 0.0
-            var j  = 0
-            while (j < cen.length) { dp += v(j) * cen(j); cc += cen(j) * cen(j); j += 1 }
-            val d = BruteForce.round6(math.sqrt(math.max(vv - 2.0 * dp + cc, 0.0)))
-            if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; cell = c }
-            c += 1
-          }
-          val cen = ix.centroids(cell)
-          val res = Array.tabulate(v.length)(j => v(j) - cen(j))
-          // residual PQ codes: the Pq kernel contract per subspace
+          // coarse cell + residual PQ codes, both via the ONE shared
+          // argmin kernel (KMeans.nearestIndex — rounded dist, strict-<
+          // displacement over ascending indexes)
+          val cell = KMeans.nearestIndex(v, 0, v.length, ix.centroids, c2s)
+          val cen  = ix.centroids(cell)
+          val res  = Array.tabulate(v.length)(j => v(j) - cen(j))
           val codes = new Array[Int](cb.m)
           var s = 0
           while (s < cb.m) {
-            val off = s * cb.subDim
-            var ss  = 0.0
-            var k0  = 0
-            while (k0 < cb.subDim) { ss += res(off + k0) * res(off + k0); k0 += 1 }
-            var bestI = 0
-            var bestPd = Double.MaxValue
-            var p = 0
-            while (p < cb.books(s).length) {
-              val pc = cb.books(s)(p)
-              var dp2 = 0.0
-              var cc2 = 0.0
-              var j2  = 0
-              while (j2 < cb.subDim) {
-                dp2 += res(off + j2) * pc(j2)
-                cc2 += pc(j2) * pc(j2)
-                j2 += 1
-              }
-              val pd = BruteForce.round6(math.sqrt(math.max(ss - 2.0 * dp2 + cc2, 0.0)))
-              if (java.lang.Double.compare(pd, bestPd) < 0) { bestPd = pd; bestI = p }
-              p += 1
-            }
-            codes(s) = bestI
+            codes(s) = KMeans.nearestIndex(res, s * cb.subDim, cb.subDim, cb.books(s), bC2s(s))
             s += 1
           }
           (id, cell, codes)
@@ -392,6 +344,9 @@ object IvfPq {
       .select(
         Cols.q(idCol).cast("long").as("q_id"),
         Cols.q(vecCol).cast("array<double>").as("v"))
+      // a null embedding/id must not kill the kernel (and, streamed, the
+      // whole query) — drop it, the Dedup streaming-path convention
+      .where(col("q_id").isNotNull && col("v").isNotNull)
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val ix = bc.value

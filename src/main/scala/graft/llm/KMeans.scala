@@ -72,6 +72,41 @@ object KMeans {
     s
   }
 
+  /** THE coarse-argmin kernel contract, in one place: index of the
+    * nearest centroid by ROUNDED euclidean distance (expansion form,
+    * clamped radicand, 6 dp), strict-< displacement so ties keep the
+    * smaller index — callers that label by id must pass centroids in
+    * ascending-label order. `off`/`len` select a subrange of `v` (the PQ
+    * subspace case); full-vector callers pass (0, v.length). `c2s(c)`
+    * is the precomputed ‖centroid c‖². Shared by [[assignKernel]]'s
+    * siblings ([[IvfPq]]'s residual/encode kernels, [[Pq]]'s fused
+    * subspace fits) so a rounding or tie-rule change cannot drift
+    * between them.
+    */
+  private[graft] def nearestIndex(
+      v: Array[Double],
+      off: Int,
+      len: Int,
+      cents: Array[Array[Double]],
+      c2s: Array[Double]): Int = {
+    var ss = 0.0
+    var i  = 0
+    while (i < len) { val x = v(off + i); ss += x * x; i += 1 }
+    var best  = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      var dp  = 0.0
+      var j   = 0
+      while (j < len) { dp += v(off + j) * cen(j); j += 1 }
+      val d = BruteForce.round6(math.sqrt(math.max(ss - 2.0 * dp + c2s(c), 0.0)))
+      if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Rounded euclidean distance to a literal centroid: ‖v‖² is the shared
     * `s2` column, v·c the codegen'd index-order dot, ‖c‖² a driver
     * constant computed in the same index order.

@@ -145,11 +145,15 @@ object Pq {
     val spark = emb.sparkSession
     import spark.implicits._
     val prefixes = Array.tabulate(m)(s => s"$salt$s|")
+    // hash the RAW id cast to string — [[SemDedup.pickSeeds]]'s exact salt
+    // input (a long-cast id would print "42" where a double id prints
+    // "42.0" and silently diverge from the per-subspace reference path)
     val candidates = emb
       .select(
+        Cols.q(idCol).cast("string").as("__ids"),
         Cols.q(idCol).cast("long").as("vec_id"),
         Cols.q(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+      .as[(String, Long, Array[Double])]
       .mapPartitions { it =>
         val md  = java.security.MessageDigest.getInstance("MD5")
         val hex = "0123456789abcdef".toCharArray
@@ -169,10 +173,10 @@ object Pq {
         val heaps = Array.fill(m)(
           scala.collection.mutable.PriorityQueue.empty[(String, Long, Array[Double])](
             Ordering.by(t => (t._1, t._2))))
-        it.foreach { case (id, v) =>
+        it.foreach { case (idStr, id, v) =>
           var s = 0
           while (s < m) {
-            val h    = hexMd5(prefixes(s) + id)
+            val h    = hexMd5(prefixes(s) + idStr)
             val heap = heaps(s)
             if (heap.size < k) heap.enqueue((h, id, v))
             else if (Ordering[(String, Long)].lt((h, id), (heap.head._1, heap.head._2))) {
@@ -212,42 +216,26 @@ object Pq {
       subDim: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val m    = books.length
-    val lbls = books.map(_.map(_.label))
-    val flat = books.map { b =>
-      val a = new Array[Double](b.length * subDim)
-      var c = 0
-      while (c < b.length) { System.arraycopy(b(c).vec, 0, a, c * subDim, subDim); c += 1 }
-      a
-    }
-    val c2s = books.map(_.map(c => c.vec.map(x => x * x).sum))
-    val bc  = spark.sparkContext.broadcast((lbls, flat, c2s))
+    val m     = books.length
+    val lbls  = books.map(_.map(_.label))
+    val vecs  = books.map(_.map(_.vec))
+    val c2s   = books.map(_.map(c => c.vec.map(x => x * x).sum))
+    val bc    = spark.sparkContext.broadcast((lbls, vecs, c2s))
     emb
       .select(
         Cols.q(idCol).cast("long").as("vec_id"),
         Cols.q(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val (lbls, flat, c2s) = bc.value
+        val (lbls, vecs, c2s) = bc.value
         val nSub = lbls.length
         it.flatMap { case (_, v) =>
           (0 until nSub).iterator.map { s =>
-            val off = s * subDim
-            var ss  = 0.0
-            var i   = 0
-            while (i < subDim) { ss += v(off + i) * v(off + i); i += 1 }
-            var bestL = lbls(s)(0)
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < lbls(s).length) {
-              var dp = 0.0
-              var j  = 0
-              while (j < subDim) { dp += v(off + j) * flat(s)(c * subDim + j); j += 1 }
-              val d = BruteForce.round6(math.sqrt(math.max(ss - 2.0 * dp + c2s(s)(c), 0.0)))
-              if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestL = lbls(s)(c) }
-              c += 1
-            }
-            (s, bestL, java.util.Arrays.copyOfRange(v, off, off + subDim))
+            val off  = s * subDim
+            // the ONE shared argmin kernel; centroids are in ascending
+            // label order, so index ties == label ties
+            val best = KMeans.nearestIndex(v, off, subDim, vecs(s), c2s(s))
+            (s, lbls(s)(best), java.util.Arrays.copyOfRange(v, off, off + subDim))
           }
         }
       }
@@ -311,37 +299,28 @@ object Pq {
       .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val b = bc.value
+        val b    = bc.value
+        val c2sA = b.books.map(_.map(c => { var a = 0.0; var i = 0; while (i < c.length) { a += c(i) * c(i); i += 1 }; a }))
         it.map { case (id, v) =>
           val codes = new Array[Int](b.m)
           var errSq = 0.0
           var s = 0
           while (s < b.m) {
             val off = s * b.subDim
-            var ss  = 0.0
-            var i   = 0
-            while (i < b.subDim) { ss += v(off + i) * v(off + i); i += 1 }
-            var bestI  = 0
-            var bestD  = Double.MaxValue
-            var bestD2 = 0.0
-            var c = 0
-            while (c < b.books(s).length) {
-              val cen = b.books(s)(c)
-              var dp = 0.0
-              var cc = 0.0
-              var j  = 0
-              while (j < b.subDim) {
-                dp += v(off + j) * cen(j)
-                cc += cen(j) * cen(j)
-                j += 1
-              }
-              val d2 = math.max(ss - 2.0 * dp + cc, 0.0)
-              val d  = BruteForce.round6(math.sqrt(d2))
-              if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestI = c; bestD2 = d2 }
-              c += 1
+            // winner via the ONE shared argmin kernel, then the winner's
+            // RAW squared distance for the reconstruction error
+            val bestI = KMeans.nearestIndex(v, off, b.subDim, b.books(s), c2sA(s))
+            val cen   = b.books(s)(bestI)
+            var ss = 0.0
+            var dp = 0.0
+            var j  = 0
+            while (j < b.subDim) {
+              ss += v(off + j) * v(off + j)
+              dp += v(off + j) * cen(j)
+              j += 1
             }
             codes(s) = bestI
-            errSq += bestD2
+            errSq += math.max(ss - 2.0 * dp + c2sA(s)(bestI), 0.0)
             s += 1
           }
           (id, codes, BruteForce.round6(math.sqrt(errSq)))

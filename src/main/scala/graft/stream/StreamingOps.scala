@@ -317,7 +317,8 @@ object StreamingOps {
       textCol: String = "text",
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      simTau: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery =
+      simTau: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.llm.Dedup.requirePartitionedIndexLayout(docs.sparkSession, indexDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -354,6 +355,7 @@ object StreamingOps {
         ()
       }
       .start()
+  }
 
   /** ONLINE IVFADC encoding: assign each streamed embedding its coarse
     * cell and residual-PQ codes — the index-ingestion half of

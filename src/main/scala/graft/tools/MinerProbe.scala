@@ -71,12 +71,11 @@ object MinerProbe {
       println(f"triplets exact (q129 kernel) warm=$warmE%.3f min=${timedE.min}%.3f")
     }
 
-    if (variants("recall")) {
     // recall of the production miner vs the exact election, on a sampled
     // anchor set (the full exact miner is O(n^2) — unreachable at sf10,
     // which is the point of the approx path; 48 anchors × corpus is one
     // broadcast-join pass)
-    {
+    if (variants("recall")) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       import graft.functions.GraftFunctions.dot
@@ -119,7 +118,6 @@ object MinerProbe {
       val recall = if (exact.isEmpty) Double.NaN else (approx intersect exact).size.toDouble / exact.size
       println(f"miner nBits=Auto nTables=$nTables recall@3 vs exact on $nSample sampled anchors: " +
         f"$recall%.3f (exact pairs: ${exact.size})")
-    }
     }
     spark.stop()
   }
