@@ -306,6 +306,20 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batches must overwrite their src_batch partitions, not re-append")
   }
 
+  test("near-dup ingest refuses a pre-partitioned flat index layout with a rebuild message") {
+    import spark.implicits._
+    val flatIdx = java.nio.file.Files.createTempDirectory("nd_flat_idx").toString
+    // the pre-r11 layout: parquet files at the root, src_batch a data column
+    Seq(("d1", 1L, 2L, -1L)).toDF("digest", "sig0", "sig1", "src_batch")
+      .coalesce(1).write.mode("overwrite").parquet(flatIdx)
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.nearDupIngestStream(
+        StreamingOps.readDocumentStream(spark, flatIdx), flatIdx, flatIdx, flatIdx)
+    }
+    assert(err.getMessage.contains("FLAT layout") && err.getMessage.contains("writeNearDupIndex"),
+      s"wrong error: ${err.getMessage}")
+  }
+
   test("streaming IVFADC encode matches the batch encoder and the build pipeline") {
     import graft.llm.IvfPq
     val emb = graft.core.Tables(spark, dir).embeddings
