@@ -270,4 +270,49 @@ object SemDedup {
       }
       .toDF("vec_id", "cell", "max_sim_prev", "keep")
   }
+
+  /** Corpus-scale SemDedup: the same keep rule — drop a vector when an
+    * EARLIER (smaller-id) near-duplicate exists with rounded cosine ≥
+    * tau — with the neighbourhood structure swapped from seeded-cosine
+    * cells to multi-table LSH buckets ([[AnnBuckets.candidatePairs]]),
+    * the q118 → q120 / q129 → q130 upgrade applied to semantic dedup.
+    * Candidate volume scales with bucket occupancy (held constant by
+    * `autoBits`), so total work is ~linear in the corpus where the
+    * exact path's √n-cell design is n^1.5 by construction (measured
+    * 343 s at 2 M vectors — the within-cell scan is the floor, not a
+    * bug). Approximate in the same sense the exact path already is
+    * (cells ≈ buckets: both can miss a cross-boundary neighbour); raise
+    * `nTables` for recall. Output is (vec_id, max_sim_prev, keep) —
+    * no `cell` column, since a vector belongs to nTables buckets.
+    */
+  def keepFlagsApprox(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      nBits: Int = AnnBuckets.Auto,
+      dims: Int = 64,
+      nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val e = emb
+      .select(
+        Cols.q(idCol).cast("long").as("vec_id"),
+        Cols.q(vecCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val mx = AnnBuckets
+      .candidatePairs(e, bits, dims, nTables, seed)
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(max(col("cos_sim")).as("max_sim_prev"))
+    e.select("vec_id")
+      .join(mx, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("max_sim_prev"),
+        // null-safe threshold with NaN passing it (Spark orders NaN
+        // greatest), matching the exact path's nanGte rule
+        (col("max_sim_prev").isNull || !(col("max_sim_prev") >= tau)).as("keep"))
+  }
 }

@@ -896,11 +896,66 @@ object SimilarityQueries {
     }
   }
 
+  /** Corpus-scale SemDedup ([[SemDedup.keepFlagsApprox]]): q80's keep
+    * rule with the neighbourhood swapped from seeded-cosine cells to LSH
+    * buckets — the linear-ish path where the exact √n-cell design is
+    * n^1.5 by construction (343 s at 2 M vectors). Index pinned (4 bits,
+    * 2 tables, seed 42) so the whole approximate path hash-oracles via
+    * hyperplane literals (q120/q130 pattern): per-table same-bucket
+    * self-join, ordered distinct candidates, rounded cosine, per-vector
+    * max over earlier candidates, null-safe keep threshold. Production
+    * default `nBits = Auto`.
+    */
+  val q132SemDedupAnn: Declared = {
+    val nBits   = 4
+    val dims    = 64
+    val seed    = 42L
+    val nTables = 2
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n     + ")
+      s"SELECT vec_id, $tb AS table_id, CAST($bits AS INTEGER) AS bucket FROM n"
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")}),
+         |c AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |      FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+         |                       AND x.vec_id < y.vec_id),
+         |p AS (SELECT c.b_id AS vec_id,
+         |             max(round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6)) AS mx
+         |      FROM c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id
+         |      GROUP BY c.b_id)
+         |SELECT n.vec_id, p.mx AS max_sim_prev,
+         |       (p.mx IS NULL OR NOT p.mx >= 0.4) AS keep
+         |FROM n LEFT JOIN p ON p.vec_id = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin
+    Declared.sql("q132_semdedup_ann", oracle) { (spark, dir) =>
+      SemDedup
+        .keepFlagsApprox(
+          t(spark, dir).embeddings,
+          "vec_id",
+          "embedding",
+          tau = 0.4,
+          nBits = nBits,
+          dims = dims,
+          nTables = nTables,
+          seed = seed)
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
-      q130TrainingTripletsAnn, q131IvfPqScore)
+      q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn)
 }

@@ -25,9 +25,10 @@ object SemDedupProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name%s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    val approxOnly = args.length > 1 && args(1) == "approxOnly"
     // warm the scan
     emb.count()
-    (1 to 2).foreach { round =>
+    if (!approxOnly) (1 to 2).foreach { round =>
       println(s"[probe] --- round $round")
       val n  = t("count")(emb.count())
       val k  = graft.llm.SemDedup.autoK(n)
@@ -42,6 +43,16 @@ object SemDedupProbe {
       t("full keepFlags") {
         graft.llm.SemDedup
           .keepFlags(emb, "vec_id", "embedding", tau = 0.4)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // the corpus-scale LSH path (Auto bits, production defaults); args(1)
+    // "approxOnly" skips the exact stages above for sf10 runs where the
+    // n^1.5 exact path costs minutes
+    (1 to 3).foreach { _ =>
+      t("keepFlagsApprox (Auto bits)") {
+        graft.llm.SemDedup
+          .keepFlagsApprox(emb, "vec_id", "embedding", tau = 0.4)
           .write.format("noop").mode("overwrite").save()
       }
     }

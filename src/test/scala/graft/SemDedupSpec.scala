@@ -35,6 +35,42 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.count(!_._4) == 2)
   }
 
+  test("approx keepFlags drops the planted copies and keeps singletons") {
+    // dims = 4 to match the fixture; 4 tables recover every bucket
+    // collision at this scale, so the LSH path reproduces the exact
+    // keep-first election on the planted geometry
+    val got = SemDedup
+      .keepFlagsApprox(corpus, "vec_id", "embedding", tau = 0.9,
+        nBits = 2, dims = 4, nTables = 4)
+      .orderBy("vec_id")
+      .as[(Long, Option[Double], Boolean)]
+      .collect()
+      .toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3, "smallest id of the duplicate set survives")
+    assert(byId(2L)._2.contains(1.0) && !byId(2L)._3)
+    assert(byId(3L)._2.contains(1.0) && !byId(3L)._3)
+    assert(got.count(!_._3) == 2, s"exactly the two copies drop: $got")
+  }
+
+  test("approx keepFlags agrees with the exact path on corpus embeddings") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001").embeddings
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.where(org.apache.spark.sql.functions.col("keep"))
+        .select("vec_id").as[Long].collect().toSet
+    val exact  = kept(SemDedup.keepFlags(emb, "vec_id", "embedding", tau = 0.4))
+    val approx = kept(SemDedup.keepFlagsApprox(emb, "vec_id", "embedding", tau = 0.4,
+      nBits = 4, nTables = 8))
+    val n = emb.count().toDouble
+    val agree = (n - ((exact diff approx) ++ (approx diff exact)).size) / n
+    info(f"keep-decision agreement exact-vs-approx = $agree%.3f " +
+      s"(exact keeps ${exact.size}, approx ${approx.size})")
+    // cells and buckets partition the space differently, so individual
+    // borderline pairs flip; the gate is measured-minus-margin (0.920 at
+    // 8 tables, seed 42) on the per-vector keep DECISION
+    assert(agree >= 0.8, s"exact/approx keep decisions diverged: $agree")
+  }
+
   test("result is invariant to input partitioning") {
     val base = SemDedup
       .keepFlags(corpus, "vec_id", "embedding", k = 2, tau = 0.9)
