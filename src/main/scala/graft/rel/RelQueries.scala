@@ -273,6 +273,33 @@ object RelQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate percentiles — the 100 TB switch q28's doc names, now a
+    * first-class declared query: `approx_percentile` (Greenwald-Khanna)
+    * is one mergeable fixed-size sketch per group where the exact
+    * `percentile` buffers the whole group (a full-width sort — 22 s at
+    * 60 M rows vs a streaming aggregate). Rows-only like q36: sketch
+    * internals differ across engines, so the accuracy contract is the
+    * RANK-error envelope asserted in spec (GK guarantees rank error ≤
+    * n/accuracy) rather than a cross-engine hash.
+    */
+  val q133PercentilesApprox: Declared = Declared.rowsOnly("q133_percentiles_approx") {
+    (spark, dir) =>
+      t(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)").as("ps"),
+          round(avg("l_extendedprice"), 4).as("mean"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          round(col("ps").getItem(0), 4).as("p25"),
+          round(col("ps").getItem(1), 4).as("p50"),
+          round(col("ps").getItem(2), 4).as("p75"),
+          col("mean"),
+          col("n"))
+        .orderBy("l_returnflag")
+  }
+
   /** Set difference: 1995 customers who placed no 2001 order. */
   val q29ExceptCustkeys: Declared = Declared.sql(
     "q29_except_custkeys",
@@ -566,6 +593,7 @@ object RelQueries {
     q30WindowRunning,
     q31OrdersRangeJoin,
     q36ApproxDistinct,
+    q133PercentilesApprox,
     q42GroupingSets,
     q43LikeFilters,
     q44Stats,

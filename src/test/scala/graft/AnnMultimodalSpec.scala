@@ -365,4 +365,31 @@ class AnnMultimodalSpec extends AnyFunSuite {
     val rel = math.abs(r.getLong(0).toDouble - r.getLong(1)) / r.getLong(1)
     assert(rel < 0.1, s"relative error $rel")
   }
+
+  test("approx_percentile stays inside the Greenwald-Khanna rank-error envelope") {
+    // q133's accuracy contract: GK with accuracy a guarantees the returned
+    // value's RANK is within n/a of the target rank. Check per group by
+    // counting how many values sit at or below the estimate.
+    val li  = Tables(spark, dir).lineitem
+    val acc = 10000
+    val est = li
+      .groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), $acc)").as("ps"),
+        count(lit(1)).as("n"))
+      .collect()
+    est.foreach { r =>
+      val flag = r.getString(0)
+      val ps   = r.getSeq[Double](1)
+      val n    = r.getLong(2).toDouble
+      val tol  = n / acc + 1
+      Seq(0.25, 0.50, 0.75).zip(ps).foreach { case (q, v) =>
+        val rank = li
+          .where(col("l_returnflag") === flag && col("l_extendedprice") <= v)
+          .count()
+          .toDouble
+        assert(math.abs(rank - q * n) <= tol,
+          s"group $flag q=$q: estimate $v has rank $rank, target ${q * n} (n=$n, tol=$tol)")
+      }
+    }
+  }
 }
