@@ -229,12 +229,17 @@ object IvfPq {
     * filter over the partitioned cell table executes as partition
     * pruning — spec-asserted via the executed scan's partition count.
     */
-  def topKIndexed(
+  /** A [[writeIndex]] directory loaded for serving: the rebuilt in-memory
+    * [[IvfPqIndex]] plus the cell-partitioned encoded corpus relation.
+    * A serving process calls [[loadIndex]] ONCE and then [[topK]] /
+    * [[scoreCandidates]] per query — the sidecar reads (two small
+    * parquet collects) are a per-load cost, not a per-query one.
+    */
+  final case class LoadedIndex(index: IvfPqIndex, cells: DataFrame)
+
+  def loadIndex(
       indexDir: String,
-      spark: org.apache.spark.sql.SparkSession,
-      query: Array[Double],
-      k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession): LoadedIndex = {
     val centroids = spark.read
       .parquet(s"$indexDir/centroids")
       .orderBy("cell")
@@ -249,9 +254,18 @@ object IvfPq {
       cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](3).toArray))
     val labels = Array.tabulate(m)(s =>
       cbRows.filter(_.getInt(0) == s).map(_.getLong(2)))
-    val cb  = Pq.Codebooks(m, books(0)(0).length, books, labels)
-    val idx = IvfPqIndex(centroids, cb)
-    topK(idx, spark.read.parquet(s"$indexDir/cells"), query, k, nProbe)
+    val cb = Pq.Codebooks(m, books(0)(0).length, books, labels)
+    LoadedIndex(IvfPqIndex(centroids, cb), spark.read.parquet(s"$indexDir/cells"))
+  }
+
+  def topKIndexed(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      query: Array[Double],
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val loaded = loadIndex(indexDir, spark)
+    topK(loaded.index, loaded.cells, query, k, nProbe)
   }
 
   /** ADC search over the probed cells: the query's residual AGAINST EACH

@@ -116,6 +116,24 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("loadIndex serves topK and scoreCandidates equal to the one-shot path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_loaded").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val q = emb.where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val loaded = IvfPq.loadIndex(dir, spark)
+    TestSpark.assertFrameEqual(
+      IvfPq.topK(loaded.index, loaded.cells, q, k = 10, nProbe = 4),
+      IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4))
+    // the loaded handle also feeds the multi-query scorer; ranked, it IS topK
+    val viaScorer = IvfPq
+      .scoreCandidates(emb.where(col("vec_id") === 42), loaded.cells, loaded.index, nProbe = 4)
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "adc_dist")
+    TestSpark.assertFrameEqual(viaScorer, IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4))
+  }
+
   test("build and search are deterministic") {
     val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
