@@ -227,6 +227,9 @@ object SemDedup {
     * and `keep = !(max_sim_prev ≥ tau)` with NaN passing the threshold.
     * `k = Auto` sizes the seed count √n from a count job — the
     * production default; a literal k is the oracle-reproducibility mode.
+    * Total work is n^1.5 by construction (assignment n·k·d balanced
+    * against within-cell pairs n²/k·d at k = √n); past ~10⁶ vectors
+    * [[keepFlagsApprox]] is the linear-ish corpus-scale path.
     */
   def keepFlags(
       emb: DataFrame,
