@@ -306,6 +306,227 @@ object Dedup {
     incrementalNearDupNew(
       newDocs, idCol, textCol, newDocs.sparkSession.read.parquet(indexDir))
 
+  // ─── Banded persisted near-dup index (v2 layout) ────────────────────
+  //
+  // The flat layout ([[writeNearDupIndex]]) stores one (digest, sigs) row
+  // per doc, so EVERY ingest re-explodes the whole index into band rows
+  // and shuffles them through the df-cap window before the candidate
+  // join — the full index moves per batch (q125's sf10 ingest measured
+  // candidate-join-bound at 28 s). The banded layout stores the index
+  // PRE-EXPLODED into band rows, partitioned by (src_batch, band_idx,
+  // band_bucket) where band_bucket = xxhash64(band key) mod nBuckets —
+  // the [[IvfPq.writeIndex]] `cell=` pattern: an ingest batch collects
+  // its own band buckets (≤ bands × nBuckets values, one tiny collect)
+  // and reads ONLY the matching partition directories via static
+  // partition pruning. A band value's rows all hash to one bucket, so
+  // the df cap stays EXACT over the pruned read, and signatures ride
+  // inline on the band rows, so verification needs no join back to a
+  // corpus-sized table. Small/streaming batches prune hardest (a
+  // micro-batch touches a handful of buckets); a batch big enough to
+  // probe every bucket degrades gracefully to the full-scan cost.
+
+  /** Band-bucket count per band_idx in the banded layout: directories
+    * per append = bands × nBuckets (128 at the defaults — coarse enough
+    * to avoid a small-files explosion across thousands of ingest
+    * batches, fine enough that a micro-batch prunes most of the index).
+    */
+  val DefaultBandBuckets: Int = 32
+
+  private[graft] def bandBucketCol(bandIdx: Column, bandVal: Column, nBuckets: Int): Column =
+    pmod(xxhash64(concat_ws("|", bandIdx.cast("string"), bandVal)), lit(nBuckets.toLong))
+      .cast("int")
+
+  /** Explode a signature frame into band rows, carrying every source
+    * column (id/digest/sigs) inline. Band values are the concat-ws of the
+    * band's signature components — byte-equal to [[incrementalNearDupNew]]
+    * and [[bandedProjection]]'s band keys.
+    */
+  private def toBandRows(
+      sigs: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      nBuckets: Int): DataFrame = {
+    val structs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
+          .as("band_val"))
+    }
+    sigs
+      .withColumn("__b", explode(array(structs: _*)))
+      .withColumn("band_idx", col("__b.band_idx"))
+      .withColumn("band_val", col("__b.band_val"))
+      .drop("__b")
+      .withColumn("band_bucket", bandBucketCol(col("band_idx"), col("band_val"), nBuckets))
+  }
+
+  private[graft] final case class BandedMeta(bands: Int, rowsPerBand: Int, nBuckets: Int)
+
+  private[graft] def readBandedMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): BandedMeta = {
+    val r = spark.read
+      .parquet(s"$indexDir/meta")
+      .select("bands", "rows_per_band", "n_buckets")
+      .head()
+    BandedMeta(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** A banded index directory is self-describing: the `meta` sidecar is
+    * its marker ([[graft.stream.StreamingOps.nearDupIngestStream]] routes
+    * on this, so one streaming API serves both layouts).
+    */
+  def isBandedIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = {
+    val p  = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p)
+  }
+
+  /** Bootstrap the banded near-dup index: band rows under
+    * `<outDir>/bands/src_batch=-1/band_idx=<b>/band_bucket=<h>/`, plus a
+    * one-row `meta` sidecar (bands / rowsPerBand / nBuckets — the layout
+    * contract every later ingest reads back; the hash family
+    * self-describes through the sig column types, as in the flat layout).
+    */
+  def writeBandedNearDupIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      family: SigHash = XxHash64,
+      nBuckets: Int = DefaultBandBuckets): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(bands >= 1 && rowsPerBand >= 1 && nBuckets >= 1, "bands/rowsPerBand/nBuckets >= 1")
+    val n    = bands * rowsPerBand
+    val sigs = signatureProjection(docs, idCol, textCol, n, family).drop("__id").distinct()
+    toBandRows(sigs, bands, rowsPerBand, nBuckets)
+      .withColumn("src_batch", lit(-1L))
+      .write
+      .partitionBy("src_batch", "band_idx", "band_bucket")
+      .mode("overwrite")
+      .parquet(s"$outDir/bands")
+    Seq((bands, rowsPerBand, nBuckets))
+      .toDF("bands", "rows_per_band", "n_buckets")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/meta")
+  }
+
+  /** Append an ingest batch's survivors to a banded index — a
+    * dynamic-partition overwrite of exactly the (src_batch=batchId,
+    * band_idx, band_bucket) directories this batch produces, so a
+    * crash-replayed batch rewrites its own partitions instead of
+    * duplicate-appending (the flat layout's replay contract, kept).
+    */
+  def appendBandedNearDupIndex(
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      batchId: Long): Unit = {
+    val spark  = survivors.sparkSession
+    val meta   = readBandedMeta(spark, indexDir)
+    val n      = meta.bands * meta.rowsPerBand
+    val family = indexFamily(spark.read.parquet(s"$indexDir/bands"))
+    val sigs   = signatureProjection(survivors, idCol, textCol, n, family).drop("__id").distinct()
+    toBandRows(sigs, meta.bands, meta.rowsPerBand, meta.nBuckets)
+      .withColumn("src_batch", lit(batchId))
+      .write
+      .partitionBy("src_batch", "band_idx", "band_bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/bands")
+  }
+
+  /** Within-batch exact election over anti-joined signature rows — the
+    * shared tail of both ingest layouts.
+    */
+  private def electPerDigest(sigs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("digest").orderBy(col("__id"))
+    sigs
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("digest"))
+  }
+
+  /** [[incrementalNearDupNew]] against a BANDED index directory — same
+    * decision contract (band-candidate ∧ signature agreement ≥ simTau,
+    * then within-batch digest election), different physical plan: the
+    * batch's band buckets prune the index read to the matching
+    * (band_idx, band_bucket) partitions, the df cap windows over that
+    * pruned subset only (exact — a band value lives in one bucket), and
+    * verification runs inline on the band rows' carried signatures.
+    * Survivors equal the flat path's row for row (spec-pinned).
+    *
+    * `beforeBatch` is the streaming loop's replay guard: dedup batch N
+    * against `src_batch < N` only.
+    */
+  def incrementalNearDupNewBanded(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      simTau: Double = 0.75,
+      maxBandDf: Option[Long] = Some(DefaultMaxShingleDf),
+      beforeBatch: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark  = newDocs.sparkSession
+    val meta   = readBandedMeta(spark, indexDir)
+    val n      = meta.bands * meta.rowsPerBand
+    val idxAll = spark.read.parquet(s"$indexDir/bands")
+    val family = indexFamily(idxAll)
+    val matchMin = math.ceil(simTau * n - 1e-9).toInt
+    val newSigs  = signatureProjection(newDocs, idCol, textCol, n, family)
+
+    val wBand = Window.partitionBy("band_idx", "band_val")
+    def cut(df: DataFrame): DataFrame = maxBandDf match {
+      case Some(cap) =>
+        df.withColumn("__df", count(lit(1)).over(wBand)).where(col("__df") <= cap).drop("__df")
+      case None => df
+    }
+    val newBands = cut(toBandRows(newSigs, meta.bands, meta.rowsPerBand, meta.nBuckets))
+
+    // the probe set is bounded by bands × nBuckets rows — one tiny
+    // collect that turns the index read into STATIC partition pruning
+    val probe = newBands
+      .select("band_idx", "band_bucket")
+      .distinct()
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val dropped =
+      if (probe.isEmpty) newSigs.limit(0).select(col("__id"))
+      else {
+        val prune = probe
+          .groupBy(_._1)
+          .map { case (b, xs) =>
+            col("band_idx") === b && col("band_bucket").isin(xs.map(_._2).toSeq: _*)
+          }
+          .reduce(_ || _)
+        val hist = beforeBatch
+          .map(bid => idxAll.where(col("src_batch") < bid))
+          .getOrElse(idxAll)
+        val idxBands = cut(hist.where(prune)).select(
+          col("band_idx") +: col("band_val") +:
+            (0 until n).map(i => col(s"sig$i").as(s"__isig_$i")): _*)
+        newBands
+          .join(idxBands, Seq("band_idx", "band_val"))
+          .withColumn(
+            "__matched",
+            (0 until n)
+              .map(i => when(col(s"sig$i") === col(s"__isig_$i"), 1).otherwise(0))
+              .reduce(_ + _))
+          .where(col("__matched") >= matchMin)
+          .select("__id")
+          .distinct()
+      }
+    electPerDigest(newSigs.join(dropped, Seq("__id"), "left_anti"), idCol)
+  }
+
   /** Deterministic MinHash signatures: `nSigs` salted min-md5 hash
     * families over the token set (same family as q17, generalized).
     */

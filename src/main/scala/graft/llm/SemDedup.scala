@@ -26,11 +26,11 @@ import org.apache.spark.sql.functions._
   * assignment is a pure projection (k rounded-cosine expressions per
   * row — codegen'd [[graft.functions.DotProduct]] against literal seed
   * vectors, no join, no shuffle); the within-cell scan is ONE shuffle on
-  * the cell key, and each cell packs into the same flat-matrix kernel as
-  * [[BruteForce]] (ids sorted, upper-triangle scan, no per-pair array
-  * copies). With k ~ √n cells the per-cell work is O(n) total — the
-  * SemDedup trade. A hard per-cell row cap fails fast when a cell
-  * outgrows what one task should scan, naming the fix (raise k).
+  * the cell key with a secondary sort on id, streamed against each
+  * cell's reference prefix (the first `maxPrevRefs` vectors by id), so
+  * both the pair work (O(n · maxPrevRefs · d) total) and the per-task
+  * memory (O(maxPrevRefs · d)) are bounded no matter how skewed the
+  * cells — see [[keepFlags]] for the capped contract.
   *
   * Decision contract (deterministic, engine-portable): a vector is
   * DROPPED iff some SAME-CELL vector with a smaller id has rounded
@@ -47,10 +47,30 @@ object SemDedup {
     */
   final case class Seed(id: Long, vec: Array[Double], nrm: Double)
 
-  /** Cells a task refuses to scan past (2^17 rows ≈ 1.4·10¹⁰ pair scores
-    * in one task — far beyond what raising k would cost).
+  /** Rows a task refuses to BUFFER past (2^17 × d doubles of reference
+    * vectors in one task's memory). Only reachable when `maxPrevRefs`
+    * exceeds it — the capped default never buffers more than
+    * [[DefaultMaxPrevRefs]] rows per cell.
     */
   val DefaultMaxCellRows: Int = 1 << 17
+
+  /** Per-cell reference-prefix cap (the q34/q69 df-cap move applied to
+    * SemDedup): each vector is compared against at most this many
+    * SAME-CELL predecessors — the cell's first `maxPrevRefs` vectors by
+    * id act as its dedup representatives. Bounds the within-cell scan at
+    * O(n · maxPrevRefs · d) total (linear in the corpus) where the
+    * uncapped scan is O(n²/k · d) — n^1.5 at the k = √n operating point
+    * and the measured 343 s sf10 cliff at a fixed k. Binds only when a
+    * cell outgrows the cap; below it the capped and exact contracts are
+    * bit-identical. 4096 leaves the √n default exact past 16 M vectors
+    * and still bounds every pathological cell.
+    */
+  val DefaultMaxPrevRefs: Int = 4096
+
+  /** Uncapped sentinel for `maxPrevRefs`: exact within-cell semantics,
+    * memory-guarded by `maxCellRows` (the tiny-sf spec mode).
+    */
+  val NoCap: Int = Int.MaxValue
 
   /** Sentinel: size k from the corpus (√n) inside [[keepFlags]]. */
   val Auto: Int = -1
@@ -191,9 +211,18 @@ object SemDedup {
       i += 1
     }
     val bc = spark.sparkContext.broadcast((ids, flat, nrms))
-    withNrm
+    val src = withNrm
       .select(col("vec_id"), col("__emb"), col("__nrm"))
       .as[(Long, Array[Double], Double)]
+    // the n·k·d kernel inherits the SCAN's partitioning (a handful of
+    // parquet files at bench scale → a handful of tasks on a 32-core
+    // box: measured 12 s of the 13 s sf10 keepFlags). One round-robin
+    // repartition spreads the dominant compute across the cluster —
+    // per-row results are partitioning-independent, so this is purely
+    // physical (spec-pinned by the partitioning-invariance case)
+    val target = spark.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions < target) src.repartition(target) else src
+    spread
       .mapPartitions { it =>
         val (ids, flat, nrms) = bc.value
         val k = ids.length
@@ -222,14 +251,34 @@ object SemDedup {
   }
 
   /** Full SemDedup pass: (vec_id, cell, max_sim_prev, keep), where
-    * `max_sim_prev` is the greatest rounded cosine to any SAME-CELL
-    * vector with a smaller id (null when the vector is its cell's first)
-    * and `keep = !(max_sim_prev ≥ tau)` with NaN passing the threshold.
+    * `max_sim_prev` is the greatest rounded cosine to any vector of the
+    * cell's REFERENCE PREFIX — its first `maxPrevRefs` vectors by id —
+    * with a smaller id (null when no such reference exists), and
+    * `keep = !(max_sim_prev ≥ tau)` with NaN passing the threshold.
+    * Below the cap this is exactly the classic keep-first greedy (every
+    * predecessor is a reference); above it the prefix acts as the cell's
+    * dedup representatives — the bounded contract, like [[Dedup]]'s
+    * `maxShingleDf` and [[DupClusters]]' pair cap, and `maxPrevRefs` is
+    * the corpus-scale knob. The capped scan is O(n · maxPrevRefs · d)
+    * total — LINEAR in the corpus — where the uncapped exact scan is
+    * n^1.5 at the k = √n operating point (and n²/k at a fixed k: the
+    * 343 s sf10 cliff). `maxPrevRefs = NoCap` restores exact semantics
+    * (memory-guarded by `maxCellRows`); [[keepFlagsApprox]] remains the
+    * LSH-neighbourhood alternative when even √n seeds are too many.
+    *
     * `k = Auto` sizes the seed count √n from a count job — the
     * production default; a literal k is the oracle-reproducibility mode.
-    * Total work is n^1.5 by construction (assignment n·k·d balanced
-    * against within-cell pairs n²/k·d at k = √n); past ~10⁶ vectors
-    * [[keepFlagsApprox]] is the linear-ish corpus-scale path.
+    *
+    * Physical shape: ONE shuffle on the cell key with a secondary sort
+    * on id (`repartition` + `sortWithinPartitions`), then a streaming
+    * mapPartitions scan that buffers only the prefix — per-task memory
+    * is O(maxPrevRefs · d) no matter how large a cell grows, where the
+    * old flatMapGroups kernel materialized whole cells.
+    *
+    * Ids must be unique for the prefix to be engine-portable (DuckDB's
+    * `row_number` over ties is arbitrary); duplicate-id pairs are
+    * skipped in the scan and never score against each other, matching
+    * the previous kernel.
     */
   def keepFlags(
       emb: DataFrame,
@@ -238,37 +287,62 @@ object SemDedup {
       tau: Double,
       k: Int = Auto,
       salt: String = "semdedup",
-      maxCellRows: Int = DefaultMaxCellRows): DataFrame = {
+      maxCellRows: Int = DefaultMaxCellRows,
+      maxPrevRefs: Int = DefaultMaxPrevRefs): DataFrame = {
+    require(maxPrevRefs >= 1, s"maxPrevRefs must be >= 1, got $maxPrevRefs")
     val spark = emb.sparkSession
     import spark.implicits._
     val kk    = if (k == Auto) autoK(emb.count()) else k
     val seeds = pickSeeds(emb, idCol, vecCol, kk, salt)
     assignCells(emb, idCol, vecCol, seeds)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .as[(Long, Long, Array[Double])]
-      .groupByKey(_._2)
-      .flatMapGroups { (cell, it) =>
-        val rows = it.map(t => (t._1, t._3)).toArray
-        if (rows.length > maxCellRows)
-          throw new IllegalArgumentException(
-            s"cell $cell holds ${rows.length} vectors (> $maxCellRows): the within-cell " +
-              "pair scan would be a single-task O(n²) job — raise k (more, smaller cells; " +
-              "k ~ sqrt(corpus) is the SemDedup operating point)")
-        val (ids, flat, nrm, dims) = BruteForce.pack(rows)
-        (0 until ids.length).iterator.map { b =>
+      .mapPartitions { rows =>
+        // secondary-sort streaming scan: rows arrive grouped by cell,
+        // id-ascending within each; single-threaded per partition, so
+        // the captured buffer state is safe and O(maxPrevRefs · d)
+        var curCell  = 0L
+        var started  = false
+        val refIds   = new scala.collection.mutable.ArrayBuffer[Long]
+        val refVecs  = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+        val refNrms  = new scala.collection.mutable.ArrayBuffer[Double]
+        rows.map { case (vid, cell, e) =>
+          if (!started || cell != curCell) {
+            refIds.clear(); refVecs.clear(); refNrms.clear()
+            curCell = cell; started = true
+          }
+          var s = 0.0
+          var j = 0
+          while (j < e.length) { s += e(j) * e(j); j += 1 }
+          val nrm = math.sqrt(s)
           var mx  = 0.0
           var has = false
           var a   = 0
-          while (a < b) {
-            if (ids(a) != ids(b)) {
-              val cs = BruteForce.round6(
-                BruteForce.dot(flat, a, flat, b, dims) / (nrm(a) * nrm(b)))
+          while (a < refIds.length) {
+            if (refIds(a) != vid) {
+              val rv = refVecs(a)
+              var d  = 0.0
+              var i  = 0
+              val dd = math.min(rv.length, e.length)
+              while (i < dd) { d += rv(i) * e(i); i += 1 }
+              val cs = BruteForce.round6(d / (refNrms(a) * nrm))
               if (!has || java.lang.Double.compare(cs, mx) > 0) mx = cs
               has = true
             }
             a += 1
           }
+          if (refIds.length < maxPrevRefs) {
+            if (refIds.length >= maxCellRows)
+              throw new IllegalArgumentException(
+                s"cell $curCell buffers more than $maxCellRows reference vectors (uncapped " +
+                  "scan over an oversized cell) — raise k (more, smaller cells; k ~ " +
+                  "sqrt(corpus) is the SemDedup operating point) or set maxPrevRefs to " +
+                  "bound the reference prefix")
+            refIds += vid; refVecs += e; refNrms += nrm
+          }
           val mxOpt = if (has) Some(mx) else None
-          (ids(b), cell, mxOpt, !(has && BruteForce.nanGte(mx, tau)))
+          (vid, cell, mxOpt, !(has && BruteForce.nanGte(mx, tau)))
         }
       }
       .toDF("vec_id", "cell", "max_sim_prev", "keep")

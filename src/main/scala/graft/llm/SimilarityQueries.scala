@@ -246,11 +246,17 @@ object SimilarityQueries {
   }
 
   /** SemDedup (q80): semantic dedup = deterministic seed-point
-    * clustering + within-cell cosine drop list — see [[SemDedup]] for
-    * the full contract. k=8 / tau=0.4 are the declared oracle operating
-    * point (16 of 500 vectors drop at sf0.01); production uses k ~ √n.
-    * Every stage is hash-checked: seed pick (salted md5), cell
-    * assignment (rounded-cosine argmax), max-prev similarity, and the
+    * clustering + within-cell cosine drop list against each cell's
+    * reference prefix — see [[SemDedup]] for the full contract. k=8 /
+    * tau=0.4 / maxPrevRefs=32 are the declared oracle operating point:
+    * with 8 cells over 500 sf0.01 vectors the ~62-row cells OUTGROW the
+    * 32-row prefix, so the capped semantics (not just the exact
+    * fallback) are what the oracle checks — the `rk.rn <= 32` predicate
+    * replays the cap, the q34/q69 move. The cap is what bounds the
+    * declared query at scale: uncapped, fixed k=8 scans n²/8 pairs
+    * (343 s at sf10); capped, the scan is n·32 pair scores. Every stage
+    * is hash-checked: seed pick (salted md5), cell assignment
+    * (rounded-cosine argmax), prefix rank, max-prev similarity, and the
     * keep flag.
     */
   val q80SemDedup: Declared = Declared.sql(
@@ -266,16 +272,19 @@ object SimilarityQueries {
       |                                   ORDER BY cs DESC, seed_id ASC) AS rn
       |      FROM a0),
       |cell AS (SELECT vec_id, emb, nrm, seed_id AS cell FROM a WHERE rn = 1),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      |       FROM cell),
       |p AS (SELECT y.vec_id,
       |             max(round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6)) AS mx
-      |      FROM cell y JOIN cell x ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |      FROM rk y JOIN rk x ON x.cell = y.cell AND x.vec_id < y.vec_id AND x.rn <= 32
       |      GROUP BY y.vec_id)
       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, p.mx AS max_sim_prev,
       |       (p.mx IS NULL OR NOT p.mx >= 0.4) AS keep
       |FROM cell c LEFT JOIN p ON p.vec_id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin) { (spark, dir) =>
     SemDedup
-      .keepFlags(t(spark, dir).embeddings, "vec_id", "embedding", k = 8, tau = 0.4)
+      .keepFlags(t(spark, dir).embeddings, "vec_id", "embedding", k = 8, tau = 0.4,
+        maxPrevRefs = 32)
       .orderBy("vec_id")
   }
 

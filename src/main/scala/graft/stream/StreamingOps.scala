@@ -318,16 +318,29 @@ object StreamingOps {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       simTau: Double = 0.75): org.apache.spark.sql.streaming.StreamingQuery = {
-    graft.llm.Dedup.requirePartitionedIndexLayout(docs.sparkSession, indexDir)
+    // a BANDED index ([[graft.llm.Dedup.writeBandedNearDupIndex]])
+    // self-describes via its meta sidecar and carries its own bands /
+    // rowsPerBand contract — the params above apply to the flat layout
+    // only. The banded batch path reads just the batch's probed
+    // (band_idx, band_bucket) partitions instead of the whole index.
+    val banded = graft.llm.Dedup.isBandedIndex(docs.sparkSession, indexDir)
+    if (!banded)
+      graft.llm.Dedup.requirePartitionedIndexLayout(docs.sparkSession, indexDir)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val nSigs = bands * rowsPerBand
-        val index = spark.read.parquet(indexDir).where(col("src_batch") < id)
-        val survivors = graft.llm.Dedup
-          .incrementalNearDupNew(batch.toDF(), idCol, textCol, index, bands, rowsPerBand, simTau)
+        val survivors =
+          if (banded)
+            graft.llm.Dedup.incrementalNearDupNewBanded(
+              batch.toDF(), idCol, textCol, indexDir, simTau, beforeBatch = Some(id))
+          else {
+            val index = spark.read.parquet(indexDir).where(col("src_batch") < id)
+            graft.llm.Dedup
+              .incrementalNearDupNew(batch.toDF(), idCol, textCol, index, bands, rowsPerBand, simTau)
+          }
         val survivorDocs = batch.toDF().join(survivors.select(idCol), Seq(idCol), "left_semi")
         // materialize the decision ONCE: the survivor write and the index
         // append must see the same rows even though the index they were
@@ -335,22 +348,27 @@ object StreamingOps {
         val pinned = survivorDocs.persist()
         try {
           pinned.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          // dynamic-partition overwrite of THIS batch's src_batch partition:
-          // a crash-replayed batch rewrites the same directory instead of
+          // dynamic-partition overwrite of THIS batch's src_batch partition(s):
+          // a crash-replayed batch rewrites the same directories instead of
           // re-appending duplicate signature rows, so the index stays
           // O(distinct survivors) across any number of replays
-          graft.llm.Dedup
-            // append in the INDEX's hash family (schema-detected) so a
-            // loop over an md5-bootstrapped index stays md5 end to end
-            .signatureProjection(pinned, idCol, textCol, nSigs, graft.llm.Dedup.indexFamily(index))
-            .drop("__id")
-            .distinct()
-            .withColumn("src_batch", lit(id))
-            .write
-            .partitionBy("src_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(indexDir)
+          if (banded)
+            graft.llm.Dedup.appendBandedNearDupIndex(pinned, idCol, textCol, indexDir, id)
+          else {
+            val index = spark.read.parquet(indexDir)
+            graft.llm.Dedup
+              // append in the INDEX's hash family (schema-detected) so a
+              // loop over an md5-bootstrapped index stays md5 end to end
+              .signatureProjection(pinned, idCol, textCol, nSigs, graft.llm.Dedup.indexFamily(index))
+              .drop("__id")
+              .distinct()
+              .withColumn("src_batch", lit(id))
+              .write
+              .partitionBy("src_batch")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite")
+              .parquet(indexDir)
+          }
         } finally pinned.unpersist(false)
         ()
       }

@@ -158,6 +158,41 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == wantMerges)
   }
 
+  test("token-table trainer is bit-identical to the packed-string kernel") {
+    // the randomized pathological corpus again — overlap runs, boundary
+    // collisions, merged-token re-matching — now as a cross-KERNEL gate:
+    // same merges, same counts, same order from both physical strategies
+    val rnd      = new scala.util.Random(20260814L)
+    val alphabet = Vector("a", "b", "ab", "ba", "b a")
+    val docs = (1L to 80L)
+      .map { id =>
+        val len = rnd.nextInt(13)
+        id -> Vector.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      .filter(_._2.nonEmpty)
+    val df = docs.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("merge_idx").collect().map(_.toString).toSeq
+    val tokenTable = rows(Bpe.trainMerges(df, "doc_id", "text", nMerges = 6, minCount = 2L))
+    val packed = rows(Bpe.trainMergesPacked(df, "doc_id", "text", nMerges = 6, minCount = 2L))
+    assert(tokenTable.nonEmpty, "fixture trained no merges; parity is vacuous")
+    assert(tokenTable == packed)
+  }
+
+  test("delimiter guard fires in both kernels") {
+    val bad = Seq((1L, "ok ok"), (2L, ("bad" + "\u0001" + "token ok"))).toDF("doc_id", "text")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause).filter(_ != null))
+    val e1 = intercept[Exception] {
+      Bpe.trainMerges(bad, "doc_id", "text", nMerges = 2, minCount = 2L).collect()
+    }
+    assert(messages(e1).exists(m => m != null && m.contains("U+0001")))
+    val e2 = intercept[Exception] {
+      Bpe.trainMergesPacked(bad, "doc_id", "text", nMerges = 2, minCount = 2L).collect()
+    }
+    assert(messages(e2).exists(m => m != null && m.contains("U+0001")))
+  }
+
   test("merged tokens feed later rounds (hierarchy forms)") {
     // "x y" dominates, then ("x y", "x y") becomes a countable pair
     val df = Seq((1L, "x y x y x y x y"), (2L, "x y x y")).toDF("doc_id", "text")

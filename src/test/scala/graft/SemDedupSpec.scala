@@ -81,6 +81,42 @@ class SemDedupSpec extends AnyFunSuite {
     assert(base == repart)
   }
 
+  test("maxPrevRefs caps the reference prefix: late dups of unreferenced vectors survive") {
+    // one cell (k=1), cap=2: references are the two smallest ids {1, 2}.
+    // id 3 duplicates id 2 (in the prefix) → drops; id 5 duplicates id 4
+    // (NOT in the prefix) and is orthogonal to both references → keeps,
+    // where the uncapped scan would drop it
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 2.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, Seq(0.0, 0.0, 2.0, 0.0))).toDF("vec_id", "embedding")
+    def run(cap: Int) = SemDedup
+      .keepFlags(vecs, "vec_id", "embedding", k = 1, tau = 0.9, maxPrevRefs = cap)
+      .orderBy("vec_id")
+      .as[(Long, Long, Option[Double], Boolean)]
+      .collect()
+      .map(r => r._1 -> r._4)
+      .toMap
+    val capped = run(2)
+    assert(!capped(3L), "dup of an in-prefix reference drops")
+    assert(capped(5L), "dup of an out-of-prefix vector survives under the cap")
+    val exact = run(SemDedup.NoCap)
+    assert(!exact(3L) && !exact(5L), "uncapped greedy drops both dups")
+  }
+
+  test("capped and uncapped paths are bit-identical when no cell outgrows the cap") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val capped = SemDedup
+      .keepFlags(emb, "vec_id", "embedding", tau = 0.4)
+      .orderBy("vec_id").collect().toSeq
+    val exact = SemDedup
+      .keepFlags(emb, "vec_id", "embedding", tau = 0.4, maxPrevRefs = SemDedup.NoCap)
+      .orderBy("vec_id").collect().toSeq
+    assert(capped == exact)
+  }
+
   test("oversized cell fails fast naming the fix") {
     val e = intercept[Exception] {
       SemDedup

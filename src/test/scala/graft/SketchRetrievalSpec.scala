@@ -367,6 +367,82 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(viaDir == viaMem, "indexDir and in-memory index paths diverge")
   }
 
+  test("banded near-dup index: same survivors as flat, pruned probe, idempotent append") {
+    import graft.llm.Dedup
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .where(col("text").isNotNull)
+      .select("doc_id", "text")
+    val old = docs.where(col("doc_id") < 300)
+    val clones = old.where(col("doc_id") < 30)
+      .select((col("doc_id") + 9000L).as("doc_id"), concat(col("text"), lit(" zq7")).as("text"))
+    val novel = Seq(
+      (9990L, "xerophyte quincunx bezoar llanfair pwll ogof zyzzyva mato grosso"),
+      (9991L, "antidisestablishment otorhinolaryngology floccinaucinihilipilification qq ww ee rr"))
+      .toDF("doc_id", "text")
+    val newBatch = clones.unionByName(novel)
+
+    val flatDir   = java.nio.file.Files.createTempDirectory("neardup_flat").toString
+    val bandedDir = java.nio.file.Files.createTempDirectory("neardup_banded").toString
+    Dedup.writeNearDupIndex(old, "doc_id", "text", flatDir, nSigs = 16)
+    Dedup.writeBandedNearDupIndex(old, "doc_id", "text", bandedDir, bands = 4, rowsPerBand = 4)
+    assert(Dedup.isBandedIndex(spark, bandedDir) && !Dedup.isBandedIndex(spark, flatDir))
+
+    // decision parity: the banded plan elects exactly the flat plan's rows
+    val flat = Dedup
+      .incrementalNearDupNew(newBatch, "doc_id", "text", spark.read.parquet(flatDir))
+      .select("doc_id").as[Long].collect().toSet
+    val banded = Dedup
+      .incrementalNearDupNewBanded(newBatch, "doc_id", "text", bandedDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(banded == flat, s"banded != flat: only-banded=${banded -- flat}, only-flat=${flat -- banded}")
+    assert(banded == Set(9990L, 9991L))
+
+    // partition pruning: a one-doc probe reads <= bands × its distinct
+    // band buckets of the index, never every (band_idx, band_bucket) dir
+    // (the probe doc is a CLONE so its candidate join is non-empty —
+    // a zero-candidate probe lets AQE's empty-relation propagation
+    // replace the whole index subtree and leave no scan to assert on)
+    val oneDoc = clones.where(col("doc_id") === 9000L)
+    val pruned = Dedup.incrementalNearDupNewBanded(oneDoc, "doc_id", "text", bandedDir)
+    pruned.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val idxScans = allScans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("neardup_banded")))
+    assert(idxScans.nonEmpty, "no banded-index scan in the executed plan")
+    val totalParts = spark.read.parquet(s"$bandedDir/bands")
+      .select("band_idx", "band_bucket").distinct().count()
+    idxScans.foreach { s =>
+      val parts = s.selectedPartitions.partitionCount
+      assert(parts <= 4, s"one doc probes 4 bands -> <= 4 partitions, scan read $parts")
+      assert(parts < totalParts, s"probe did not prune ($parts of $totalParts partitions)")
+    }
+
+    // append is a dynamic-partition overwrite: replaying a batch id
+    // leaves the index byte-count-stable (no duplicate rows)
+    val survivorsDocs = newBatch.join(
+      Dedup.incrementalNearDupNewBanded(newBatch, "doc_id", "text", bandedDir)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Dedup.appendBandedNearDupIndex(survivorsDocs, "doc_id", "text", bandedDir, batchId = 7L)
+    val afterOnce = spark.read.parquet(s"$bandedDir/bands").count()
+    Dedup.appendBandedNearDupIndex(survivorsDocs, "doc_id", "text", bandedDir, batchId = 7L)
+    val afterTwice = spark.read.parquet(s"$bandedDir/bands").count()
+    assert(afterOnce == afterTwice, s"replayed append grew the index: $afterOnce -> $afterTwice")
+    // and the appended survivors now block their own re-ingest
+    val reIngest = Dedup
+      .incrementalNearDupNewBanded(newBatch, "doc_id", "text", bandedDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reIngest.isEmpty, s"re-ingest after append should drop everything, kept $reIngest")
+  }
+
   test("incremental digest-index dedup equals a full recompute restricted to the new batch") {
     import graft.llm.Dedup
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
