@@ -27,13 +27,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default driver heap: half of physical RAM, clamped to [4g, 48g] — 48g
+// over local[32] = 1.5 GB/core, the standard cluster provisioning band
+// (2-4 cores/executor at 8-16g; the old flat 8g gave 0.25 GB/core and
+// array-heavy sf10 verification joins OOM'd under it), while a flat 48g
+// would fail to even start on a smaller box. SPARK_DRIVER_MEM overrides.
+def defaultHeap: String = {
+  val physGb =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getTotalMemorySize >> 30
+      case _                                           => 0L
+    } catch { case _: Throwable => 0L }
+  if (physGb <= 0L) "8g" else s"${math.max(4L, math.min(48L, physGb / 2))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g over local[32] = 1.5 GB/core — the standard cluster provisioning
-  // band (2-4 cores/executor at 8-16g). The old 8g default gave 0.25
-  // GB/core, 8-16x below what any real executor gets, and array-heavy
-  // verification joins OOM'd at sf10 under it while fitting comfortably
-  // at realistic per-core memory.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

@@ -126,6 +126,7 @@ object Bench {
       System.err.println(
         s"[bench] SPARK_GRAFT_BENCH_ONLY=${sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")} " +
           "matched ZERO cases — check the prefixes")
+      spark.stop()
       sys.exit(2)
     }
     // untimed warm-up pass, then 3 timed rounds, per-case MEDIAN — the
@@ -198,13 +199,14 @@ object Bench {
     // write can destroy the gate evidence; each line is a complete JSON
     // record tagged by "record". Filtered (BENCH_ONLY) runs don't append —
     // a subset total would pollute the artifact's run history.
-    if (only.isEmpty)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      (minsLine + "\n" + json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outFile),
+        (minsLine + "\n" + json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    }
     spark.stop()
     // the JSON is the FINAL line of the forked JVM's stdout (spark.stop()
     // first so no shutdown logging lands after it); build.sbt sets

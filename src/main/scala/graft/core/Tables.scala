@@ -49,18 +49,47 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   // memoized base relations keyed by (session, path). NOT a weak map:
   // a DataFrame strongly references its SparkSession, so weak session keys
-  // would never be collectible anyway — instead the map is size-bounded
-  // (tables × sessions is tiny in practice; a pathological session-churn
-  // loop at worst clears and re-infers). Holds the ANALYZED read plan
-  // only — no data, no caching beyond the relation's own file index.
+  // would never be collectible anyway — instead the map is a size-bounded
+  // LRU (tables × sessions is tiny in practice; a session-churn loop
+  // evicts only the least-recently-used relation instead of clearing
+  // everything wholesale). Holds the ANALYZED read plan only — no data,
+  // no caching beyond the relation's own file index. The file-listing
+  // snapshot is pinned for the entry's lifetime, so a fixture dir
+  // regenerated IN-SESSION must be [[invalidate]]d or reads serve the
+  // stale listing.
   private val FramesBound = 512
   private val frames =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > FramesBound
+    }
 
-  private def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
-    if (frames.size > FramesBound) frames.clear()
-    frames.computeIfAbsent((spark, path), _ => build)
+  private[graft] def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame =
+    frames.synchronized {
+      val k   = (spark, path)
+      val got = frames.get(k)
+      if (got != null) got
+      else {
+        val b = build
+        frames.put(k, b)
+        b
+      }
+    }
+
+  /** Drop every memoized relation under `pathPrefix` (all sessions) —
+    * the hook to call after regenerating a fixture directory inside a
+    * live JVM, so the next read re-lists files instead of serving the
+    * pinned snapshot (or failing on deleted files). Passing a dir
+    * invalidates all its tables.
+    */
+  def invalidate(pathPrefix: String): Unit = frames.synchronized {
+    val it = frames.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(pathPrefix)) it.remove()
   }
+
+  /** Test hook: current memo size. */
+  private[graft] def memoSize: Int = frames.synchronized(frames.size())
 
   // one nanosAsLong child session per parent session, created lazily;
   // weak keys so stopped sessions can be collected

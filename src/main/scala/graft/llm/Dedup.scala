@@ -98,6 +98,15 @@ object Dedup {
     * family is visible in (and auto-detected from) its schema: md5 sigs
     * are strings, xxhash64 sigs are longs — so a batch can never be
     * silently verified against an index from the other family.
+    *
+    * COMPATIBILITY NOTE (round 11): the DEFAULT family of the
+    * signature-producing public APIs ([[minhashSignatures]],
+    * [[nearDupPairs]], [[bandedProjection]], [[writeNearDupIndex]],
+    * [[signatureProjection]]) changed md5 → xxhash64. Signature VALUES
+    * under the default therefore changed; persisted-index paths are
+    * protected by schema auto-detection ([[indexFamily]]), but ad-hoc
+    * cross-version signature comparisons must pass `family = Md5`
+    * explicitly to reproduce pre-r11 outputs.
     */
   sealed trait SigHash
   case object Md5      extends SigHash

@@ -348,13 +348,53 @@ object IvfPq {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val cb = index.cb
+    val kk = cb.books.map(_.length).max
+    scoreJoin(probeTables(queries, index, nProbe, idCol, vecCol), encoded, cb.m, kk)
+  }
+
+  /** [[scoreCandidates]] against a PERSISTED ([[loadIndex]]-ed) index
+    * with STATIC cell pruning: the batch's probe tables are pinned once
+    * (they are batch × nProbe rows of m×k doubles — serve-batch-sized),
+    * their distinct probed cells collected (one tiny job, ≤ nProbe ×
+    * queries values), and applied as a literal `cell` filter so the
+    * scan of the `cells/cell=<id>/` layout executes as partition
+    * pruning no matter how the optimizer shapes the join — a concurrent
+    * serve batch reads exactly the union of its queries' probed cells,
+    * never the corpus (spec-asserted via the executed scan's partition
+    * count; the join-only path leaves the pruning to DPP, which a plain
+    * equi-join on a computed column is not guaranteed to get).
+    */
+  def scoreCandidatesServe(
+      queries: DataFrame,
+      loaded: LoadedIndex,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = loaded.index.cb
+    val kk = cb.books.map(_.length).max
+    val probes = probeTables(queries, loaded.index, nProbe, idCol, vecCol)
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    scoreJoin(probes, loaded.cells.where(col("cell").isin(cells: _*)), cb.m, kk)
+  }
+
+  /** The stateless per-query probe kernel: (q_id, cell, flattened m×k
+    * ADC table) for each of the query's nProbe nearest coarse cells.
+    */
+  private def probeTables(
+      queries: DataFrame,
+      index: IvfPqIndex,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cb = index.cb
     val kk = cb.books.map(_.length).max
     require(cb.books.forall(_.length == kk), "scoreCandidates requires uniform codebook sizes")
     val bc = spark.sparkContext.broadcast(index)
-    val probes = queries
+    queries
       .select(
         Cols.q(idCol).cast("long").as("q_id"),
         Cols.q(vecCol).cast("array<double>").as("v"))
@@ -400,7 +440,13 @@ object IvfPq {
         }
       }
       .toDF("q_id", "cell", "__table")
-    val approx = (0 until cb.m)
+  }
+
+  /** ADC join: probe tables × encoded corpus on `cell`, m `element_at`
+    * lookups per candidate.
+    */
+  private def scoreJoin(probes: DataFrame, encoded: DataFrame, m: Int, kk: Int): DataFrame = {
+    val approx = (0 until m)
       .map(s => element_at(col("__table"), col(s"code$s") + lit(s * kk) + 1))
       .reduce(_ + _)
     probes

@@ -187,6 +187,14 @@ object Pq {
         }
         heaps.iterator.zipWithIndex.flatMap { case (heap, s) =>
           heap.iterator.map { case (h, id, v) =>
+            // copyOfRange zero-PADS a short slice — a ragged embedding
+            // would silently seed a zero-padded codebook here where the
+            // per-subspace reference path fails loudly, so mirror the
+            // ragged-input guard KMeans.fit/train grew (ADVICE r11)
+            require(
+              v.length >= (s + 1) * subDim,
+              s"Pq.seedBooks: embedding id=$id has ${v.length} dims — shorter than " +
+                s"(subspace ${s + 1}) × subDim $subDim; ragged corpus")
             (s, h, id, java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
           }
         }

@@ -134,6 +134,58 @@ class IvfPqSpec extends AnyFunSuite {
     TestSpark.assertFrameEqual(viaScorer, IvfPq.topKIndexed(dir, spark, q, k = 10, nProbe = 4))
   }
 
+  test("scoreCandidatesServe: identical scores, partitions pruned to the batch's probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_servebatch").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val loaded = IvfPq.loadIndex(dir, spark)
+    // a small serve batch at nProbe 2: on i.i.d. vectors each query's
+    // probes land near-uniformly, so the batch union must stay strictly
+    // under nCells for pruning to be OBSERVABLE (17 queries × 4 probes
+    // saturated all 16 cells)
+    val nProbe  = 2
+    val queries = emb.where(col("vec_id") % 101 === 0)
+    // same scores as the plain scorer over the full cells relation
+    TestSpark.assertFrameEqual(
+      IvfPq.scoreCandidatesServe(queries, loaded, nProbe = nProbe)
+        .orderBy("q_id", "vec_id"),
+      IvfPq.scoreCandidates(queries, loaded.cells, loaded.index, nProbe = nProbe)
+        .orderBy("q_id", "vec_id"))
+    // the scan reads <= the batch's distinct probed cells — never all 16
+    val res = IvfPq.scoreCandidatesServe(queries, loaded, nProbe = nProbe)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    // ground-truth probe union, recomputed driver-side from the loaded
+    // centroids with topK's (distance, cell-id) probe ranking
+    val qVecs = queries
+      .select(col("embedding").cast("array<double>")).collect().map(_.getSeq[Double](0).toArray)
+    val union = qVecs.flatMap { v =>
+      loaded.index.centroids.zipWithIndex
+        .map { case (c, i) =>
+          (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }
+        .sortBy { case (d, i) => (d, i) }
+        .take(nProbe)
+        .map(_._2)
+    }.toSet
+    assert(union.size < 16, "fixture degenerate: batch probes every cell, pruning unobservable")
+    val cellScans = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_servebatch")))
+    assert(cellScans.nonEmpty, "no cells scan in the executed plan")
+    cellScans.foreach { s =>
+      val parts = s.selectedPartitions.partitionCount
+      assert(parts <= union.size,
+        s"scan read $parts partitions, batch probe union is ${union.size} of 16 cells")
+    }
+  }
+
   test("build and search are deterministic") {
     val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
