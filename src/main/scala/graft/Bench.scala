@@ -28,8 +28,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  // Force = fully evaluate the final plan. `toRdd` drain (count every
+  // InternalRow of the executed plan via one mapPartitions+sum job)
+  // evaluates exactly what the noop write evaluates — same executed plan,
+  // same codegen, no column pruning of the final projection — minus the
+  // V2 write-path commit machinery: an empty one-row action costs 34 ms
+  // drained vs 65 ms noop-written (tools/FloorProbe2), and on the 19-case
+  // q0*/q4* A/B the drain cut a further 1.1 s off the case-major subset
+  // total (7.68 → 6.61 s, ~56 ms/case, no per-case min worse). With ~100
+  // of the 140 cases under a second, that fixed overhead was ~1/10 of
+  // their measured "cost". SPARK_GRAFT_BENCH_FORCE=noop restores the old
+  // path for A/B.
+  private val forceMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "drain")
   private def force(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+    if (forceMode == "noop") df.write.format("noop").mode("overwrite").save()
+    else {
+      val _ = df.queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n)
+      }.sum()
+    }
 
   /** 1/5/15-min load averages ("-" off Linux): recorded at bench start and
     * end so a contended machine is visible in the JSON itself.
@@ -138,7 +155,20 @@ object Bench {
     val rounds  = 3
     val timings = scala.collection.mutable.Map.empty[String, List[Double]]
     val errored = scala.collection.mutable.SortedSet.empty[String]
-    for (_ <- 1 to rounds; (name, run) <- cases) {
+    // CASE-major: a case's 3 timed rounds run back-to-back (warm JIT,
+    // warm page cache, no 139 intervening cases re-polluting either),
+    // instead of the old round-major sweep where round 2 of a case came
+    // ~110 s after round 1 — and how the pandas baseline itself was timed
+    // (3 consecutive repeats). Measured on the 19-case q0*/q4* subset:
+    // medians 10.32 → 7.68 s total under the same noop force (the old
+    // medians were carrying cross-case cache pollution, not query cost),
+    // NO per-case min worse (sum of mins also dropped).
+    // SPARK_GRAFT_BENCH_ORDER=round restores the old order for A/B.
+    val roundMajor = sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("round")
+    val schedule =
+      if (roundMajor) for (r <- 1 to rounds; c <- cases) yield c
+      else for (c <- cases; r <- 1 to rounds) yield c
+    for ((name, run) <- schedule) {
       val t0 = System.nanoTime()
       // a failed round contributes NO timing (time-to-failure would read as
       // misleadingly fast); the case is flagged in the JSON "errors" list

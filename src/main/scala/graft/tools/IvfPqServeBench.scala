@@ -30,8 +30,9 @@ object IvfPqServeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = graft.core.Tables(spark, sfDir).embeddings
-    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
+    val emb    = graft.core.Tables(spark, sfDir).embeddings
+    val nTotal = emb.count()
+    val dir    = java.nio.file.Files.createTempDirectory("ivfpq_serve").toString
 
     val tBuild = System.nanoTime()
     graft.llm.IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
@@ -71,6 +72,34 @@ object IvfPqServeBench {
       f"[ivfpq-serve] sf=$sfDir build=$buildSec%.2f s serve warm=$warm%.3f " +
         timed.map(t => f"${t._1}%.3f").mkString("rounds=[", ", ", "]") +
         f" min=$serveMin%.3f s scannedPartitions=$parts (nProbe=4 of 16 cells)")
+
+    // ── concurrent serve batches (VERDICT r11 item 6) ────────────────────
+    // A serving deployment issues BATCHES, not one query at a time: time
+    // scoreCandidatesServe (q131's kernel) for 16- and 64-query batches
+    // against the loaded index, and report the executed scan's partition
+    // count so "each batch reads only its probe-cell union" is measured
+    // under batch load, not asserted from the single-query path.
+    val loaded = graft.llm.IvfPq.loadIndex(dir, spark)
+    for (batch <- Seq(16, 64)) {
+      val queries = emb.where(col("vec_id") % lit(math.max(1L, nTotal / batch)) === 0)
+      val nq      = queries.count()
+      def batchOnce(): (Double, org.apache.spark.sql.DataFrame) = {
+        val t0  = System.nanoTime()
+        val res = graft.llm.IvfPq.scoreCandidatesServe(queries, loaded, nProbe = 4)
+        res.collect()
+        ((System.nanoTime() - t0) / 1e9, res)
+      }
+      val (bWarm, _) = batchOnce()
+      val bTimed     = (1 to rounds).map(_ => batchOnce())
+      val bScans = allScans(bTimed.last._2.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_serve")))
+      val bParts = bScans.map(_.selectedPartitions.partitionCount).sum
+      println(
+        f"[ivfpq-serve] batch=$nq%-3d warm=$bWarm%.3f " +
+          bTimed.map(t => f"${t._1}%.3f").mkString("rounds=[", ", ", "]") +
+          f" min=${bTimed.map(_._1).min}%.3f s scannedPartitions=$bParts" +
+          f" (<= min(16, ${nq}x4) probe-cell union; per-query ${bTimed.map(_._1).min / nq}%.4f s)")
+    }
     spark.stop()
   }
 }
