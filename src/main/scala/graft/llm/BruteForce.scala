@@ -52,8 +52,19 @@ object BruteForce {
   /** Row bound for the broadcast kernel: ~134 MB matrix at 64-dim doubles. */
   val DefaultBroadcastRows: Long = 1L << 18
 
-  /** Hard bound on exact all-pairs similarity. Past this, fail fast. */
-  val DefaultMaxExactRows: Long = 1L << 22
+  /** Hard bound on exact all-pairs similarity. Past this, fail fast.
+    *
+    * Sized from measurement, not optimism: the blocked kernel measures
+    * ~10 s at 20 k rows (4×10⁸ pair scores, sf1 — BENCH_SF1.md q118/q129)
+    * and grows quadratically, so the 2¹⁶ bound (≈ 4×10⁹ pairs, on the
+    * order of 100 s) is the last point where "exact" is a sane request
+    * over switching to the ANN miners. The pre-r12 2²² bound admitted a
+    * 200 k-vector corpus (4×10¹⁰ pairs ≈ 17 min of compute) that then
+    * died mid-flight on driver result limits instead of failing here
+    * with the alternative named; `maxExactRows` overrides for callers
+    * who really mean it.
+    */
+  val DefaultMaxExactRows: Long = 1L << 16
 
   /** Target rows per block for the block-partitioned kernel (~8 MB/side). */
   val DefaultBlockRows: Int = 1 << 14

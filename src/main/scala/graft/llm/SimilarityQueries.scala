@@ -914,6 +914,14 @@ object SimilarityQueries {
     * self-join, ordered distinct candidates, rounded cosine, per-vector
     * max over earlier candidates, null-safe keep threshold. Production
     * default `nBits = Auto`.
+    *
+    * The PINNED index is oracle equipment, not a scale posture: 4 bits =
+    * 16 buckets, so same-bucket candidate volume grows quadratically
+    * with the corpus (the declared q120/q130 clause) — at 2 M vectors
+    * it is ~10¹¹ pairs and excluded from the sf10 sweep like them. The
+    * production `Auto` sizing holds bucket occupancy (and therefore
+    * per-vector candidate count) constant; `tools/SemDedupProbe
+    * <dir> approxOnly` measures that path at any scale.
     */
   val q132SemDedupAnn: Declared = {
     val nBits   = 4

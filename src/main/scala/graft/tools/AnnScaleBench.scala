@@ -51,8 +51,8 @@ object AnnScaleBench {
     // half of the sf1 evidence: auto-sizing holds occupancy constant,
     // which moves the recall operating point as n grows — so recall must
     // be MEASURED at each scale, not assumed from sf0.001). The exact
-    // ground truth runs the guarded kernel (n here is far below the
-    // 2²² guard; broadcast path at ≤ 2¹⁸ rows).
+    // ground truth runs the guarded kernel (n here is below the
+    // 2¹⁶ guard; broadcast path at ≤ 2¹⁸ rows).
     import org.apache.spark.sql.functions.col
     val exact = graft.llm.BruteForce
       .topK(spark, emb, "vec_id", "embedding", k = 5)
