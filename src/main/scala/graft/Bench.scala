@@ -220,10 +220,15 @@ object Bench {
     } yield s"""{"pipeline_e2e_median":${r4(pipeMed)},"pipeline_e2e_min":${r4(
         pipeMin)},"baseline_sec":${r4(base)},"ratio_median":${r4(pipeMed / base)},"ratio_min":${r4(
         pipeMin / base)},"bound":2.0,"pass":${pipeMed / base <= 2.0}}""").getOrElse("null")
+    // every appended record names its measurement mode: force (drain|noop)
+    // and order (case|round) both move reported times ~25%+ (ADVICE r12),
+    // so a BENCH.out line must be self-describing or historical trend
+    // comparisons silently mix methodologies
+    val mode = s""""force":"$forceMode","order":"${if (roundMajor) "round" else "case"}""""
     val json =
-      s"""{"record":"total","metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"mins":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"record":"total","metric":"total","value":${r4(total)},"unit":"sec",$mode,"queries":$qs,"mins":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     val minsLine =
-      s"""{"record":"mins","unit":"sec","queries":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
+      s"""{"record":"mins","unit":"sec",$mode,"queries":$mins,"gate":$gate,"errors":$errs,"loadavg":$load,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.out")
     // APPEND both records (mins first, then the full total line) so no later
     // write can destroy the gate evidence; each line is a complete JSON

@@ -65,17 +65,28 @@ object Tables {
         size() > FramesBound
     }
 
-  private[graft] def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame =
-    frames.synchronized {
-      val k   = (spark, path)
-      val got = frames.get(k)
-      if (got != null) got
-      else {
-        val b = build
-        frames.put(k, b)
-        b
+  // Double-checked: the build (file listing + footer schema inference,
+  // potentially seconds on a wide dir) runs OUTSIDE the monitor so a slow
+  // first read never serializes other sessions' table access. Concurrent
+  // first readers of the SAME path may build twice; the loser's relation
+  // is discarded (plan-only, no data) and the winner's is served — wasted
+  // listing work on one race beats a global stall on every race.
+  private[graft] def memo(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
+    val k   = (spark, path)
+    val got = frames.synchronized(frames.get(k))
+    if (got != null) got
+    else {
+      val b = build
+      frames.synchronized {
+        val raced = frames.get(k)
+        if (raced != null) raced
+        else {
+          frames.put(k, b)
+          b
+        }
       }
     }
+  }
 
   /** Drop every memoized relation under `pathPrefix` (all sessions) —
     * the hook to call after regenerating a fixture directory inside a

@@ -166,7 +166,9 @@ object BruteForce {
       n <= maxExactRows,
       f"exact all-pairs cosine over $n rows is O(n²) ≈ ${n.toDouble * n}%.3g pair scores — " +
         "use the bucketed ANN paths instead (AnnBuckets.approxTopK, the q41 LSH path, or " +
-        s"IvfIndex.approxTopK, the q50 IVF path), or raise maxExactRows (currently $maxExactRows)")
+        s"IvfIndex.approxTopK, the q50 IVF path), or raise maxExactRows (currently $maxExactRows; " +
+        "pre-r12 releases allowed 1L << 22 = 4194304 — pass that to restore the old bound " +
+        "explicitly, accepting minutes-scale compute)")
 
   /** Exact cosine top-k per vector: (a_id, b_id, rn, cos_sim), ranked by
     * rounded similarity desc (NaN first) then b_id asc — identical ordering

@@ -355,9 +355,10 @@ object IvfPq {
 
   /** [[scoreCandidates]] against a PERSISTED ([[loadIndex]]-ed) index
     * with STATIC cell pruning: the batch's probe tables are pinned once
-    * (they are batch × nProbe rows of m×k doubles — serve-batch-sized),
-    * their distinct probed cells collected (one tiny job, ≤ nProbe ×
-    * queries values), and applied as a literal `cell` filter so the
+    * (they are batch × nProbe rows of m×k doubles — serve-batch-sized,
+    * collected in ONE job into a LocalRelation, nothing persisted on
+    * executors), the probed-cell union is read off that collect and
+    * applied as a literal `cell` filter so the
     * scan of the `cells/cell=<id>/` layout executes as partition
     * pruning no matter how the optimizer shapes the join — a concurrent
     * serve batch reads exactly the union of its queries' probed cells,
@@ -371,11 +372,22 @@ object IvfPq {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val cb = loaded.index.cb
     val kk = cb.books.map(_.length).max
-    val probes = probeTables(queries, loaded.index, nProbe, idCol, vecCol)
-      .localCheckpoint(true)
-    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // probes are serve-batch-sized by contract (queries × nProbe rows of
+    // m×k doubles — e.g. 64 queries × 4 probes × 32 KB ≈ 8 MB), so pin
+    // them as ONE collect into a LocalRelation instead of a
+    // localCheckpoint: the probed-cell union falls out driver-side for
+    // free, the join side broadcasts naturally, and a long-running serve
+    // loop accumulates NO executor storage (the old per-batch checkpoint
+    // blocks lived until RDD GC — ADVICE r12)
+    val probeRows = probeTables(queries, loaded.index, nProbe, idCol, vecCol)
+      .as[(Long, Int, Array[Double])]
+      .collect()
+    val cells  = probeRows.map(_._2).distinct.toSeq
+    val probes = spark.createDataset(probeRows.toSeq).toDF("q_id", "cell", "__table")
     scoreJoin(probes, loaded.cells.where(col("cell").isin(cells: _*)), cb.m, kk)
   }
 

@@ -294,6 +294,13 @@ object SemDedup {
     import spark.implicits._
     val kk    = if (k == Auto) autoK(emb.count()) else k
     val seeds = pickSeeds(emb, idCol, vecCol, kk, salt)
+    // the semantic truncation is OBSERVABLE, not silent (ADVICE r12): when
+    // a cell outgrows its reference prefix the kernel bumps this named
+    // accumulator (visible in the Spark UI per job) and warns once per
+    // cell per task — "capped cells > 0" tells an operator that late
+    // duplicates of out-of-prefix vectors can survive, and that raising
+    // k (smaller cells) or maxPrevRefs tightens the contract
+    val cappedCells = spark.sparkContext.longAccumulator("graft.semdedup.cappedCells")
     assignCells(emb, idCol, vecCol, seeds)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
@@ -304,13 +311,14 @@ object SemDedup {
         // the captured buffer state is safe and O(maxPrevRefs · d)
         var curCell  = 0L
         var started  = false
+        var capHit   = false
         val refIds   = new scala.collection.mutable.ArrayBuffer[Long]
         val refVecs  = new scala.collection.mutable.ArrayBuffer[Array[Double]]
         val refNrms  = new scala.collection.mutable.ArrayBuffer[Double]
         rows.map { case (vid, cell, e) =>
           if (!started || cell != curCell) {
             refIds.clear(); refVecs.clear(); refNrms.clear()
-            curCell = cell; started = true
+            curCell = cell; started = true; capHit = false
           }
           var s = 0.0
           var j = 0
@@ -340,6 +348,15 @@ object SemDedup {
                   "sqrt(corpus) is the SemDedup operating point) or set maxPrevRefs to " +
                   "bound the reference prefix")
             refIds += vid; refVecs += e; refNrms += nrm
+          } else if (!capHit) {
+            capHit = true
+            cappedCells.add(1L)
+            org.slf4j.LoggerFactory
+              .getLogger("graft.llm.SemDedup")
+              .warn(
+                s"SemDedup cell $curCell exceeded maxPrevRefs=$maxPrevRefs: rows past the " +
+                  "reference prefix are scored but not referenced (late duplicates of " +
+                  "out-of-prefix vectors survive) — raise k or maxPrevRefs to tighten")
           }
           val mxOpt = if (has) Some(mx) else None
           (vid, cell, mxOpt, !(has && BruteForce.nanGte(mx, tau)))

@@ -54,4 +54,59 @@ class TablesMemoSpec extends AnyFunSuite {
       "LRU entry should have been evicted by the flood")
     Tables.invalidate(s"/$tag/") // leave no junk for other suites
   }
+
+  test("a slow first build does not block other keys (compute outside the lock)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import spark.implicits._
+    val tag      = s"memo-conc-${System.nanoTime()}"
+    val started  = new CountDownLatch(1) // slow build has entered its body
+    val release  = new CountDownLatch(1) // test releases the slow build
+    val slowDone = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val slow = new Thread(() => {
+      slowDone.set(Tables.memo(spark, s"/$tag/slow") {
+        started.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        spark.range(1).toDF()
+      })
+    })
+    slow.start()
+    assert(started.await(10, TimeUnit.SECONDS), "slow build never started")
+    // while the slow build is in flight, an UNRELATED key must resolve
+    // promptly — under the old build-inside-monitor memo this deadlines
+    val other = Tables.memo(spark, s"/$tag/other")(spark.range(2).toDF())
+    assert(other != null)
+    release.countDown()
+    slow.join(30000)
+    assert(!slow.isAlive, "slow build thread did not finish")
+    assert(slowDone.get() != null)
+    // and the slow key is memoized normally once built
+    assert(Tables.memo(spark, s"/$tag/slow")(fail("must not rebuild")) eq slowDone.get())
+    Tables.invalidate(s"/$tag/")
+  }
+
+  test("concurrent first reads of the same key race safely to one winner") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import spark.implicits._
+    val tag   = s"memo-race-${System.nanoTime()}"
+    val gate  = new CountDownLatch(1)
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got   = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        gate.await(10, TimeUnit.SECONDS)
+        got.add(Tables.memo(spark, s"/$tag/raced") {
+          built.incrementAndGet()
+          spark.range(3).toDF()
+        })
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(30000))
+    assert(got.size == 4)
+    val winner = got.peek()
+    got.forEach(df => assert(df eq winner, "all racers must observe the same memoized relation"))
+    assert(built.get() >= 1 && built.get() <= 4) // duplicate builds allowed, duplicate entries not
+    Tables.invalidate(s"/$tag/")
+  }
 }
