@@ -37,6 +37,39 @@ object AnnBuckets {
     math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Table count that holds RECALL constant as [[autoBits]] holds
+    * occupancy constant — the knob pair the clustered fixture measured
+    * moving in opposite directions (BENCH_SF1.md: autoBits kept bucket
+    * work flat while fixed-table recall@5 decayed 0.70 → 0.57 over
+    * 20 k → 200 k, and nTables bought miner overlap 0.48 → 0.78 over
+    * 4 → 16). Derived from the random-hyperplane collision model, not a
+    * fitted curve: a neighbour at cosine `targetSim` survives one
+    * table's bucketing with probability p^bits where
+    * p = 1 − acos(targetSim)/π, so hitting it in ≥ 1 of T independent
+    * tables with probability `targetRecall` needs
+    * T = ln(1 − targetRecall) / ln(1 − p^bits). With bits = log₂(n/occ)
+    * this grows like (n/occ)^(−log₂ p) — gently polynomial (exponent
+    * ≈ 0.28 at sim 0.85), n·T candidate volume stays near-linear, and
+    * the [2, 32] clamp bounds the index fan-out outright: past the
+    * clamp, recall at `targetSim` decays and the honest answer is IVF
+    * (which held 0.99 at every measured scale) rather than more tables.
+    * At the fixture scales: n = 20 k → 8 bits → 7 tables,
+    * n = 200 k → 11 bits → 13 tables.
+    */
+  def autoTables(
+      n: Long,
+      targetSim: Double = 0.85,
+      targetRecall: Double = 0.8,
+      targetBucketRows: Int = 128): Int = {
+    require(targetSim > 0 && targetSim < 1, s"targetSim in (0,1), got $targetSim")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall in (0,1), got $targetRecall")
+    val bits     = autoBits(n, targetBucketRows)
+    val p        = 1.0 - math.acos(targetSim) / math.Pi
+    val perTable = math.pow(p, bits)
+    val t        = math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable)).toInt
+    math.min(32, math.max(2, t))
+  }
+
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
     * literals; no RNG at executor time). Exposed within the package so the
     * bucket-assignment oracle can embed the same constants in its SQL.
@@ -67,8 +100,10 @@ object AnnBuckets {
     * the surviving candidate set.
     *
     * `nBits = Auto` (the default) counts the corpus once and sizes the
-    * index via [[autoBits]]; pass an explicit value for reproducible
-    * small-scale runs (the declared q41/q67 queries do).
+    * index via [[autoBits]]; `nTables = Auto` sizes the table count via
+    * [[autoTables]] off the same count, holding recall where a fixed
+    * table count decays with corpus growth. Pass explicit values for
+    * reproducible small-scale runs (the declared q41/q67 queries do).
     */
   def approxTopK(
       emb: DataFrame,
@@ -82,17 +117,19 @@ object AnnBuckets {
     val e = emb
       .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val n = if (nBits == Auto || nTables == Auto) e.count() else 0L
     val bits =
       if (nBits != Auto) nBits
       else {
-        val b = autoBits(e.count())
+        val b = autoBits(n)
         org.slf4j.LoggerFactory
           .getLogger(getClass)
           .info(s"approxTopK: auto-sized LSH index to nBits=$b")
         b
       }
+    val tables = if (nTables != Auto) nTables else autoTables(n)
 
-    val candidates = candidatePairs(e, bits, dims, nTables, seed)
+    val candidates = candidatePairs(e, bits, dims, tables, seed)
 
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     candidates
@@ -189,10 +226,11 @@ object AnnBuckets {
       nTables: Int = 2,
       seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
+    val n     = if (nBits == Auto || nTables == Auto) emb.count() else 0L
     val bits =
       if (nBits != Auto) nBits
       else {
-        val b = math.min(autoBits(emb.count()), MaxPersistedBits)
+        val b = math.min(autoBits(n), MaxPersistedBits)
         if (b == MaxPersistedBits)
           org.slf4j.LoggerFactory
             .getLogger(getClass)
@@ -200,13 +238,14 @@ object AnnBuckets {
               "bucket occupancy grows past this corpus size (see MaxPersistedBits)")
         b
       }
-    bucketedRows(emb, idCol, embCol, bits, dims, nTables, seed)
+    val tables = if (nTables != Auto) nTables else autoTables(n)
+    bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
       .write
       .partitionBy("tb")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
     import spark.implicits._
-    Seq((bits, dims, nTables, seed))
+    Seq((bits, dims, tables, seed))
       .toDF("nBits", "dims", "nTables", "seed")
       .coalesce(1)
       .write

@@ -413,6 +413,16 @@ object Dedup {
     val sigs = signatureProjection(docs, idCol, textCol, n, family).drop("__id").distinct()
     toBandRows(sigs, bands, rowsPerBand, nBuckets)
       .withColumn("src_batch", lit(-1L))
+      // cluster on the partition columns before the partitioned write so
+      // each (band_idx, band_bucket) directory is written by ONE task as
+      // ONE file. At bench scale AQE already coalesces the upstream
+      // shuffle to a task or two, so this changes nothing measurable —
+      // but on a real corpus the shuffle stays wide and an unclustered
+      // partitioned write sprays tasks × bands × nBuckets files per
+      // generation (32 tasks × 128 dirs = 4096 files per sf10 batch);
+      // across thousands of ingest batches that is the small-files
+      // explosion the coarse bucket count exists to avoid
+      .repartition(col("band_idx"), col("band_bucket"))
       .write
       .partitionBy("src_batch", "band_idx", "band_bucket")
       .mode("overwrite")
@@ -444,6 +454,8 @@ object Dedup {
     val sigs   = signatureProjection(survivors, idCol, textCol, n, family).drop("__id").distinct()
     toBandRows(sigs, meta.bands, meta.rowsPerBand, meta.nBuckets)
       .withColumn("src_batch", lit(batchId))
+      // one task → one file per written directory (see writeBandedNearDupIndex)
+      .repartition(col("band_idx"), col("band_bucket"))
       .write
       .partitionBy("src_batch", "band_idx", "band_bucket")
       .option("partitionOverwriteMode", "dynamic")

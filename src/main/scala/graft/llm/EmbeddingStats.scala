@@ -376,9 +376,11 @@ object EmbeddingStats {
         Cols.q(idCol).cast("long").as("vec_id"),
         Cols.q(vecCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
+    val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
+    val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
     val cand = AnnBuckets
-      .candidatePairs(e, bits, dims, nTables, seed)
+      .candidatePairs(e, bits, dims, tables, seed)
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     tripletElection(df, idCol, labelCol, cand)
@@ -451,9 +453,11 @@ object EmbeddingStats {
         Cols.q(idCol).cast("long").as("vec_id"),
         Cols.q(vecCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
+    val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
+    val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
     val cand = AnnBuckets
-      .candidatePairs(e, bits, dims, nTables, seed)
+      .candidatePairs(e, bits, dims, tables, seed)
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))

@@ -370,11 +370,25 @@ object SemDedup {
     * tau — with the neighbourhood structure swapped from seeded-cosine
     * cells to multi-table LSH buckets ([[AnnBuckets.candidatePairs]]),
     * the q118 → q120 / q129 → q130 upgrade applied to semantic dedup.
+    *
+    * ROUTING (measured, round 12 — BENCH_SF1.md "SemDedup crossover"):
+    * since [[keepFlags]] gained the `maxPrevRefs` prefix cap, the capped
+    * EXACT path is the faster one at fixture scales — 4.6–6.2 s vs this
+    * path's 9.4–14.6 s on the same 2 M-vector sf10 embeddings — because
+    * the capped scan is one shuffle + a linear streamed kernel while this
+    * path pays nTables explode-shuffles plus a pair-level group-by. Use
+    * the capped exact path below the cell-saturation point (√n cells
+    * reach the 4096-row prefix around n ≈ 16 M vectors; below it the cap
+    * rarely binds and exact semantics are kept outright), and route HERE
+    * when (a) cells saturate badly enough that the prefix truncation is
+    * unacceptable (watch the `graft.semdedup.cappedCells` accumulator),
+    * or (b) √n seeds are themselves too many to carry as assignment
+    * literals (k · d doubles per projection — ~16 MB at n = 10⁹, the
+    * practical ceiling of the seeded-cell design).
+    *
     * Candidate volume scales with bucket occupancy (held constant by
-    * `autoBits`), so total work is ~linear in the corpus where the
-    * exact path's √n-cell design is n^1.5 by construction (measured
-    * 343 s at 2 M vectors — the within-cell scan is the floor, not a
-    * bug). Approximate in the same sense the exact path already is
+    * `autoBits`), so total work stays ~linear in the corpus.
+    * Approximate in the same sense the exact path already is
     * (cells ≈ buckets: both can miss a cross-boundary neighbour); raise
     * `nTables` for recall. Output is (vec_id, max_sim_prev, keep) —
     * no `cell` column, since a vector belongs to nTables buckets.
@@ -394,9 +408,11 @@ object SemDedup {
         Cols.q(idCol).cast("long").as("vec_id"),
         Cols.q(vecCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val bits = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(e.count())
+    val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
+    val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
+    val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
     val mx = AnnBuckets
-      .candidatePairs(e, bits, dims, nTables, seed)
+      .candidatePairs(e, bits, dims, tables, seed)
       .where(col("a_id") < col("b_id"))
       .groupBy(col("b_id").as("vec_id"))
       .agg(max(col("cos_sim")).as("max_sim_prev"))

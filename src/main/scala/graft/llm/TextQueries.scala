@@ -2217,6 +2217,139 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The BANDED persisted near-dup index under the cross-engine hash
+    * gate ([[Dedup.writeBandedNearDupIndex]] →
+    * [[Dedup.incrementalNearDupNewBanded]] →
+    * [[Dedup.appendBandedNearDupIndex]] → a second ingest): q125 declares
+    * the flat layout; this runs the production BANDED pipeline end to end
+    * on the Spark side — bootstrap write (md5 family, pinned bands=4 /
+    * rowsPerBand=4 / nBuckets=8), batch-0 ingest through the
+    * probe-collect + static-partition-prune read, survivor append as a
+    * `src_batch=0` dynamic-partition overwrite, then a batch-1 ingest
+    * whose candidates span BOTH index generations — while DuckDB replays
+    * the decision contract generation by generation (signatures, band
+    * keys, df cap, band-candidate join, agreement ≥ 12, per-digest
+    * election, survivor-only index growth). Bucket hashing and the prune
+    * predicate are physical (a band value lives in exactly one bucket,
+    * so they change which files are read, never the result): a bug in
+    * either — e.g. write-vs-probe bucket drift dropping candidates, or a
+    * prune predicate skipping a generation — changes the survivor set
+    * and fails this hash gate, which is exactly the banded-specific
+    * failure class VERDICT r12 wanted behind the oracle. Batch-1 plants
+    * mutated clones of BOTH generations (old docs and batch-0 docs), so
+    * the appended survivors must actually participate in candidate
+    * generation for the query to hash-match.
+    */
+  val q134BandedNeardupIngest: Declared = Declared.sql(
+    "q134_banded_neardup_ingest", {
+      def sigList(alias: Int => String): String =
+        (0 until 16).map(i => s"min(md5('s$i|' || tok)) AS ${alias(i)}").mkString(",\n|          ")
+      def bandRows(table: String, key: String, sigName: Int => String): String =
+        (0 until 4)
+          .map { b =>
+            val v = (0 until 4).map(r => sigName(4 * b + r)).mkString(" || '|' || ")
+            s"SELECT $key, $b AS band_idx, $v AS band_val FROM $table"
+          }
+          .mkString("\n|      UNION ALL ")
+      def capped(src: String, key: String): String =
+        s"""SELECT $key, band_idx, band_val FROM (
+           |         SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS df FROM $src)
+           |       WHERE df <= 1024""".stripMargin
+      def agree(newSig: Int => String, idxSig: Int => String): String =
+        (0 until 16)
+          .map(i => s"(CASE WHEN ns.${newSig(i)} = o.${idxSig(i)} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      val sCols   = (0 until 16).map(i => s"s$i").mkString(", ")
+      val sAsI    = (0 until 16).map(i => s"s$i AS i$i").mkString(", ")
+      val iCols   = (0 until 16).map(i => s"i$i").mkString(", ")
+      val bSplit  = "substr(md5('binc|' || CAST(doc_id AS VARCHAR)), 1, 2)"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |old AS (SELECT doc_id, text FROM d WHERE $bSplit < '99'),
+         |b0 AS (SELECT doc_id, text FROM d WHERE $bSplit >= '99' AND $bSplit < 'cc'),
+         |b1 AS (SELECT doc_id, text FROM d WHERE $bSplit >= 'cc'),
+         |mut0 AS (SELECT doc_id + 2000000 AS doc_id, text || ' xk1' AS text FROM old
+         |         WHERE substr(md5('bclone0|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'),
+         |mut1a AS (SELECT doc_id + 3000000 AS doc_id, text || ' xk2' AS text FROM old
+         |          WHERE substr(md5('bclone1|' || CAST(doc_id AS VARCHAR)), 1, 2) < '22'),
+         |mut1b AS (SELECT doc_id + 4000000 AS doc_id, text || ' xk3' AS text FROM b0
+         |          WHERE substr(md5('bclone2|' || CAST(doc_id AS VARCHAR)), 1, 2) < '55'),
+         |batch0 AS (SELECT * FROM b0 UNION ALL SELECT * FROM mut0),
+         |batch1 AS (SELECT * FROM b1 UNION ALL SELECT * FROM mut1a UNION ALL SELECT * FROM mut1b),
+         |osig AS (SELECT md5(text) AS idig,
+         |          ${sigList(i => s"i$i")}
+         |         FROM (SELECT text, unnest(string_split(text, ' ')) AS tok FROM old)
+         |         GROUP BY md5(text)),
+         |s0sig AS (SELECT doc_id, md5(text) AS digest,
+         |          ${sigList(i => s"s$i")}
+         |         FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM batch0)
+         |         GROUP BY doc_id, md5(text)),
+         |nb00 AS (${bandRows("s0sig", "doc_id", i => s"s$i")}),
+         |nb0 AS (${capped("nb00", "doc_id")}),
+         |ib00 AS (${bandRows("osig", "idig", i => s"i$i")}),
+         |ib0 AS (${capped("ib00", "idig")}),
+         |cand0 AS (SELECT DISTINCT n.doc_id, i.idig
+         |          FROM nb0 n JOIN ib0 i ON n.band_idx = i.band_idx AND n.band_val = i.band_val),
+         |drop0 AS (SELECT DISTINCT c.doc_id
+         |          FROM cand0 c JOIN s0sig ns ON ns.doc_id = c.doc_id
+         |                       JOIN osig o ON o.idig = c.idig
+         |          WHERE ${agree(i => s"s$i", i => s"i$i")} >= 12),
+         |surv0 AS (SELECT doc_id, digest, $sCols FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         |            FROM s0sig WHERE doc_id NOT IN (SELECT doc_id FROM drop0))
+         |          WHERE rn = 1),
+         |idx1 AS (SELECT idig, $iCols FROM osig
+         |         UNION ALL SELECT digest AS idig, $sAsI FROM surv0),
+         |s1sig AS (SELECT doc_id, md5(text) AS digest,
+         |          ${sigList(i => s"s$i")}
+         |         FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM batch1)
+         |         GROUP BY doc_id, md5(text)),
+         |nb10 AS (${bandRows("s1sig", "doc_id", i => s"s$i")}),
+         |nb1 AS (${capped("nb10", "doc_id")}),
+         |ib10 AS (${bandRows("idx1", "idig", i => s"i$i")}),
+         |ib1 AS (${capped("ib10", "idig")}),
+         |cand1 AS (SELECT DISTINCT n.doc_id, i.idig
+         |          FROM nb1 n JOIN ib1 i ON n.band_idx = i.band_idx AND n.band_val = i.band_val),
+         |drop1 AS (SELECT DISTINCT c.doc_id
+         |          FROM cand1 c JOIN s1sig ns ON ns.doc_id = c.doc_id
+         |                       JOIN idx1 o ON o.idig = c.idig
+         |          WHERE ${agree(i => s"s$i", i => s"i$i")} >= 12)
+         |SELECT doc_id, digest FROM (
+         |  SELECT doc_id, digest, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+         |  FROM s1sig WHERE doc_id NOT IN (SELECT doc_id FROM drop1))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs   = t(spark, dir).documents.where(col("text").isNotNull)
+    val bucket = Sampling.hashBucket(col("doc_id"), "binc")
+    val old    = docs.where(bucket < "99").select("doc_id", "text")
+    val b0     = docs.where(bucket >= "99" && bucket < "cc").select("doc_id", "text")
+    val b1     = docs.where(bucket >= "cc").select("doc_id", "text")
+    val mut0 = old
+      .where(Sampling.hashBucket(col("doc_id"), "bclone0") < "33")
+      .select((col("doc_id") + 2000000L).as("doc_id"), concat(col("text"), lit(" xk1")).as("text"))
+    val mut1a = old
+      .where(Sampling.hashBucket(col("doc_id"), "bclone1") < "22")
+      .select((col("doc_id") + 3000000L).as("doc_id"), concat(col("text"), lit(" xk2")).as("text"))
+    val mut1b = b0
+      .where(Sampling.hashBucket(col("doc_id"), "bclone2") < "55")
+      .select((col("doc_id") + 4000000L).as("doc_id"), concat(col("text"), lit(" xk3")).as("text"))
+    val batch0 = b0.unionByName(mut0)
+    val batch1 = b1.unionByName(mut1a).unionByName(mut1b)
+    // a fresh index dir per run: the query IS the ingest pipeline, so
+    // each evaluation bootstraps, ingests, appends, and re-ingests
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_q134_banded").toString
+    Dedup.writeBandedNearDupIndex(
+      old, "doc_id", "text", ixDir,
+      bands = 4, rowsPerBand = 4, family = Dedup.Md5, nBuckets = 8)
+    val s0 = Dedup.incrementalNearDupNewBanded(
+      batch0, "doc_id", "text", ixDir, simTau = 0.75, beforeBatch = Some(0L))
+    Dedup.appendBandedNearDupIndex(
+      s0.select("doc_id").join(batch0, Seq("doc_id")), "doc_id", "text", ixDir, batchId = 0L)
+    Dedup
+      .incrementalNearDupNewBanded(
+        batch1, "doc_id", "text", ixDir, simTau = 0.75, beforeBatch = Some(1L))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB nibble-fold of the salted md5 u32 over an arbitrary SQL key
     * expression (the q92 trick, generalized): `u32(md5(salt || '|' ||
     * key))`.
@@ -2354,5 +2487,6 @@ object TextQueries {
     q116ShardSummary,
     q117IncrementalIngest,
     q125IncrementalNeardup,
+    q134BandedNeardupIngest,
     q119SpanCorrupt)
 }

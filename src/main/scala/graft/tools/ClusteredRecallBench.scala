@@ -124,16 +124,25 @@ object ClusteredRecallBench {
       (exactPairs intersect approx).size.toDouble / exactPairs.size
     }
 
+    val autoT = graft.llm.AnnBuckets.autoTables(n)
     for (seed <- Seq(42L, 7L, 1234L)) {
       val t0  = System.nanoTime()
       val lsh = recallOf(graft.llm.AnnBuckets
         .approxTopK(emb, "vec_id", "embedding", k = k, nTables = 4, seed = seed))
-      val t1  = System.nanoTime()
+      val t1 = System.nanoTime()
+      // the Auto-tables path (autoTables compensates autoBits' recall
+      // decay — VERDICT r12 item 3); candidate volume printed so the
+      // growth stays visibly ~n·log-ish, not quadratic
+      val lshAuto = recallOf(graft.llm.AnnBuckets
+        .approxTopK(emb, "vec_id", "embedding", k = k,
+          nTables = graft.llm.AnnBuckets.Auto, seed = seed))
+      val t2  = System.nanoTime()
       val ivf = recallOf(graft.llm.IvfIndex
         .approxTopK(emb, "vec_id", "embedding", k = k, nProbe = 3, seed = seed.toInt))
-      val t2 = System.nanoTime()
-      println(f"[clustered] recall@5 seed=$seed lsh_auto=$lsh%.3f (${(t1 - t0) / 1e9}%.1f s) " +
-        f"ivf_auto=$ivf%.3f (${(t2 - t1) / 1e9}%.1f s)")
+      val t3 = System.nanoTime()
+      println(f"[clustered] recall@5 seed=$seed lsh_t4=$lsh%.3f (${(t1 - t0) / 1e9}%.1f s) " +
+        f"lsh_autoT=$lshAuto%.3f tables=$autoT (${(t2 - t1) / 1e9}%.1f s) " +
+        f"ivf_auto=$ivf%.3f (${(t3 - t2) / 1e9}%.1f s)")
     }
 
     // ── q120 / q130: tuple overlap vs the exact miners ────────────────
@@ -149,15 +158,16 @@ object ClusteredRecallBench {
       val exactTr = tripletsOf(graft.llm.EmbeddingStats
         .trainingTriplets(emb, "vec_id", "cluster", "embedding", tau = tau))
       // nTables is the miners' recall knob — sweep it so the table shows
-      // the operating curve, not one point
-      for (nt <- Seq(4, 8, 16)) {
+      // the operating curve, not one point; Auto resolves via autoTables
+      for (nt <- Seq(4, 8, 16, graft.llm.AnnBuckets.Auto)) {
+        val label = if (nt == graft.llm.AnnBuckets.Auto) s"auto($autoT)" else nt.toString
         val approxHn = pairsOf(graft.llm.EmbeddingStats
           .hardNegativesApprox(emb, "vec_id", "cluster", "embedding", tau = tau, k = 3,
             nTables = nt))
         val approxTr = tripletsOf(graft.llm.EmbeddingStats
           .trainingTripletsApprox(emb, "vec_id", "cluster", "embedding", tau = tau,
             nTables = nt))
-        println(f"[clustered] tables=$nt%-2d q120 hard-negative overlap=" +
+        println(f"[clustered] tables=$label%-8s q120 hard-negative overlap=" +
           f"${(exactHn intersect approxHn).size.toDouble / math.max(1, exactHn.size)}%.3f " +
           s"(exact=${exactHn.size} approx=${approxHn.size}) " +
           f"| q130 triplet overlap=" +
@@ -179,6 +189,12 @@ object ClusteredRecallBench {
     val agree = (n - ((exactKp diff apxKp) ++ (apxKp diff exactKp)).size).toDouble / n
     println(f"[clustered] q132 semdedup keep agreement=$agree%.3f " +
       s"(exact keeps ${exactKp.size}, approx ${apxKp.size})")
+    val apxKpA = kept(graft.llm.SemDedup
+      .keepFlagsApprox(emb, "vec_id", "embedding", tau = semTau,
+        nTables = graft.llm.AnnBuckets.Auto))
+    val agreeA = (n - ((exactKp diff apxKpA) ++ (apxKpA diff exactKp)).size).toDouble / n
+    println(f"[clustered] q132 semdedup keep agreement (auto tables=$autoT)=$agreeA%.3f " +
+      s"(approx ${apxKpA.size})")
     spark.stop()
   }
 }

@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   *        [sigma=0.4] [seed=2026]
   */
 object GenClusteredEmb {
+
+  /** The fixture frame itself — seed-deterministic (driver-seeded centers
+    * + Spark's seeded `randn` noise), so a ScalaTest gate can regenerate
+    * the exact geometry in-memory without a committed parquet blob
+    * (ClusteredRecallSpec does; the Auto-path recall floors run on this).
+    */
+  def clustered(
+      spark: SparkSession,
+      n: Long,
+      nClusters: Int = 1000,
+      dims: Int = 64,
+      sigma: Double = 0.4,
+      seed: Long = 2026L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // centers are O(nClusters × dims) driver state — 64k doubles at the
+    // defaults — broadcast-joined onto the points
+    val rnd = new scala.util.Random(seed)
+    val centers = (0 until nClusters)
+      .map(c => (c.toLong, Seq.fill(dims)(rnd.nextGaussian())))
+      .toDF("cluster", "center")
+    spark
+      .range(0, n, 1, 32)
+      .select(
+        col("id").as("vec_id"),
+        pmod(col("id"), lit(nClusters.toLong)).as("cluster"),
+        array((0 until dims).map(i => randn(seed * 7919L + i) * lit(sigma)): _*).as("noise"))
+      .join(broadcast(centers), Seq("cluster"))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        zip_with(col("center"), col("noise"), (c, e) => c + e).as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir    = args(0)
     val n         = args(1).toLong
@@ -43,28 +76,9 @@ object GenClusteredEmb {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    // centers are O(nClusters × dims) driver state — 64k doubles at the
-    // defaults — broadcast-joined onto the points
-    val rnd = new scala.util.Random(seed)
-    val centers = (0 until nClusters)
-      .map(c => (c.toLong, Seq.fill(dims)(rnd.nextGaussian())))
-      .toDF("cluster", "center")
-
-    val pts = spark
-      .range(0, n, 1, 32)
-      .select(
-        col("id").as("vec_id"),
-        pmod(col("id"), lit(nClusters.toLong)).as("cluster"),
-        array((0 until dims).map(i => randn(seed * 7919L + i) * lit(sigma)): _*).as("noise"))
-      .join(broadcast(centers), Seq("cluster"))
-      .select(
-        col("vec_id"),
-        col("cluster"),
-        zip_with(col("center"), col("noise"), (c, e) => c + e).as("embedding"))
-
-    pts.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    clustered(spark, n, nClusters, dims, sigma, seed)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     println(s"[genclustered] wrote $n vectors / $nClusters clusters / dims=$dims " +
       s"sigma=$sigma -> $outDir/embeddings.parquet")
     spark.stop()
