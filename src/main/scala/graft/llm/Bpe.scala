@@ -291,6 +291,17 @@ object Bpe {
     * chain is ONE projection of nested `replace`s (narrow, codegen'd, no
     * checkpoints): each round is O(chars), so applying k merges costs k
     * linear scans of the doc string, not k array rebuilds.
+    *
+    * DELIBERATELY not ported to the token-table kernel (VERDICT r12
+    * item 7, measured by `tools/BpeEncodeProbe` at sf10 / 500 k docs):
+    * the encode half costs 1.6–1.8 s against the trainer's 8–13 s — a
+    * shuffle-free single projection whose best-case port saves ~1 s
+    * while adding a vocab dictionary collect, per-doc int re-encode,
+    * and a second bit-parity spec to maintain. The trainer ported
+    * because it rescans the corpus once PER ROUND with a count shuffle
+    * each time (8× the scan cost, 37 → 8 s); the encoder scans once
+    * total. Revisit only if merge chains grow 10× (k linear scans of
+    * the packed string eventually lose to one re-encode + k int scans).
     */
   def applyMerges(
       docs: DataFrame,

@@ -371,10 +371,11 @@ object SemDedup {
     * cells to multi-table LSH buckets ([[AnnBuckets.candidatePairs]]),
     * the q118 → q120 / q129 → q130 upgrade applied to semantic dedup.
     *
-    * ROUTING (measured, round 12 — BENCH_SF1.md "SemDedup crossover"):
-    * since [[keepFlags]] gained the `maxPrevRefs` prefix cap, the capped
-    * EXACT path is the faster one at fixture scales — 4.6–6.2 s vs this
-    * path's 9.4–14.6 s on the same 2 M-vector sf10 embeddings — because
+    * ROUTING (measured, rounds 12–13 — BENCH_SF1.md "SemDedup
+    * crossover"): since [[keepFlags]] gained the `maxPrevRefs` prefix
+    * cap, the capped EXACT path is the faster one at fixture scales —
+    * 4.8–5.3 s vs this path's 9.8–14.9 s on the same 200 k-vector sf10
+    * embeddings — because
     * the capped scan is one shuffle + a linear streamed kernel while this
     * path pays nTables explode-shuffles plus a pair-level group-by. Use
     * the capped exact path below the cell-saturation point (√n cells
