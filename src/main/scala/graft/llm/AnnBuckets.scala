@@ -144,10 +144,20 @@ object AnnBuckets {
     * ([[graft.llm.EmbeddingStats.hardNegativesApprox]]).
     *
     * Cosine is computed INSIDE each table's bucket join so only
-    * (a_id, b_id, cos_sim) crosses the union/dedup shuffle — never the
+    * (a_id, b_id, cos_sim) crosses the dedup shuffle — never the
     * embedding arrays (at 64 dims that's a ~30× smaller shuffle). The
     * join emits BOTH directions of each pair (a×b with a ≠ b), so
     * consumers get anchor→neighbour rows without a symmetrize explode.
+    *
+    * All `nTables` tables ride ONE self-join: a `posexplode` projection
+    * emits each vector once per table under the combined key
+    * `tb = tbl · 2^bits + bucket` (the [[writeBuckets]] layout), so the
+    * base is scanned twice total instead of 2·nTables times and the
+    * candidate stage is a single shuffle instead of nTables join stages
+    * plus a union — same aggregate shuffle volume, far fewer jobs, and
+    * one join for AQE to skew-split. The pair SET is identical to the
+    * per-table formulation: joining on `tb` is joining per (table,
+    * bucket), and cross-table duplicates fall to the same dedup.
     *
     * @param e (vec_id, emb: array&lt;double&gt;, nrm) — the normalized base
     *          projection
@@ -157,22 +167,29 @@ object AnnBuckets {
       bits: Int,
       dims: Int,
       nTables: Int,
-      seed: Long): DataFrame =
-    (0 until nTables)
-      .map { t =>
-        val bucketed = withBucket(e, "emb", bits, dims, seed + t)
-        val a = bucketed.select(
-          col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-        val b = bucketed.select(
-          col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
-          .select(
-            col("a_id"),
-            col("b_id"),
-            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
-      }
-      .reduce(_ unionByName _)
+      seed: Long): DataFrame = {
+    val exploded = e.select(
+      posexplode(array((0 until nTables).map(t =>
+        bucketCol(col("emb"), bits, dims, seed + t)): _*)).as(Seq("tbl", "bucket")),
+      col("vec_id"),
+      col("emb"),
+      col("nrm"))
+      .select(
+        (col("tbl") * (1 << bits) + col("bucket")).as("tb"),
+        col("vec_id"),
+        col("emb"),
+        col("nrm"))
+    val a = exploded.select(
+      col("tb"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = exploded.select(
+      col("tb"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("tb")).where(col("a_id") =!= col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
       .dropDuplicates("a_id", "b_id")
+  }
 
   /** One row per (table, bucket) with the combined partition key
     * `tb = tbl · 2^nBits + bucket`.
