@@ -149,20 +149,52 @@ object AnnBuckets {
     * join emits BOTH directions of each pair (a×b with a ≠ b), so
     * consumers get anchor→neighbour rows without a symmetrize explode.
     *
-    * All `nTables` tables ride ONE self-join: a `posexplode` projection
-    * emits each vector once per table under the combined key
-    * `tb = tbl · 2^bits + bucket` (the [[writeBuckets]] layout), so the
-    * base is scanned twice total instead of 2·nTables times and the
-    * candidate stage is a single shuffle instead of nTables join stages
-    * plus a union — same aggregate shuffle volume, far fewer jobs, and
-    * one join for AQE to skew-split. The pair SET is identical to the
-    * per-table formulation: joining on `tb` is joining per (table,
-    * bucket), and cross-table duplicates fall to the same dedup.
+    * One self-join per table, unioned — deliberately NOT the fused
+    * single-join form ([[candidatePairsFused]]): an A/B at sf10
+    * (n = 200 k, auto bits = 11, tables = 13, `tools/FusionProbe`)
+    * measured the per-table union at 94–125 s vs the fused join's
+    * 164–174 s for the identical 371 M-pair output, and the fusion
+    * regressed production `SemDedup.keepFlagsApprox` 9.8–14.9 s →
+    * 45–53 s. Fewer jobs lost to one oversized sort: the fused form
+    * sorts nTables·n embedding-carrying rows per join side in a single
+    * exchange, while the per-table joins each sort n rows — and at
+    * scale the sort, not the job count, is the bottleneck.
     *
     * @param e (vec_id, emb: array&lt;double&gt;, nrm) — the normalized base
     *          projection
     */
-  private[llm] def candidatePairs(
+  private[graft] def candidatePairs(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      nTables: Int,
+      seed: Long): DataFrame =
+    (0 until nTables)
+      .map { t =>
+        val bucketed = withBucket(e, "emb", bits, dims, seed + t)
+        val a = bucketed.select(
+          col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = bucketed.select(
+          col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
+          .select(
+            col("a_id"),
+            col("b_id"),
+            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      }
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_id", "b_id")
+
+  /** The fused alternative to [[candidatePairs]]: all `nTables` tables
+    * ride ONE self-join via a `posexplode` projection under the combined
+    * key `tb = tbl · 2^bits + bucket` (the [[writeBuckets]] layout). Kept
+    * because the pair-set parity is spec-pinned and the measurement is a
+    * real finding (see [[candidatePairs]]): same output, 1.4–1.8× slower
+    * at sf10 because one exchange sorting nTables·n embedding-carrying
+    * rows costs more than nTables sorts of n rows each. Not used by any
+    * production path.
+    */
+  private[graft] def candidatePairsFused(
       e: DataFrame,
       bits: Int,
       dims: Int,
