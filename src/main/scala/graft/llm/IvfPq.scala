@@ -224,6 +224,79 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
+  /** Persist an ALREADY-BUILT index and its encoded corpus in the
+    * GENERATIONAL layout: `cells/cell=<id>/src_batch=<b>/` — the
+    * [[writeIndex]] cell partitioning with a batch generation underneath,
+    * so incremental ingest ([[appendToIndex]]) can add or replay a batch
+    * by (over)writing only that batch's partitions. Probe filters still
+    * prune statically on `cell` (the outer directory level); the
+    * generation level only scopes writes. Takes a pre-built index so a
+    * relational (seed-pinned) quantizer can be persisted as easily as a
+    * Lloyd-trained one.
+    */
+  def writeIndexGen(
+      idx: IvfPqIndex,
+      encoded: DataFrame,
+      outDir: String,
+      srcBatch: Long = 0L): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded
+      .withColumn("src_batch", lit(srcBatch))
+      .write.partitionBy("cell", "src_batch").mode("overwrite").parquet(s"$outDir/cells")
+    idx.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    (for {
+      s <- 0 until idx.cb.m
+      c <- idx.cb.books(s).indices
+    } yield (s, c, idx.cb.labels(s)(c), idx.cb.books(s)(c).toSeq))
+      .toDF("subspace", "code", "label", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
+  /** Incremental IVFADC ingest: encode a NEW batch against a persisted
+    * index's FROZEN centroids and codebooks ([[encodeForIndex]] — no
+    * retrain, no history re-read) and append its code rows as generation
+    * `srcBatch` of the [[writeIndexGen]] layout. Dynamic partition
+    * overwrite replaces exactly this batch's `(cell, src_batch)`
+    * directories, so replaying a batch is idempotent — the q117/q125
+    * ingest contract applied to the ANN index family. At 100 TB this is
+    * the only index-maintenance shape that works: the history is never
+    * re-encoded, the write touches ≤ nCells directories, and serving
+    * reads the probed cells across all generations via the same static
+    * pruning as a single-generation index.
+    *
+    * Frozen-quantizer drift is the caller's trade: appended batches are
+    * encoded in the batch-0 geometry (standard FAISS practice); retrain
+    * + full rebuild when reconstruction error on new batches degrades.
+    */
+  def appendToIndex(
+      indexDir: String,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      srcBatch: Long): Unit = {
+    val spark  = emb.sparkSession
+    val schema = spark.read.parquet(s"$indexDir/cells").schema
+    require(
+      schema.fieldNames.contains("src_batch"),
+      s"IVFADC index at $indexDir uses the single-generation layout (no src_batch partition " +
+        "level); appendToIndex needs the generational layout — rebuild it with writeIndexGen " +
+        "(writeIndex output stays valid for loadIndex/topK serving, only ingest requires v2)")
+    val loaded = loadIndex(indexDir, spark)
+    encodeForIndex(emb, idCol, vecCol, loaded.index)
+      .withColumn("src_batch", lit(srcBatch))
+      .write
+      .partitionBy("cell", "src_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/cells")
+  }
+
   /** Query a [[writeIndex]] index: sidecars rebuild the in-memory
     * [[IvfPqIndex]] (O(nCells + m·k) driver rows), and [[topK]]'s probe
     * filter over the partitioned cell table executes as partition

@@ -968,11 +968,100 @@ object SimilarityQueries {
     }
   }
 
+  /** Incremental IVFADC index ingest ([[IvfPq.appendToIndex]]): the
+    * q117/q125/q134 never-re-read-history ingest contract applied to the
+    * ANN index family. Bootstrap generation 0 from the `old` split with a
+    * fully RELATIONAL pinned quantizer (q131's clauses: coarse centroids
+    * = 8 smallest-salted-md5 OLD embeddings, residual codebooks = the
+    * per-subspace seed pick over OLD residuals, `iters = 0`), persist it
+    * in the generational `cells/cell=<id>/src_batch=<b>/` layout, then
+    * append the new batch encoded against the FROZEN quantizer — no
+    * retrain, no history re-encode, dynamic overwrite of exactly the
+    * batch's partitions (replay-idempotent). The declared result is the
+    * index CONTENT read back through the persisted layout, so DuckDB
+    * replays the whole ingest: the batch split, the old-only seed picks,
+    * every vector's cell assignment and residual codes in batch-0
+    * geometry, and the generation tag.
+    */
+  val q135IvfPqIngest: Declared = {
+    val subCtes = (0 until 4).map { s =>
+      val lo = s * 16
+      s"""sub$s AS (SELECT vec_id, res[${lo + 1}:${lo + 16}] AS sub FROM r),
+         |sd$s AS (SELECT sub AS bvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
+         |          (SELECT t.vec_id, t.sub FROM sub$s t JOIN old o ON o.vec_id = t.vec_id
+         |           ORDER BY md5('pq135$s|' || CAST(t.vec_id AS VARCHAR)), t.vec_id LIMIT 8)),
+         |d$s AS (SELECT t.vec_id, s.code,
+         |          round(sqrt(greatest(list_dot_product(t.sub, t.sub)
+         |                 - 2 * list_dot_product(t.sub, s.bvec)
+         |                 + list_dot_product(s.bvec, s.bvec), 0)), 6) AS dist
+         |        FROM sub$s t CROSS JOIN sd$s s),
+         |a$s AS (SELECT vec_id, code FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
+         |        WHERE rn = 1)""".stripMargin
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |old AS (SELECT vec_id, emb FROM e
+         |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
+         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
+         |        (SELECT vec_id, emb FROM old
+         |         ORDER BY md5('ivfq135|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |ad AS (SELECT e.vec_id, c.cell,
+         |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
+         |                - 2 * list_dot_product(e.emb, c.cvec)
+         |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+         |       FROM e CROSS JOIN cs c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
+         |        WHERE rn = 1),
+         |r AS (SELECT e.vec_id, a.cell,
+         |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
+         |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
+         |${subCtes.mkString(",\n")}
+         |SELECT e.vec_id,
+         |       CAST(g.cell AS INTEGER) AS cell,
+         |       CAST(a0.code AS INTEGER) AS code0, CAST(a1.code AS INTEGER) AS code1,
+         |       CAST(a2.code AS INTEGER) AS code2, CAST(a3.code AS INTEGER) AS code3,
+         |       CAST(CASE WHEN o.vec_id IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS src_batch
+         |FROM e JOIN asg g USING (vec_id)
+         |       JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+         |       JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |       LEFT JOIN old o ON o.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    Declared.sql("q135_ivfpq_ingest", oracle) { (spark, dir) =>
+      val emb    = t(spark, dir).embeddings
+      val bucket = Sampling.hashBucket(col("vec_id"), "ivfinc")
+      val old    = emb.where(bucket < "aa")
+      val b1     = emb.where(bucket >= "aa")
+      val cents =
+        KMeans.initCentroids(old, "vec_id", "embedding", k = 8, salt = "ivfq135").map(_.vec)
+      val res = IvfPq.residualKernelFrame(old, "vec_id", "embedding", cents)
+      val cb  = Pq.train(res, "vec_id", "res", dims = 64, m = 4, k = 8, iters = 0, salt = "pq135")
+      val idx = IvfPq.IvfPqIndex(cents, cb)
+      // a fresh index dir per run: the query IS the ingest pipeline, so
+      // each evaluation bootstraps gen 0 and appends gen 1 (q134 pattern)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft_q135_ivfpq").toString
+      IvfPq.writeIndexGen(
+        idx, IvfPq.encodeForIndex(old, "vec_id", "embedding", idx), ixDir, srcBatch = 0L)
+      IvfPq.appendToIndex(ixDir, b1, "vec_id", "embedding", srcBatch = 1L)
+      spark.read
+        .parquet(s"$ixDir/cells")
+        .select(
+          col("vec_id"),
+          col("cell").cast("int").as("cell"),
+          col("code0"), col("code1"), col("code2"), col("code3"),
+          col("src_batch").cast("bigint").as("src_batch"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
-      q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn)
+      q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest)
 }

@@ -186,6 +186,79 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("generational ingest: frozen-quantizer append, replay idempotence, cross-gen serving") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_gen").toString
+    val old = emb.where(col("vec_id") % 3 =!= 0)
+    val b1  = emb.where(col("vec_id") % 3 === 0)
+    val (idx, encOld) = IvfPq.build(old, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    IvfPq.writeIndexGen(idx, encOld, dir, srcBatch = 0L)
+    IvfPq.appendToIndex(dir, b1, "vec_id", "embedding", srcBatch = 1L)
+
+    def content() = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        col("src_batch").cast("long"))
+      .as[(Long, Int, Int, Int, Int, Int, Long)].collect().toSeq.sorted
+
+    // appended generation = encodeForIndex against the FROZEN index, exactly
+    val afterFirst = content()
+    val expectB1 = IvfPq.encodeForIndex(b1, "vec_id", "embedding", idx)
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6, 1L)).sorted
+    assert(afterFirst.filter(_._7 == 1L) == expectB1,
+      "appended rows diverge from frozen-index encoding")
+    assert(afterFirst.filter(_._7 == 0L).map(_._1).toSet ==
+      old.select(col("vec_id").cast("long")).as[Long].collect().toSet,
+      "generation 0 must hold exactly the bootstrap corpus")
+
+    // replaying the batch overwrites ONLY its own partitions: content identical
+    IvfPq.appendToIndex(dir, b1, "vec_id", "embedding", srcBatch = 1L)
+    assert(content() == afterFirst, "batch replay must be idempotent")
+
+    // a loaded two-generation index serves identically to a single frame
+    // holding the union (same quantizer, so row-for-row the same codes)
+    val loaded = IvfPq.loadIndex(dir, spark)
+    val q = emb.where(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0).toArray
+    val unionEnc = IvfPq.encodeForIndex(emb, "vec_id", "embedding", idx)
+    TestSpark.assertFrameEqual(
+      IvfPq.topK(loaded.index, loaded.cells, q, k = 10, nProbe = 4),
+      IvfPq.topK(idx, unionEnc, q, k = 10, nProbe = 4))
+
+    // probe filters still prune statically on the OUTER cell level:
+    // nProbe=4 of 16 cells, each holding <= 2 generation dirs -> <= 8 leaf
+    // partitions scanned, never the 16-cell corpus
+    val res = IvfPq.topK(loaded.index, loaded.cells, q, k = 10, nProbe = 4)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_gen")))
+    assert(scans.nonEmpty, "no index scan found in the executed plan")
+    scans.foreach { s =>
+      val parts = s.selectedPartitions.partitionCount
+      assert(parts <= 8, s"expected <= 4 cells x 2 generations partitions, scan read $parts")
+    }
+  }
+
+  test("appendToIndex refuses the single-generation layout with a rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_v1guard").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(dir, emb.limit(5), "vec_id", "embedding", srcBatch = 1L)
+    }
+    assert(e.getMessage.contains("writeIndexGen"), s"guard must name the rebuild path: ${e.getMessage}")
+  }
+
   test("build and search are deterministic") {
     val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
