@@ -224,6 +224,57 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
   }
 
+  /** [[encodeForIndex]] plus the EXACT residual reconstruction error —
+    * `err = ‖res − decode(codes)‖` accumulated per subspace at the chosen
+    * code, in the same one-pass kernel. This is the frozen-quantizer
+    * drift signal: a batch whose distribution has moved away from the
+    * batch-0 geometry reconstructs worse, and the per-generation error
+    * trend ([[q135]]'s ingest story) is the retrain-and-rebuild trigger.
+    */
+  def encodeForIndexWithError(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarseC2s = index.centroids.map(c => c.map(x => x * x).sum)
+    val bookC2s   = index.cb.books.map(_.map(b => b.map(x => x * x).sum))
+    val bc        = spark.sparkContext.broadcast((index, coarseC2s, bookC2s))
+    emb
+      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ix, c2s, bC2s) = bc.value
+        val cb = ix.cb
+        it.map { case (id, v) =>
+          val cell = KMeans.nearestIndex(v, 0, v.length, ix.centroids, c2s)
+          val cen  = ix.centroids(cell)
+          val res  = Array.tabulate(v.length)(j => v(j) - cen(j))
+          val codes = new Array[Int](cb.m)
+          var errAcc = 0.0
+          var s = 0
+          while (s < cb.m) {
+            val code = KMeans.nearestIndex(res, s * cb.subDim, cb.subDim, cb.books(s), bC2s(s))
+            codes(s) = code
+            val book = cb.books(s)(code)
+            var i = 0
+            while (i < cb.subDim) {
+              val d = res(s * cb.subDim + i) - book(i)
+              errAcc += d * d
+              i += 1
+            }
+            s += 1
+          }
+          (id, cell, codes, math.sqrt(errAcc))
+        }
+      }
+      .toDF("vec_id", "cell", "__codes", "err")
+      .select(
+        col("vec_id") +: col("cell") +:
+          (0 until index.cb.m).map(s => col("__codes")(s).as(s"code$s")) :+ col("err"): _*)
+  }
+
   /** Persist an ALREADY-BUILT index and its encoded corpus in the
     * GENERATIONAL layout: `cells/cell=<id>/src_batch=<b>/` — the
     * [[writeIndex]] cell partitioning with a batch generation underneath,
@@ -280,21 +331,44 @@ object IvfPq {
       idCol: String,
       vecCol: String,
       srcBatch: Long): Unit = {
-    val spark  = emb.sparkSession
-    val schema = spark.read.parquet(s"$indexDir/cells").schema
-    require(
-      schema.fieldNames.contains("src_batch"),
-      s"IVFADC index at $indexDir uses the single-generation layout (no src_batch partition " +
-        "level); appendToIndex needs the generational layout — rebuild it with writeIndexGen " +
-        "(writeIndex output stays valid for loadIndex/topK serving, only ingest requires v2)")
-    val loaded = loadIndex(indexDir, spark)
-    encodeForIndex(emb, idCol, vecCol, loaded.index)
+    requireGenerationalLayout(indexDir, emb.sparkSession)
+    appendToIndexLoaded(indexDir, loadIndex(indexDir, emb.sparkSession).index, emb, idCol, vecCol,
+      srcBatch)
+  }
+
+  /** The [[appendToIndex]] write against an ALREADY-LOADED quantizer —
+    * the ingest-loop shape: the quantizer is FROZEN for the life of the
+    * index, so a loop loads it once and pays only the encode + write per
+    * batch (the sidecar collects and the layout guard are per-loop costs,
+    * not per-batch ones).
+    */
+  def appendToIndexLoaded(
+      indexDir: String,
+      index: IvfPqIndex,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      srcBatch: Long): Unit =
+    encodeForIndex(emb, idCol, vecCol, index)
       .withColumn("src_batch", lit(srcBatch))
       .write
       .partitionBy("cell", "src_batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$indexDir/cells")
+
+  /** Fail fast (naming the rebuild path) when the cells table lacks the
+    * `src_batch` generation level — the banded-index guard pattern.
+    */
+  def requireGenerationalLayout(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val schema = spark.read.parquet(s"$indexDir/cells").schema
+    require(
+      schema.fieldNames.contains("src_batch"),
+      s"IVFADC index at $indexDir uses the single-generation layout (no src_batch partition " +
+        "level); appendToIndex needs the generational layout — rebuild it with writeIndexGen " +
+        "(writeIndex output stays valid for loadIndex/topK serving, only ingest requires v2)")
   }
 
   /** Query a [[writeIndex]] index: sidecars rebuild the in-memory

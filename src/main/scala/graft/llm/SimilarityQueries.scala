@@ -1057,11 +1057,97 @@ object SimilarityQueries {
     }
   }
 
+  /** Frozen-quantizer drift report ([[IvfPq.encodeForIndexWithError]]):
+    * per-generation residual reconstruction error in the batch-0
+    * geometry — q135's retrain-and-rebuild trigger made a declared query.
+    * A batch whose distribution moved away from the bootstrap geometry
+    * reconstructs worse; monitoring `mean_err` by `src_batch` is how an
+    * operator decides when the frozen-quantizer trade has expired. Same
+    * pinned relational quantizer as q135, so DuckDB replays the whole
+    * signal: old-only seed picks, frozen-geometry assignment + codes (by
+    * ROUNDED distance, the kernel contract), and the EXACT unrounded
+    * error at the chosen codes aggregated per generation.
+    */
+  val q136IvfPqDrift: Declared = {
+    val subCtes = (0 until 4).map { s =>
+      val lo = s * 16
+      s"""sub$s AS (SELECT vec_id, res[${lo + 1}:${lo + 16}] AS sub FROM r),
+         |sd$s AS (SELECT sub AS bvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
+         |          (SELECT t.vec_id, t.sub FROM sub$s t JOIN old o ON o.vec_id = t.vec_id
+         |           ORDER BY md5('pq135$s|' || CAST(t.vec_id AS VARCHAR)), t.vec_id LIMIT 8)),
+         |d$s AS (SELECT t.vec_id, s.code,
+         |          greatest(list_dot_product(t.sub, t.sub)
+         |                 - 2 * list_dot_product(t.sub, s.bvec)
+         |                 + list_dot_product(s.bvec, s.bvec), 0) AS d2,
+         |          round(sqrt(greatest(list_dot_product(t.sub, t.sub)
+         |                 - 2 * list_dot_product(t.sub, s.bvec)
+         |                 + list_dot_product(s.bvec, s.bvec), 0)), 6) AS dist
+         |        FROM sub$s t CROSS JOIN sd$s s),
+         |a$s AS (SELECT vec_id, code, d2 FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
+         |        WHERE rn = 1)""".stripMargin
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |old AS (SELECT vec_id, emb FROM e
+         |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
+         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
+         |        (SELECT vec_id, emb FROM old
+         |         ORDER BY md5('ivfq135|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |ad AS (SELECT e.vec_id, c.cell,
+         |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
+         |                - 2 * list_dot_product(e.emb, c.cvec)
+         |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+         |       FROM e CROSS JOIN cs c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
+         |        WHERE rn = 1),
+         |r AS (SELECT e.vec_id, a.cell,
+         |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
+         |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
+         |${subCtes.mkString(",\n")},
+         |v AS (SELECT r.vec_id,
+         |        CASE WHEN o.vec_id IS NOT NULL THEN 0 ELSE 1 END AS src_batch,
+         |        sqrt(a0.d2 + a1.d2 + a2.d2 + a3.d2) AS err
+         |      FROM r JOIN a0 USING (vec_id) JOIN a1 USING (vec_id)
+         |             JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |             LEFT JOIN old o ON o.vec_id = r.vec_id)
+         |SELECT CAST(src_batch AS BIGINT) AS src_batch,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(err), 6) AS mean_err,
+         |       round(max(err), 6) AS max_err
+         |FROM v GROUP BY src_batch ORDER BY src_batch""".stripMargin
+    Declared.sql("q136_ivfpq_drift", oracle) { (spark, dir) =>
+      val emb    = t(spark, dir).embeddings
+      val bucket = Sampling.hashBucket(col("vec_id"), "ivfinc")
+      val old    = emb.where(bucket < "aa")
+      val cents =
+        KMeans.initCentroids(old, "vec_id", "embedding", k = 8, salt = "ivfq135").map(_.vec)
+      val res = IvfPq.residualKernelFrame(old, "vec_id", "embedding", cents)
+      val cb  = Pq.train(res, "vec_id", "res", dims = 64, m = 4, k = 8, iters = 0, salt = "pq135")
+      val idx = IvfPq.IvfPqIndex(cents, cb)
+      IvfPq
+        .encodeForIndexWithError(emb, "vec_id", "embedding", idx)
+        .withColumn(
+          "src_batch",
+          when(Sampling.hashBucket(col("vec_id"), "ivfinc") < "aa", 0L).otherwise(1L))
+        .groupBy("src_batch")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("err")), 6).as("mean_err"),
+          round(max(col("err")), 6).as("max_err"))
+        .orderBy("src_batch")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
       q82CovarianceMatrix, q95RobustScale, q96PcaProject, q112HybridRerank, q114RrfFusion,
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
-      q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest)
+      q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest,
+      q136IvfPqDrift)
 }

@@ -392,6 +392,73 @@ object StreamingOps {
       vecCol: String = "embedding"): DataFrame =
     graft.llm.IvfPq.encodeForIndex(embeddings, idCol, vecCol, index)
 
+  /** STREAMING IVFADC index maintenance — [[nearDupIngestStream]]'s loop
+    * shape applied to the ANN index family: each micro-batch of
+    * embeddings is encoded against the index's FROZEN quantizer (loaded
+    * ONCE, before the loop — the quantizer never changes for the life of
+    * the index) and appended as its own `src_batch=<batch id>` generation
+    * ([[graft.llm.IvfPq.appendToIndexLoaded]]). Exactly-once comes free:
+    * the append is a dynamic-partition overwrite of exactly the batch's
+    * `(cell, src_batch)` directories, so a crash-replayed micro-batch
+    * rewrites the same partitions instead of duplicating code rows —
+    * no dedup state, no transaction log. Unlike the near-dup loop there
+    * is no read-back dependency between batches (appends are pure
+    * writes), so the loop is embarrassingly sequential-safe.
+    * StreamingSpec pins stream ≡ sequential batch application and
+    * replay idempotence.
+    *
+    * `baseGen` maps micro-batch ids (0, 1, …) into the index's
+    * generation space as `src_batch = baseGen + id`. It must be FIXED
+    * per checkpoint (the default 1 leaves generation 0 to the
+    * [[graft.llm.IvfPq.writeIndexGen]] bootstrap): checkpoint-stable ids
+    * + a fixed base is what makes a crash replay land on its ORIGINAL
+    * generation. Starting a NEW checkpoint against an index with prior
+    * stream generations requires bumping `baseGen` past them — a
+    * collision would silently overwrite an old generation, so the loop
+    * fails fast if `baseGen` does not clear the existing max.
+    */
+  def ivfPqIngestStream(
+      embeddings: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = embeddings.sparkSession
+    graft.llm.IvfPq.requireGenerationalLayout(indexDir, spark)
+    // fresh = no committed batch ids yet: Structured Streaming writes
+    // `offsets/` on the first micro-batch, so its absence (not the
+    // directory's — callers routinely pre-create the checkpoint dir)
+    // is what marks a restarting-from-zero id space
+    val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
+    if (freshCheckpoint) {
+      // only a FRESH checkpoint needs the collision guard: an existing
+      // checkpoint's replayed ids are SUPPOSED to land on generations
+      // they already wrote
+      val maxGen = spark.read
+        .parquet(s"$indexDir/cells")
+        .agg(max(col("src_batch").cast("long")))
+        .collect()(0)
+        .getLong(0)
+      require(
+        baseGen > maxGen,
+        s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) at " +
+          s"$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must clear every " +
+          "generation already in the index or replays would overwrite history")
+    }
+    val frozen = graft.llm.IvfPq.loadIndex(indexDir, spark).index
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.llm.IvfPq
+          .appendToIndexLoaded(indexDir, frozen, batch.toDF(), idCol, vecCol,
+            srcBatch = baseGen + id)
+        ()
+      }
+      .start()
+  }
+
   /** ONLINE IVFADC scoring — the serve half of the residual-PQ story
     * next to [[ivfPqEncodeStream]]'s ingest half: each embedding arriving
     * on the stream is a QUERY scored against the persisted encoded corpus

@@ -250,6 +250,49 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeForIndexWithError: codes match encodeForIndex, err is the decoded-residual " +
+    "distance, planted drift is visible") {
+    val (idx, _) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val withErr = IvfPq.encodeForIndexWithError(emb, "vec_id", "embedding", idx)
+    TestSpark.assertFrameEqual(
+      withErr.select("vec_id", "cell", "code0", "code1", "code2", "code3"),
+      IvfPq.encodeForIndex(emb, "vec_id", "embedding", idx))
+    // err reference: rebuild ‖res − decode(codes)‖ driver-side from the
+    // emitted (cell, codes) against the raw vectors
+    val raw = emb.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    withErr
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("code0"), col("code1"), col("code2"), col("code3"), col("err"))
+      .as[(Long, Int, Int, Int, Int, Int, Double)]
+      .collect()
+      .foreach { case (id, cell, c0, c1, c2, c3, err) =>
+        val v      = raw(id)
+        val cen    = idx.centroids(cell)
+        val res    = Array.tabulate(v.length)(j => v(j) - cen(j))
+        val codes  = Array(c0, c1, c2, c3)
+        val sub    = idx.cb.subDim
+        val refErr = math.sqrt((0 until idx.cb.m).map { s =>
+          val book = idx.cb.books(s)(codes(s))
+          (0 until sub).map { i =>
+            val d = res(s * sub + i) - book(i)
+            d * d
+          }.sum
+        }.sum)
+        assert(math.abs(err - refErr) < 1e-9, s"vec $id: err=$err ref=$refErr")
+      }
+    // planted drift: a uniformly shifted batch reconstructs worse in the
+    // frozen geometry — the retrain trigger the drift report watches
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double =
+      IvfPq.encodeForIndexWithError(df, "vec_id", "embedding", idx)
+        .agg(avg(col("err"))).collect()(0).getDouble(0)
+    val shifted = emb.select(
+      col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.75)).as("embedding"))
+    assert(meanErr(shifted) > meanErr(emb) * 1.05,
+      "shifted batch must reconstruct measurably worse than the training distribution")
+  }
+
   test("appendToIndex refuses the single-generation layout with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_v1guard").toString
     IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)

@@ -320,6 +320,72 @@ class StreamingSpec extends AnyFunSuite {
       s"wrong error: ${err.getMessage}")
   }
 
+  test("streaming IVFADC ingest loop: generations land by batch id, restart is a no-op, " +
+    "colliding baseGen fails fast") {
+    import spark.implicits._
+    import graft.llm.IvfPq
+    val emb  = graft.core.Tables(spark, dir).embeddings
+    val boot = emb.where(col("vec_id") % 3 === 0)
+    val b1   = emb.where(col("vec_id") % 3 === 1)
+    val b2   = emb.where(col("vec_id") % 3 === 2)
+    val (idx, encBoot) =
+      IvfPq.build(boot, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val ixDir = java.nio.file.Files.createTempDirectory("ivfpq_ingest_idx").toString
+    IvfPq.writeIndexGen(idx, encBoot, ixDir, srcBatch = 0L)
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfpq_ingest_in").toString
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+    val cp = java.nio.file.Files.createTempDirectory("ivfpq_ingest_cp").toString
+    val q = StreamingOps.ivfPqIngestStream(
+      StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp)
+    try q.processAllAvailable() finally q.stop()
+
+    def content() = spark.read.parquet(s"$ixDir/cells")
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("code0"), col("code1"), col("code2"), col("code3"), col("src_batch").cast("long"))
+      .as[(Long, Int, Int, Int, Int, Int, Long)].collect().toSeq.sorted
+    val after = content()
+
+    // stream ≡ sequential batch application against the FROZEN quantizer:
+    // bootstrap stays generation 0, the two one-file micro-batches land as
+    // baseGen(1) + {0, 1}; which file becomes which batch id is the
+    // source's enumeration order, so compare generation CONTENT as sets
+    def encSet(df: org.apache.spark.sql.DataFrame) =
+      IvfPq.encodeForIndex(df, "vec_id", "embedding", idx)
+        .select(col("vec_id").cast("long"), col("cell").cast("int"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .as[(Long, Int, Int, Int, Int, Int)].collect().toSet
+    assert(after.map(_._7).toSet == Set(0L, 1L, 2L),
+      s"expected generations {0,1,2}, got ${after.map(_._7).toSet}")
+    val gen0 = after.filter(_._7 == 0L).map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet
+    val streamed = after.filter(_._7 >= 1L).map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet
+    assert(gen0 == encSet(boot), "generation 0 must stay the untouched bootstrap")
+    assert(streamed == encSet(b1) ++ encSet(b2),
+      "streamed generations must be the frozen-quantizer encoding of the two batches")
+
+    // restart on the SAME checkpoint: nothing left to process, index unchanged
+    val q2 = StreamingOps.ivfPqIngestStream(
+      StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(content() == after, "restart on the same checkpoint must not change the index")
+
+    // a NEW checkpoint restarts batch ids at 0 — the default baseGen=1 now
+    // collides with the existing generations and must fail fast
+    val cp2 = java.nio.file.Files.createTempDirectory("ivfpq_ingest_cp2").toString
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.ivfPqIngestStream(
+        StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp2)
+    }
+    assert(err.getMessage.contains("baseGen"), s"wrong error: ${err.getMessage}")
+    // cleared past the max, the new checkpoint re-ingests into fresh generations
+    val q3 = StreamingOps.ivfPqIngestStream(
+      StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp2,
+      baseGen = 3L)
+    try q3.processAllAvailable() finally q3.stop()
+    val gens = content().map(_._7).toSet
+    assert(gens == Set(0L, 1L, 2L, 3L, 4L), s"expected generations {0..4}, got $gens")
+  }
+
   test("streaming IVFADC encode matches the batch encoder and the build pipeline") {
     import graft.llm.IvfPq
     val emb = graft.core.Tables(spark, dir).embeddings
