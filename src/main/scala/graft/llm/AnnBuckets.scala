@@ -113,7 +113,8 @@ object AnnBuckets {
       nBits: Int = Auto,
       dims: Int = 64,
       nTables: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nProbes: Int = 0): DataFrame = {
     val e = emb
       .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -129,7 +130,9 @@ object AnnBuckets {
       }
     val tables = if (nTables != Auto) nTables else autoTables(n)
 
-    val candidates = candidatePairs(e, bits, dims, tables, seed)
+    val candidates =
+      if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
+      else candidatePairs(e, bits, dims, tables, seed)
 
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     candidates
@@ -184,6 +187,106 @@ object AnnBuckets {
       }
       .reduce(_ unionByName _)
       .dropDuplicates("a_id", "b_id")
+
+  /** Per-vector MULTI-PROBE set (Lv et al. 2007, VLDB: "Multi-probe LSH"):
+    * the vector's own sign-bit bucket plus the `nProbes` buckets reached
+    * by flipping the hyperplanes with the SMALLEST |margin| — the planes
+    * the vector sits closest to, i.e. the flips most likely to hold its
+    * true neighbours. Probing buys recall the way extra tables do, but a
+    * probe costs one extra join ROW where a table costs a whole extra
+    * index copy (memory, build, its own join) — so T tables × P probes
+    * reaches the recall of ~T·(P+1) plain tables at T tables' footprint.
+    *
+    * A mapPartitions kernel, not a Column: the probe set needs all nBits
+    * dot products THREE times over (bucket, margins, flips) and at auto
+    * scale (24 bits × 64 dims) the duplicated expression tree risks the
+    * 64 KB codegen limit's silent-interpretation fallback; the kernel
+    * computes the dots once. Bit-parity with [[bucketCol]] is spec-pinned
+    * (same left-to-right dot, same `> 0` sign rule); flip order ties
+    * break on plane index (equivalently its power-of-two, both
+    * monotonic), matching the declared oracle's `ORDER BY abs(d), p`.
+    *
+    * @param e (vec_id, emb: array&lt;double&gt;, nrm) — the normalized base
+    *          projection
+    */
+  private[graft] def probesFrame(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      seed: Long,
+      nProbes: Int): DataFrame = {
+    require(nProbes >= 0 && nProbes <= bits, s"nProbes=$nProbes must be in [0, bits=$bits]")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(planes(bits, dims, seed))
+    e.select(col("vec_id").cast("long"), col("emb"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val ps = bc.value
+        val nb = ps.length
+        it.map { case (id, v, nrm) =>
+          val dots   = new Array[Double](nb)
+          var bucket = 0
+          var b      = 0
+          while (b < nb) {
+            val p = ps(b)
+            var s = 0.0
+            var i = 0
+            while (i < p.length) { s += v(i) * p(i); i += 1 }
+            dots(b) = s
+            if (s > 0) bucket |= (1 << b)
+            b += 1
+          }
+          val order  = Array.range(0, nb).sortBy(i => (math.abs(dots(i)), i))
+          val probes = new Array[Int](nProbes + 1)
+          probes(0) = bucket
+          var k = 0
+          while (k < nProbes) { probes(k + 1) = bucket ^ (1 << order(k)); k += 1 }
+          (id, v, nrm, probes)
+        }
+      }
+      .toDF("vec_id", "emb", "nrm", "probes")
+  }
+
+  /** [[candidatePairs]] with multi-probing: per table, the probe side
+    * explodes each vector's `nProbes + 1` probe buckets and joins against
+    * the plain single-bucket side, then the pair set is SYMMETRIZED (an
+    * either-direction probe hit yields both anchor→neighbour directions,
+    * preserving [[candidatePairs]]'s both-directions contract — a
+    * flip-distance-1 pair is otherwise found only from the side whose
+    * small-margin flip crosses it). `nProbes = 0` degenerates to exactly
+    * [[candidatePairs]] (spec-pinned). Shuffle shape: the probe side
+    * carries (nProbes+1)·n embedding rows per table where an extra table
+    * carries 2n — multi-probe reaches a recall target with fewer index
+    * copies and comparable join volume (measured on the clustered
+    * fixture; see BENCH_SF1.md).
+    */
+  private[graft] def candidatePairsMultiProbe(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      nTables: Int,
+      nProbes: Int,
+      seed: Long): DataFrame = {
+    val directed = (0 until nTables)
+      .map { t =>
+        val a = probesFrame(e, bits, dims, seed + t, nProbes).select(
+          explode(col("probes")).as("bucket"),
+          col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = withBucket(e, "emb", bits, dims, seed + t).select(
+          col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
+          .select(
+            col("a_id"),
+            col("b_id"),
+            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      }
+      .reduce(_ unionByName _)
+    directed
+      .unionByName(directed.select(
+        col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_sim")))
+      .dropDuplicates("a_id", "b_id")
+  }
 
   /** The fused alternative to [[candidatePairs]]: all `nTables` tables
     * ride ONE self-join via a `posexplode` projection under the combined

@@ -1142,6 +1142,65 @@ object SimilarityQueries {
     }
   }
 
+  /** Multi-probe LSH near-dup pairs ([[AnnBuckets.candidatePairsMultiProbe]],
+    * Lv et al. 2007): recall bought by probing the flip-neighbour buckets
+    * at the smallest |margin| planes instead of by more tables — a probe
+    * costs one extra join row where a table costs a whole index copy.
+    * Pinned 4-bit/1-table/2-probe index so the WHOLE probe rule
+    * hash-oracles via hyperplane literals: per-plane dots, sign-bit
+    * bucket, the (|margin|, plane) flip ranking, xor-flipped probe
+    * buckets, the probe×exact bucket join, symmetrization, and the
+    * rounded-cosine threshold. Production entry: `AnnBuckets.approxTopK
+    * (…, nProbes > 0)`; recall/cost on the clustered fixture in
+    * BENCH_SF1.md, floors gated in ClusteredRecallSpec.
+    */
+  val q137MultiProbePairs: Declared = {
+    val nBits = 4
+    val dims  = 64
+    val seed  = 42L
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val ps = AnnBuckets.planes(nBits, dims, seed)
+    val dotRows = ps.zipWithIndex
+      .map { case (p, b) =>
+        s"SELECT vec_id, ${1 << b} AS p, list_dot_product(emb, ${sqlLit(p)}) AS d FROM n"
+      }
+      .mkString("\n UNION ALL\n")
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |d AS ($dotRows),
+         |bkt AS (SELECT vec_id,
+         |          CAST(sum(CASE WHEN d > 0 THEN p ELSE 0 END) AS INTEGER) AS bucket
+         |        FROM d GROUP BY vec_id),
+         |fl AS (SELECT vec_id, p FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                      ORDER BY abs(d) ASC, p ASC) AS rn FROM d)
+         |       WHERE rn <= 2),
+         |pr AS (SELECT vec_id, bucket FROM bkt
+         |       UNION ALL
+         |       SELECT f.vec_id, CAST(xor(b.bucket, f.p) AS INTEGER) AS bucket
+         |       FROM fl f JOIN bkt b USING (vec_id)),
+         |c AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |      FROM pr a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sym AS (SELECT a_id, b_id FROM c UNION SELECT b_id AS a_id, a_id AS b_id FROM c),
+         |p2 AS (SELECT s.a_id, s.b_id,
+         |         round(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm), 6) AS cos_sim
+         |       FROM sym s JOIN n na ON na.vec_id = s.a_id JOIN n nb ON nb.vec_id = s.b_id)
+         |SELECT a_id, b_id, cos_sim FROM p2
+         |WHERE cos_sim >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin
+    Declared.sql("q137_multiprobe_pairs", oracle) { (spark, dir) =>
+      val e = t(spark, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+      AnnBuckets
+        .candidatePairsMultiProbe(e, bits = nBits, dims = dims, nTables = 1, nProbes = 2,
+          seed = seed)
+        .where(col("cos_sim") >= 0.35)
+        .orderBy("a_id", "b_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
@@ -1149,5 +1208,5 @@ object SimilarityQueries {
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
       q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest,
-      q136IvfPqDrift)
+      q136IvfPqDrift, q137MultiProbePairs)
 }

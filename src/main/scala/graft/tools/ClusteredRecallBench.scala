@@ -145,6 +145,25 @@ object ClusteredRecallBench {
         f"ivf_auto=$ivf%.3f (${(t3 - t2) / 1e9}%.1f s)")
     }
 
+    // ── multi-probe: recall bought by probes instead of tables ────────
+    // (Lv et al. 2007) — T tables × P probes vs plain T tables: the probe
+    // side carries (P+1)·n join rows where an extra table costs a whole
+    // index copy; the interesting comparison is t4p2 / t2p3 against
+    // lsh_t4 and lsh_autoT above, at their wall-clock
+    for (seed <- Seq(42L, 7L, 1234L)) {
+      def timed(nt: Int, np: Int): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val r = recallOf(graft.llm.AnnBuckets
+          .approxTopK(emb, "vec_id", "embedding", k = k, nTables = nt, seed = seed, nProbes = np))
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r42, s42) = timed(4, 2)
+      val (r23, s23) = timed(2, 3)
+      val (r44, s44) = timed(4, 4)
+      println(f"[clustered] multiprobe seed=$seed t4p2=$r42%.3f ($s42%.1f s) " +
+        f"t2p3=$r23%.3f ($s23%.1f s) t4p4=$r44%.3f ($s44%.1f s)")
+    }
+
     // ── q120 / q130: tuple overlap vs the exact miners ────────────────
     if (n <= maxExact) {
       def pairsOf(df: DataFrame): Set[(Long, Long)] = df

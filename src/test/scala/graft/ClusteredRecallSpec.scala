@@ -70,6 +70,20 @@ class ClusteredRecallSpec extends AnyFunSuite {
       f"autoTables recall $auto%.3f must not fall under the fixed-2-tables recall $fixed%.3f")
   }
 
+  test("multi-probe buys recall: 2 tables x 3 probes reaches 4 plain tables at half the index") {
+    def topk(nt: Int, np: Int): Double = recallOf(
+      AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
+        nBits = AnnBuckets.Auto, nTables = nt, nProbes = np))
+    val plain2 = topk(2, 0)
+    val plain4 = topk(4, 0)
+    val mp23   = topk(2, 3)
+    assert(mp23 > plain2,
+      f"3 probes must strictly add recall over the same 2 plain tables: $mp23%.3f vs $plain2%.3f")
+    assert(mp23 >= plain4 - 0.02,
+      f"2 tables x 3 probes recall $mp23%.3f must reach 4 plain tables ($plain4%.3f) " +
+        "within 0.02 — the multi-probe premise (recall from probes, index cost from tables)")
+  }
+
   test("IVF Auto holds recall@5 on clustered geometry") {
     val r = recallOf(IvfIndex.approxTopK(emb, "vec_id", "embedding", k = 5))
     assert(r >= 0.90, f"IVF Auto recall@5 $r%.3f under floor 0.90 (measured 1.000 at seed 2026)")
