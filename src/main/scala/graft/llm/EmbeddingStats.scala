@@ -356,9 +356,11 @@ object EmbeddingStats {
     * Candidate volume scales with bucket occupancy (held constant by
     * `autoBits`), never O(n²). Approximate by construction: an anchor
     * whose true positive or hard negative never shares a bucket in any
-    * table elects a lower-ranked (or no) neighbour; raise `nTables` to
-    * trade compute for recall. Election rules and output schema are
-    * identical to the exact path.
+    * table elects a lower-ranked (or no) neighbour; raise `nTables` (a
+    * whole index copy each) or `nProbes` (one extra join row each —
+    * [[AnnBuckets.candidatePairsMultiProbe]]; on the clustered fixture
+    * 4 t × 2 p matched 13 plain tables) to trade compute for recall.
+    * Election rules and output schema are identical to the exact path.
     */
   def trainingTripletsApprox(
       df: DataFrame,
@@ -369,7 +371,8 @@ object EmbeddingStats {
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
       nTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nProbes: Int = 0): DataFrame = {
     import graft.functions.GraftFunctions.dot
     val e = df
       .select(
@@ -379,8 +382,8 @@ object EmbeddingStats {
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
-    val cand = AnnBuckets
-      .candidatePairs(e, bits, dims, tables, seed)
+    val cand = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
+                else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     tripletElection(df, idCol, labelCol, cand)
@@ -430,9 +433,12 @@ object EmbeddingStats {
     * bucket occupancy (held constant by `autoBits`), never O(n²), so this
     * is the entry point a 100 TB miner runs. Recall is approximate by
     * construction (a hard negative whose bucket never collides with its
-    * anchor in any table is missed); raise `nTables` to trade compute for
-    * recall. Output schema and ranking rules are identical to
-    * [[hardNegatives]] (rounded cosine desc, neighbour id asc).
+    * anchor in any table is missed); raise `nTables` (an index copy each)
+    * or `nProbes` (one extra join row each — multi-probe, measured
+    * matching 13 plain tables at 4 t × 2 p on the clustered fixture) to
+    * trade compute for recall. Output schema and ranking rules are
+    * identical to [[hardNegatives]] (rounded cosine desc, neighbour id
+    * asc).
     */
   def hardNegativesApprox(
       df: DataFrame,
@@ -444,7 +450,8 @@ object EmbeddingStats {
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
       nTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nProbes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.dot
     require(k >= 1, s"k must be >= 1, got $k")
@@ -456,8 +463,8 @@ object EmbeddingStats {
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
-    val cand = AnnBuckets
-      .candidatePairs(e, bits, dims, tables, seed)
+    val cand = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
+                else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))

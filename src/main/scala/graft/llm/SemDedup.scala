@@ -402,7 +402,8 @@ object SemDedup {
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
       nTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      nProbes: Int = 0): DataFrame = {
     import graft.functions.GraftFunctions.dot
     val e = emb
       .select(
@@ -412,8 +413,8 @@ object SemDedup {
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = if (nTables != AnnBuckets.Auto) nTables else AnnBuckets.autoTables(n)
-    val mx = AnnBuckets
-      .candidatePairs(e, bits, dims, tables, seed)
+    val mx = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
+              else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("b_id").as("vec_id"))
       .agg(max(col("cos_sim")).as("max_sim_prev"))

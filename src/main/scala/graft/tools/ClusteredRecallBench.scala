@@ -178,14 +178,16 @@ object ClusteredRecallBench {
         .trainingTriplets(emb, "vec_id", "cluster", "embedding", tau = tau))
       // nTables is the miners' recall knob — sweep it so the table shows
       // the operating curve, not one point; Auto resolves via autoTables
-      for (nt <- Seq(4, 8, 16, graft.llm.AnnBuckets.Auto)) {
-        val label = if (nt == graft.llm.AnnBuckets.Auto) s"auto($autoT)" else nt.toString
+      for ((nt, np) <- Seq((4, 0), (8, 0), (16, 0), (graft.llm.AnnBuckets.Auto, 0),
+          (4, 2), (4, 4))) {
+        val ntLabel = if (nt == graft.llm.AnnBuckets.Auto) s"auto($autoT)" else nt.toString
+        val label   = if (np == 0) ntLabel else s"$ntLabel p$np"
         val approxHn = pairsOf(graft.llm.EmbeddingStats
           .hardNegativesApprox(emb, "vec_id", "cluster", "embedding", tau = tau, k = 3,
-            nTables = nt))
+            nTables = nt, nProbes = np))
         val approxTr = tripletsOf(graft.llm.EmbeddingStats
           .trainingTripletsApprox(emb, "vec_id", "cluster", "embedding", tau = tau,
-            nTables = nt))
+            nTables = nt, nProbes = np))
         println(f"[clustered] tables=$label%-8s q120 hard-negative overlap=" +
           f"${(exactHn intersect approxHn).size.toDouble / math.max(1, exactHn.size)}%.3f " +
           s"(exact=${exactHn.size} approx=${approxHn.size}) " +
@@ -214,6 +216,11 @@ object ClusteredRecallBench {
     val agreeA = (n - ((exactKp diff apxKpA) ++ (apxKpA diff exactKp)).size).toDouble / n
     println(f"[clustered] q132 semdedup keep agreement (auto tables=$autoT)=$agreeA%.3f " +
       s"(approx ${apxKpA.size})")
+    val apxKpMp = kept(graft.llm.SemDedup
+      .keepFlagsApprox(emb, "vec_id", "embedding", tau = semTau, nTables = 4, nProbes = 2))
+    val agreeMp = (n - ((exactKp diff apxKpMp) ++ (apxKpMp diff exactKp)).size).toDouble / n
+    println(f"[clustered] q132 semdedup keep agreement (4 tables x 2 probes)=$agreeMp%.3f " +
+      s"(approx ${apxKpMp.size})")
     spark.stop()
   }
 }

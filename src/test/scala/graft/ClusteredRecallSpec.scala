@@ -113,6 +113,26 @@ class ClusteredRecallSpec extends AnyFunSuite {
       f"q120 auto-tables overlap $overlap%.3f under floor 0.30 (measured 0.382 at seed 2026)")
   }
 
+  test("probed miner (4 t x 2 p) reaches the auto-tables overlap at a smaller index") {
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select(col("anchor").cast("long"), col("neighbor").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      EmbeddingStats.hardNegatives(emb, "vec_id", "cluster", "embedding", tau = 0.45, k = 3))
+    assert(exact.nonEmpty, "exact miner returned no pairs — the gate would be vacuous")
+    def overlapOf(nt: Int, np: Int): Double = {
+      val approx = pairs(
+        EmbeddingStats.hardNegativesApprox(emb, "vec_id", "cluster", "embedding", tau = 0.45,
+          k = 3, nTables = nt, nProbes = np))
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val auto = overlapOf(AnnBuckets.Auto, 0)
+    val mp   = overlapOf(4, 2)
+    assert(mp >= auto - 0.02,
+      f"4 t x 2 p miner overlap $mp%.3f must reach the auto-tables overlap ($auto%.3f) " +
+        "within 0.02 — probes must substitute for tables in the consumer paths too")
+  }
+
   test("approx triplet miner (auto tables) overlaps the exact miner") {
     def triplets(df: DataFrame): Set[(Long, Long, Long)] = df
       .select(col("anchor").cast("long"), col("pos_id").cast("long"), col("neg_id").cast("long"))
