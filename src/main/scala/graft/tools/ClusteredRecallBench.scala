@@ -160,8 +160,11 @@ object ClusteredRecallBench {
       val (r42, s42) = timed(4, 2)
       val (r23, s23) = timed(2, 3)
       val (r44, s44) = timed(4, 4)
+      val (r32, s32) = timed(3, 2)
+      val (r52, s52) = timed(5, 2)
       println(f"[clustered] multiprobe seed=$seed t4p2=$r42%.3f ($s42%.1f s) " +
-        f"t2p3=$r23%.3f ($s23%.1f s) t4p4=$r44%.3f ($s44%.1f s)")
+        f"t2p3=$r23%.3f ($s23%.1f s) t4p4=$r44%.3f ($s44%.1f s) " +
+        f"t3p2=$r32%.3f ($s32%.1f s) t5p2=$r52%.3f ($s52%.1f s)")
     }
 
     // ── q120 / q130: tuple overlap vs the exact miners ────────────────
