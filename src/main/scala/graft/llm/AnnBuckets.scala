@@ -70,6 +70,29 @@ object AnnBuckets {
     math.min(32, math.max(2, t))
   }
 
+  /** [[autoTables]] under a probe budget: each probe recovers misses an
+    * extra table would otherwise catch, so the table count divides by
+    * (1 + nProbes) — the CONSERVATIVE reading of the measured operating
+    * curve (BENCH_SF1.md: 4 t × 2 p ≈ the 13-table autoTables recall at
+    * n = 200 k, a ~3.25× multiplier; 3 t × 2 p ≥ the 7-table recall at
+    * n = 20 k). Empirical, fixture-calibrated — not derived: analytical
+    * probe recovery depends on the margin-rank distribution of the
+    * disagreeing plane, which the collision model does not carry;
+    * ClusteredRecallSpec gates the sized result's recall in-suite.
+    * `approxTopK` and the miner/SemDedup consumers apply this
+    * automatically when `nTables = Auto` and `nProbes > 0`.
+    */
+  def autoTablesProbed(
+      n: Long,
+      nProbes: Int,
+      targetSim: Double = 0.85,
+      targetRecall: Double = 0.8,
+      targetBucketRows: Int = 128): Int = {
+    require(nProbes >= 0, s"nProbes must be >= 0, got $nProbes")
+    val plain = autoTables(n, targetSim, targetRecall, targetBucketRows)
+    math.min(32, math.max(2, math.ceil(plain.toDouble / (1 + nProbes)).toInt))
+  }
+
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
     * literals; no RNG at executor time). Exposed within the package so the
     * bucket-assignment oracle can embed the same constants in its SQL.
@@ -128,7 +151,10 @@ object AnnBuckets {
           .info(s"approxTopK: auto-sized LSH index to nBits=$b")
         b
       }
-    val tables = if (nTables != Auto) nTables else autoTables(n)
+    val tables =
+      if (nTables != Auto) nTables
+      else if (nProbes > 0) autoTablesProbed(n, nProbes)
+      else autoTables(n)
 
     val candidates =
       if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)

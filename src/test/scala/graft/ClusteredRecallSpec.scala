@@ -70,6 +70,21 @@ class ClusteredRecallSpec extends AnyFunSuite {
       f"autoTables recall $auto%.3f must not fall under the fixed-2-tables recall $fixed%.3f")
   }
 
+  test("probed Auto sizing holds plain-Auto recall at a fraction of the tables") {
+    val nT  = AnnBuckets.autoTables(n)
+    val nTp = AnnBuckets.autoTablesProbed(n, nProbes = 2)
+    assert(nTp < nT, s"probe budget must shrink the table count: $nTp vs $nT")
+    val plainAuto = recallOf(
+      AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
+        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto))
+    val probedAuto = recallOf(
+      AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
+        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto, nProbes = 2))
+    assert(probedAuto >= plainAuto - 0.02,
+      f"probed Auto ($nTp tables x 2 probes) recall $probedAuto%.3f must hold the plain Auto " +
+        f"($nT tables) recall $plainAuto%.3f within 0.02")
+  }
+
   test("multi-probe buys recall: 2 tables x 3 probes reaches 4 plain tables at half the index") {
     def topk(nt: Int, np: Int): Double = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
