@@ -93,6 +93,30 @@ object AnnBuckets {
     math.min(32, math.max(2, math.ceil(plain.toDouble / (1 + nProbes)).toInt))
   }
 
+  /** Resolve the table count under the probe budget — the shared sizing
+    * rule of [[approxTopK]] and the miner/SemDedup consumers: explicit
+    * wins, else [[autoTablesProbed]] when probing, else [[autoTables]].
+    */
+  private[graft] def resolveTables(n: => Long, nTables: Int, nProbes: Int): Int =
+    if (nTables != Auto) nTables
+    else if (nProbes > 0) autoTablesProbed(n, nProbes)
+    else autoTables(n)
+
+  /** Dispatch to the plain or multi-probe candidate kernel — the shared
+    * candidate stage of [[approxTopK]] and the miner/SemDedup consumers,
+    * kept in ONE place so a new knob cannot be wired into some consumers
+    * and not others.
+    */
+  private[graft] def candidatesFor(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      tables: Int,
+      nProbes: Int,
+      seed: Long): DataFrame =
+    if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
+    else candidatePairs(e, bits, dims, tables, seed)
+
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
     * literals; no RNG at executor time). Exposed within the package so the
     * bucket-assignment oracle can embed the same constants in its SQL.
@@ -151,14 +175,8 @@ object AnnBuckets {
           .info(s"approxTopK: auto-sized LSH index to nBits=$b")
         b
       }
-    val tables =
-      if (nTables != Auto) nTables
-      else if (nProbes > 0) autoTablesProbed(n, nProbes)
-      else autoTables(n)
-
-    val candidates =
-      if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
-      else candidatePairs(e, bits, dims, tables, seed)
+    val tables     = resolveTables(n, nTables, nProbes)
+    val candidates = candidatesFor(e, bits, dims, tables, nProbes, seed)
 
     val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
     candidates
@@ -242,36 +260,40 @@ object AnnBuckets {
       seed: Long,
       nProbes: Int): DataFrame = {
     require(nProbes >= 0 && nProbes <= bits, s"nProbes=$nProbes must be in [0, bits=$bits]")
-    val spark = e.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(planes(bits, dims, seed))
-    e.select(col("vec_id").cast("long"), col("emb"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-      .mapPartitions { it =>
-        val ps = bc.value
-        val nb = ps.length
-        it.map { case (id, v, nrm) =>
-          val dots   = new Array[Double](nb)
-          var bucket = 0
-          var b      = 0
-          while (b < nb) {
-            val p = ps(b)
-            var s = 0.0
-            var i = 0
-            while (i < p.length) { s += v(i) * p(i); i += 1 }
-            dots(b) = s
-            if (s > 0) bucket |= (1 << b)
-            b += 1
-          }
-          val order  = Array.range(0, nb).sortBy(i => (math.abs(dots(i)), i))
-          val probes = new Array[Int](nProbes + 1)
-          probes(0) = bucket
-          var k = 0
-          while (k < nProbes) { probes(k + 1) = bucket ^ (1 << order(k)); k += 1 }
-          (id, v, nrm, probes)
+    val bc     = e.sparkSession.sparkContext.broadcast(planes(bits, dims, seed))
+    // Row-encoded so vec_id keeps its ORIGINAL type — the plain
+    // candidatePairs path never casts the id (string/UUID ids are
+    // legal there), and the multi-probe path must not silently narrow
+    // the contract or emit an a_id/b_id type mismatch across the join
+    val base   = e.select(col("vec_id"), col("emb").cast("array<double>").as("emb"), col("nrm"))
+    val embIdx = 1
+    val outSchema = base.schema.add("probes",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false))
+    base.mapPartitions { rows =>
+      val ps = bc.value
+      val nb = ps.length
+      rows.map { r =>
+        val v      = r.getSeq[Double](embIdx).toArray
+        val dots   = new Array[Double](nb)
+        var bucket = 0
+        var b      = 0
+        while (b < nb) {
+          val p = ps(b)
+          var s = 0.0
+          var i = 0
+          while (i < p.length) { s += v(i) * p(i); i += 1 }
+          dots(b) = s
+          if (s > 0) bucket |= (1 << b)
+          b += 1
         }
+        val order  = Array.range(0, nb).sortBy(i => (math.abs(dots(i)), i))
+        val probes = new Array[Int](nProbes + 1)
+        probes(0) = bucket
+        var k = 0
+        while (k < nProbes) { probes(k + 1) = bucket ^ (1 << order(k)); k += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ probes.toSeq)
       }
-      .toDF("vec_id", "emb", "nrm", "probes")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** [[candidatePairs]] with multi-probing: per table, the probe side

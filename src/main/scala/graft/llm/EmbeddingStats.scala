@@ -381,12 +381,8 @@ object EmbeddingStats {
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
-    val tables =
-      if (nTables != AnnBuckets.Auto) nTables
-      else if (nProbes > 0) AnnBuckets.autoTablesProbed(n, nProbes)
-      else AnnBuckets.autoTables(n)
-    val cand = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
-                else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
+    val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
+    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed)
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     tripletElection(df, idCol, labelCol, cand)
@@ -465,12 +461,8 @@ object EmbeddingStats {
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
-    val tables =
-      if (nTables != AnnBuckets.Auto) nTables
-      else if (nProbes > 0) AnnBuckets.autoTablesProbed(n, nProbes)
-      else AnnBuckets.autoTables(n)
-    val cand = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
-                else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
+    val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
+    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed)
       .where(col("cos_sim") >= tau)
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))

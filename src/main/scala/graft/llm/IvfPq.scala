@@ -155,6 +155,25 @@ object IvfPq {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
+      index: IvfPqIndex): DataFrame =
+    encodeKernel(emb, idCol, vecCol, index)
+      .select(
+        col("vec_id") +: col("cell") +:
+          (0 until index.cb.m).map(s => col("__codes")(s).as(s"code$s")): _*)
+
+  /** The ONE encode kernel behind [[encodeForIndex]] and
+    * [[encodeForIndexWithError]]: (vec_id, cell, __codes, err) — coarse
+    * cell, residual PQ codes, and the exact residual reconstruction
+    * error, all in a single pass so the spec-pinned argmin contract
+    * (rounded dist, strict-&lt; displacement over ascending indexes via
+    * [[KMeans.nearestIndex]]) cannot desynchronize between the ingest
+    * path and the drift monitor. The err accumulation is O(dims),
+    * negligible next to the O(k·dims) argmin scans.
+    */
+  private def encodeKernel(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
       index: IvfPqIndex): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -174,19 +193,25 @@ object IvfPq {
           val cell = KMeans.nearestIndex(v, 0, v.length, ix.centroids, c2s)
           val cen  = ix.centroids(cell)
           val res  = Array.tabulate(v.length)(j => v(j) - cen(j))
-          val codes = new Array[Int](cb.m)
+          val codes  = new Array[Int](cb.m)
+          var errAcc = 0.0
           var s = 0
           while (s < cb.m) {
-            codes(s) = KMeans.nearestIndex(res, s * cb.subDim, cb.subDim, cb.books(s), bC2s(s))
+            val code = KMeans.nearestIndex(res, s * cb.subDim, cb.subDim, cb.books(s), bC2s(s))
+            codes(s) = code
+            val book = cb.books(s)(code)
+            var i = 0
+            while (i < cb.subDim) {
+              val d = res(s * cb.subDim + i) - book(i)
+              errAcc += d * d
+              i += 1
+            }
             s += 1
           }
-          (id, cell, codes)
+          (id, cell, codes, math.sqrt(errAcc))
         }
       }
-      .toDF("vec_id", "cell", "__codes")
-      .select(
-        col("vec_id") +: col("cell") +:
-          (0 until index.cb.m).map(s => col("__codes")(s).as(s"code$s")): _*)
+      .toDF("vec_id", "cell", "__codes", "err")
   }
 
   /** Persist the composed index: the encoded corpus as one partition dir
@@ -210,6 +235,18 @@ object IvfPq {
     import spark.implicits._
     val (idx, encoded) = build(emb, idCol, vecCol, dims, nCells, m, k, pqIters, seed)
     encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells")
+    writeSidecars(spark, idx, outDir)
+  }
+
+  /** The centroid + codebook sidecars shared by [[writeIndex]] and
+    * [[writeIndexGen]] — one writer so a sidecar schema change cannot
+    * break round-tripping for indexes written by the other layout.
+    */
+  private def writeSidecars(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: IvfPqIndex,
+      outDir: String): Unit = {
+    import spark.implicits._
     idx.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
@@ -235,45 +272,11 @@ object IvfPq {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      index: IvfPqIndex): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val coarseC2s = index.centroids.map(c => c.map(x => x * x).sum)
-    val bookC2s   = index.cb.books.map(_.map(b => b.map(x => x * x).sum))
-    val bc        = spark.sparkContext.broadcast((index, coarseC2s, bookC2s))
-    emb
-      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val (ix, c2s, bC2s) = bc.value
-        val cb = ix.cb
-        it.map { case (id, v) =>
-          val cell = KMeans.nearestIndex(v, 0, v.length, ix.centroids, c2s)
-          val cen  = ix.centroids(cell)
-          val res  = Array.tabulate(v.length)(j => v(j) - cen(j))
-          val codes = new Array[Int](cb.m)
-          var errAcc = 0.0
-          var s = 0
-          while (s < cb.m) {
-            val code = KMeans.nearestIndex(res, s * cb.subDim, cb.subDim, cb.books(s), bC2s(s))
-            codes(s) = code
-            val book = cb.books(s)(code)
-            var i = 0
-            while (i < cb.subDim) {
-              val d = res(s * cb.subDim + i) - book(i)
-              errAcc += d * d
-              i += 1
-            }
-            s += 1
-          }
-          (id, cell, codes, math.sqrt(errAcc))
-        }
-      }
-      .toDF("vec_id", "cell", "__codes", "err")
+      index: IvfPqIndex): DataFrame =
+    encodeKernel(emb, idCol, vecCol, index)
       .select(
         col("vec_id") +: col("cell") +:
           (0 until index.cb.m).map(s => col("__codes")(s).as(s"code$s")) :+ col("err"): _*)
-  }
 
   /** Persist an ALREADY-BUILT index and its encoded corpus in the
     * GENERATIONAL layout: `cells/cell=<id>/src_batch=<b>/` — the
@@ -294,19 +297,15 @@ object IvfPq {
     import spark.implicits._
     encoded
       .withColumn("src_batch", lit(srcBatch))
-      .write.partitionBy("cell", "src_batch").mode("overwrite").parquet(s"$outDir/cells")
-    idx.centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/centroids")
-    (for {
-      s <- 0 until idx.cb.m
-      c <- idx.cb.books(s).indices
-    } yield (s, c, idx.cb.labels(s)(c), idx.cb.books(s)(c).toSeq))
-      .toDF("subspace", "code", "label", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/codebooks")
+      .write.partitionBy("cell", "src_batch")
+      // STATIC overwrite regardless of session conf: a bootstrap (and the
+      // documented retrain-and-rebuild remedy) must replace the WHOLE
+      // cells table — under an inherited dynamic mode, stale generations
+      // encoded in the old geometry would silently survive into the new
+      // index and serve wrong distances
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").parquet(s"$outDir/cells")
+    writeSidecars(spark, idx, outDir)
   }
 
   /** Incremental IVFADC ingest: encode a NEW batch against a persisted

@@ -412,12 +412,8 @@ object SemDedup {
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
-    val tables =
-      if (nTables != AnnBuckets.Auto) nTables
-      else if (nProbes > 0) AnnBuckets.autoTablesProbed(n, nProbes)
-      else AnnBuckets.autoTables(n)
-    val mx = (if (nProbes > 0) AnnBuckets.candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
-              else AnnBuckets.candidatePairs(e, bits, dims, tables, seed))
+    val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
+    val mx = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed)
       .where(col("a_id") < col("b_id"))
       .groupBy(col("b_id").as("vec_id"))
       .agg(max(col("cos_sim")).as("max_sim_prev"))

@@ -983,43 +983,60 @@ object SimilarityQueries {
     * every vector's cell assignment and residual codes in batch-0
     * geometry, and the generation tag.
     */
-  val q135IvfPqIngest: Declared = {
+  /** Shared q135/q136 pinned-quantizer replay (the relational batch-0
+    * index): batch split, old-only coarse seeds, frozen-geometry
+    * assignment + residuals, and the four per-subspace encode CTEs —
+    * `withD2` additionally carries the EXACT unrounded d2 at the chosen
+    * code (q126's trick, which q136's error aggregate needs). ONE
+    * builder so the two oracles replay the same quantizer by
+    * construction — a salt/tie-break/clamp fix cannot be applied to one
+    * and not the other.
+    */
+  private def ivfIngestCtes(withD2: Boolean): String = {
     val subCtes = (0 until 4).map { s =>
       val lo = s * 16
+      val d2 =
+        s"""greatest(list_dot_product(t.sub, t.sub)
+           |                 - 2 * list_dot_product(t.sub, s.bvec)
+           |                 + list_dot_product(s.bvec, s.bvec), 0)""".stripMargin
+      val d2Col = if (withD2) s",\n          $d2 AS d2" else ""
+      val aCols = if (withD2) "vec_id, code, d2" else "vec_id, code"
       s"""sub$s AS (SELECT vec_id, res[${lo + 1}:${lo + 16}] AS sub FROM r),
          |sd$s AS (SELECT sub AS bvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
          |          (SELECT t.vec_id, t.sub FROM sub$s t JOIN old o ON o.vec_id = t.vec_id
          |           ORDER BY md5('pq135$s|' || CAST(t.vec_id AS VARCHAR)), t.vec_id LIMIT 8)),
          |d$s AS (SELECT t.vec_id, s.code,
-         |          round(sqrt(greatest(list_dot_product(t.sub, t.sub)
-         |                 - 2 * list_dot_product(t.sub, s.bvec)
-         |                 + list_dot_product(s.bvec, s.bvec), 0)), 6) AS dist
+         |          round(sqrt($d2), 6) AS dist$d2Col
          |        FROM sub$s t CROSS JOIN sd$s s),
-         |a$s AS (SELECT vec_id, code FROM (
+         |a$s AS (SELECT $aCols FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id
          |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
          |        WHERE rn = 1)""".stripMargin
     }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |old AS (SELECT vec_id, emb FROM e
+       |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
+       |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
+       |        (SELECT vec_id, emb FROM old
+       |         ORDER BY md5('ivfq135|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+       |ad AS (SELECT e.vec_id, c.cell,
+       |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
+       |                - 2 * list_dot_product(e.emb, c.cvec)
+       |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
+       |       FROM e CROSS JOIN cs c),
+       |asg AS (SELECT vec_id, cell FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
+       |        WHERE rn = 1),
+       |r AS (SELECT e.vec_id, a.cell,
+       |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
+       |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
+       |${subCtes.mkString(",\n")}""".stripMargin
+  }
+
+  val q135IvfPqIngest: Declared = {
     val oracle =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |old AS (SELECT vec_id, emb FROM e
-         |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
-         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
-         |        (SELECT vec_id, emb FROM old
-         |         ORDER BY md5('ivfq135|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-         |ad AS (SELECT e.vec_id, c.cell,
-         |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
-         |                - 2 * list_dot_product(e.emb, c.cvec)
-         |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
-         |       FROM e CROSS JOIN cs c),
-         |asg AS (SELECT vec_id, cell FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
-         |        WHERE rn = 1),
-         |r AS (SELECT e.vec_id, a.cell,
-         |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
-         |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
-         |${subCtes.mkString(",\n")}
+      s"""${ivfIngestCtes(withD2 = false)}
          |SELECT e.vec_id,
          |       CAST(g.cell AS INTEGER) AS cell,
          |       CAST(a0.code AS INTEGER) AS code0, CAST(a1.code AS INTEGER) AS code1,
@@ -1042,7 +1059,7 @@ object SimilarityQueries {
       val idx = IvfPq.IvfPqIndex(cents, cb)
       // a fresh index dir per run: the query IS the ingest pipeline, so
       // each evaluation bootstraps gen 0 and appends gen 1 (q134 pattern)
-      val ixDir = java.nio.file.Files.createTempDirectory("graft_q135_ivfpq").toString
+      val ixDir = graft.core.Scratch.tempDir("graft_q135_ivfpq")
       IvfPq.writeIndexGen(
         idx, IvfPq.encodeForIndex(old, "vec_id", "embedding", idx), ixDir, srcBatch = 0L)
       IvfPq.appendToIndex(ixDir, b1, "vec_id", "embedding", srcBatch = 1L)
@@ -1069,45 +1086,8 @@ object SimilarityQueries {
     * error at the chosen codes aggregated per generation.
     */
   val q136IvfPqDrift: Declared = {
-    val subCtes = (0 until 4).map { s =>
-      val lo = s * 16
-      s"""sub$s AS (SELECT vec_id, res[${lo + 1}:${lo + 16}] AS sub FROM r),
-         |sd$s AS (SELECT sub AS bvec, row_number() OVER (ORDER BY vec_id) - 1 AS code FROM
-         |          (SELECT t.vec_id, t.sub FROM sub$s t JOIN old o ON o.vec_id = t.vec_id
-         |           ORDER BY md5('pq135$s|' || CAST(t.vec_id AS VARCHAR)), t.vec_id LIMIT 8)),
-         |d$s AS (SELECT t.vec_id, s.code,
-         |          greatest(list_dot_product(t.sub, t.sub)
-         |                 - 2 * list_dot_product(t.sub, s.bvec)
-         |                 + list_dot_product(s.bvec, s.bvec), 0) AS d2,
-         |          round(sqrt(greatest(list_dot_product(t.sub, t.sub)
-         |                 - 2 * list_dot_product(t.sub, s.bvec)
-         |                 + list_dot_product(s.bvec, s.bvec), 0)), 6) AS dist
-         |        FROM sub$s t CROSS JOIN sd$s s),
-         |a$s AS (SELECT vec_id, code, d2 FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                       ORDER BY dist ASC, code ASC) AS rn FROM d$s)
-         |        WHERE rn = 1)""".stripMargin
-    }
     val oracle =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |old AS (SELECT vec_id, emb FROM e
-         |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
-         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
-         |        (SELECT vec_id, emb FROM old
-         |         ORDER BY md5('ivfq135|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-         |ad AS (SELECT e.vec_id, c.cell,
-         |         round(sqrt(greatest(list_dot_product(e.emb, e.emb)
-         |                - 2 * list_dot_product(e.emb, c.cvec)
-         |                + list_dot_product(c.cvec, c.cvec), 0.0)), 6) AS dist
-         |       FROM e CROSS JOIN cs c),
-         |asg AS (SELECT vec_id, cell FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
-         |        WHERE rn = 1),
-         |r AS (SELECT e.vec_id, a.cell,
-         |        list_transform(generate_series(1, 64), i -> e.emb[i] - c.cvec[i]) AS res
-         |      FROM e JOIN asg a USING (vec_id) JOIN cs c ON c.cell = a.cell),
-         |${subCtes.mkString(",\n")},
+      s"""${ivfIngestCtes(withD2 = true)},
          |v AS (SELECT r.vec_id,
          |        CASE WHEN o.vec_id IS NOT NULL THEN 0 ELSE 1 END AS src_batch,
          |        sqrt(a0.d2 + a1.d2 + a2.d2 + a3.d2) AS err

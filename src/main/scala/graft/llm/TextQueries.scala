@@ -2336,7 +2336,7 @@ object TextQueries {
     val batch1 = b1.unionByName(mut1a).unionByName(mut1b)
     // a fresh index dir per run: the query IS the ingest pipeline, so
     // each evaluation bootstraps, ingests, appends, and re-ingests
-    val ixDir = java.nio.file.Files.createTempDirectory("graft_q134_banded").toString
+    val ixDir = graft.core.Scratch.tempDir("graft_q134_banded")
     Dedup.writeBandedNearDupIndex(
       old, "doc_id", "text", ixDir,
       bands = 4, rowsPerBand = 4, family = Dedup.Md5, nBuckets = 8)

@@ -429,8 +429,13 @@ object StreamingOps {
     // fresh = no committed batch ids yet: Structured Streaming writes
     // `offsets/` on the first micro-batch, so its absence (not the
     // directory's — callers routinely pre-create the checkpoint dir)
-    // is what marks a restarting-from-zero id space
-    val freshCheckpoint = !new java.io.File(checkpoint, "offsets").exists()
+    // is what marks a restarting-from-zero id space. Resolved through
+    // the path's own Hadoop FileSystem, as Structured Streaming itself
+    // does — a java.io.File check would classify every hdfs://s3a://
+    // checkpoint as fresh and permanently reject legitimate restarts
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val freshCheckpoint = !fs.exists(offsetsPath)
     if (freshCheckpoint) {
       // only a FRESH checkpoint needs the collision guard: an existing
       // checkpoint's replayed ids are SUPPOSED to land on generations
