@@ -392,6 +392,21 @@ object StreamingOps {
       vecCol: String = "embedding"): DataFrame =
     graft.llm.IvfPq.encodeForIndex(embeddings, idCol, vecCol, index)
 
+  /** STREAMING quantizer-drift monitor — the q136 signal on the ingest
+    * stream itself: [[graft.llm.IvfPq.encodeForIndexWithError]] is a
+    * stateless projection (cell + codes + exact residual reconstruction
+    * error per arriving embedding), so the SAME kernel runs batch and
+    * streaming with no state and no watermark; a downstream windowed
+    * mean over `err` is the live retrain trigger. StreamingSpec pins
+    * batch ≡ stream row-for-row.
+    */
+  def ivfPqDriftStream(
+      embeddings: DataFrame,
+      index: graft.llm.IvfPq.IvfPqIndex,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.llm.IvfPq.encodeForIndexWithError(embeddings, idCol, vecCol, index)
+
   /** STREAMING IVFADC index maintenance — [[nearDupIngestStream]]'s loop
     * shape applied to the ANN index family: each micro-batch of
     * embeddings is encoded against the index's FROZEN quantizer (loaded

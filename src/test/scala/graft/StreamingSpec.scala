@@ -420,6 +420,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor matches the batch error encoder row-for-row") {
+    import graft.llm.IvfPq
+    val emb = graft.core.Tables(spark, dir).embeddings
+    val (idx, _) =
+      IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val batch = IvfPq.encodeForIndexWithError(emb, "vec_id", "embedding", idx)
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_drift_stream").toString
+    emb.where(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(d)
+    emb.where(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(d)
+    val stream = StreamingOps.ivfPqDriftStream(
+      StreamingOps.readEmbeddingStream(spark, d, maxFilesPerTrigger = Some(1)), idx)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("ivfpq_drift_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      TestSpark.assertFrameEqual(stream.sparkSession.table("ivfpq_drift_out"), batch)
+    } finally q.stop()
+  }
+
   test("streaming IVFADC scorer matches the batch scorer and the single-query topK") {
     import graft.llm.IvfPq
     val emb = graft.core.Tables(spark, dir).embeddings
