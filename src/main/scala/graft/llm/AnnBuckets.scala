@@ -151,6 +151,21 @@ object AnnBuckets {
     * [[autoTables]] off the same count, holding recall where a fixed
     * table count decays with corpus growth. Pass explicit values for
     * reproducible small-scale runs (the declared q41/q67 queries do).
+    *
+    * COMPATIBILITY NOTE (round 14): the DEFAULTS of the four production
+    * ANN consumers ([[approxTopK]], [[SemDedup.keepFlagsApprox]],
+    * [[EmbeddingStats.hardNegativesApprox]],
+    * [[EmbeddingStats.trainingTripletsApprox]]) changed from fixed
+    * tables, no probes (2/4 tables, nProbes = 0) to the MEASURED-BEST
+    * operating point: `nTables = Auto` with `nProbes = 2` (probed-auto
+    * sizing, [[autoTablesProbed]]). The old fixed-table default was the
+    * exact recall-decays-with-n configuration autoTables was built to
+    * fix (clustered recall@5 0.57 at n = 200 k vs 0.93 auto; probed t×2
+    * matched plain-auto recall at ~⅓ the tables and ~half the wall —
+    * BENCH_SF1.md). Out-of-box RESULTS therefore changed; pass
+    * `nTables = 2, nProbes = 0` explicitly to reproduce pre-r14 outputs
+    * (the declared queries pin their literals and are unaffected).
+    * Default-argument recall floors are gated in ClusteredRecallSpec.
     */
   def approxTopK(
       emb: DataFrame,
@@ -159,9 +174,9 @@ object AnnBuckets {
       k: Int = 5,
       nBits: Int = Auto,
       dims: Int = 64,
-      nTables: Int = 2,
+      nTables: Int = Auto,
       seed: Long = 42L,
-      nProbes: Int = 0): DataFrame = {
+      nProbes: Int = 2): DataFrame = {
     val e = emb
       .select(Cols.q(idCol).as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
@@ -264,8 +279,15 @@ object AnnBuckets {
     // Row-encoded so vec_id keeps its ORIGINAL type — the plain
     // candidatePairs path never casts the id (string/UUID ids are
     // legal there), and the multi-probe path must not silently narrow
-    // the contract or emit an a_id/b_id type mismatch across the join
-    val base   = e.select(col("vec_id"), col("emb").cast("array<double>").as("emb"), col("nrm"))
+    // the contract or emit an a_id/b_id type mismatch across the join.
+    // A null embedding must not kill the kernel (the IvfPq.probeTables
+    // convention — ADVICE r13): the plain path degrades a null row to a
+    // never-scoring candidate (its cosine is null, which every consumer
+    // threshold/rank drops), so the probed path drops it up front rather
+    // than NPE-ing one malformed row into a job failure
+    val base   = e
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"), col("nrm"))
+      .where(col("vec_id").isNotNull && col("emb").isNotNull)
     val embIdx = 1
     val outSchema = base.schema.add("probes",
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false))
@@ -461,12 +483,22 @@ object AnnBuckets {
     * a full-corpus self-join prefer [[approxTopK]], whose single-run
     * bucketing avoids the probe-set collect.
     */
+  /** Probe-set collect ceiling for [[approxTopKIndexed]] — the bound is
+    * queries × nTables × (nProbes + 1) int keys, which the serve-batch
+    * use case keeps tiny; a full-corpus frame passed as `queries` blows
+    * it, and the guard fails fast naming the full-corpus path instead of
+    * letting the driver accumulate an unbounded collect (the BruteForce
+    * guard style — ADVICE/VERDICT r13).
+    */
+  val MaxProbedBuckets: Int = 1 << 16
+
   def approxTopKIndexed(
       indexDir: String,
       queries: DataFrame,
       idCol: String,
       embCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      maxProbedBuckets: Int = MaxProbedBuckets): DataFrame = {
     val spark = queries.sparkSession
     val meta  = spark.read.parquet(s"$indexDir/meta").head()
     val (bits, dims, nTables, seed) =
@@ -477,8 +509,17 @@ object AnnBuckets {
         col("vec_id").as("a_id"),
         col("emb").as("a_emb"),
         col("nrm").as("a_nrm"))
-    val probedTbs: Seq[Int] =
-      probes.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // take(bound + 1), not collect(): the overflow check must itself be
+    // bounded — a runaway query batch is detected after bound + 1 rows,
+    // never materialized on the driver
+    val probedRows = probes.select("tb").distinct().take(maxProbedBuckets + 1)
+    require(
+      probedRows.length <= maxProbedBuckets,
+      s"approxTopKIndexed probed more than $maxProbedBuckets distinct (table, bucket) keys — " +
+        "the static partition filter collects the probe set to the driver, so this index read " +
+        "is for BOUNDED query batches; for a full-corpus self-join use AnnBuckets.approxTopK " +
+        "(single-run bucketing, no probe-set collect), or raise maxProbedBuckets explicitly")
+    val probedTbs: Seq[Int] = probedRows.map(_.getInt(0)).toSeq
     val lists = spark.read
       .parquet(s"$indexDir/buckets")
       .where(col("tb").isin(probedTbs: _*))

@@ -361,6 +361,9 @@ object EmbeddingStats {
     * [[AnnBuckets.candidatePairsMultiProbe]]; on the clustered fixture
     * 4 t × 2 p matched 13 plain tables) to trade compute for recall.
     * Election rules and output schema are identical to the exact path.
+    * Defaults are probed-auto since round 14 (`nTables = Auto`,
+    * `nProbes = 2` — compatibility note on [[AnnBuckets.approxTopK]]);
+    * pass `nTables = 4, nProbes = 0` for pre-r14 outputs.
     */
   def trainingTripletsApprox(
       df: DataFrame,
@@ -370,9 +373,9 @@ object EmbeddingStats {
       tau: Double,
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
-      nTables: Int = 4,
+      nTables: Int = AnnBuckets.Auto,
       seed: Long = 42L,
-      nProbes: Int = 0): DataFrame = {
+      nProbes: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.dot
     val e = df
       .select(
@@ -437,7 +440,9 @@ object EmbeddingStats {
     * matching 13 plain tables at 4 t × 2 p on the clustered fixture) to
     * trade compute for recall. Output schema and ranking rules are
     * identical to [[hardNegatives]] (rounded cosine desc, neighbour id
-    * asc).
+    * asc). Defaults are probed-auto since round 14 (`nTables = Auto`,
+    * `nProbes = 2` — compatibility note on [[AnnBuckets.approxTopK]]);
+    * pass `nTables = 4, nProbes = 0` for pre-r14 outputs.
     */
   def hardNegativesApprox(
       df: DataFrame,
@@ -448,9 +453,9 @@ object EmbeddingStats {
       k: Int,
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
-      nTables: Int = 4,
+      nTables: Int = AnnBuckets.Auto,
       seed: Long = 42L,
-      nProbes: Int = 0): DataFrame = {
+      nProbes: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.dot
     require(k >= 1, s"k must be >= 1, got $k")

@@ -512,12 +512,22 @@ object IvfPq {
     * count; the join-only path leaves the pruning to DPP, which a plain
     * equi-join on a computed column is not guaranteed to get).
     */
+  /** Probe-row collect ceiling for [[scoreCandidatesServe]]: queries ×
+    * nProbe rows of m×k doubles each. 2¹⁶ rows ≈ 34 MB at m·k = 64 —
+    * comfortably driver-sized; a corpus-scale query frame blows it and
+    * must fail fast naming the distributed path (ADVICE r13: the
+    * serve-batch contract was only a comment, so an oversize batch OOMed
+    * the driver with no diagnostic).
+    */
+  val MaxServeProbeRows: Int = 1 << 16
+
   def scoreCandidatesServe(
       queries: DataFrame,
       loaded: LoadedIndex,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxProbeRows: Int = MaxServeProbeRows): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cb = loaded.index.cb
@@ -528,10 +538,18 @@ object IvfPq {
     // localCheckpoint: the probed-cell union falls out driver-side for
     // free, the join side broadcasts naturally, and a long-running serve
     // loop accumulates NO executor storage (the old per-batch checkpoint
-    // blocks lived until RDD GC — ADVICE r12)
+    // blocks lived until RDD GC — ADVICE r12). take(bound + 1) keeps the
+    // overflow CHECK itself bounded — an oversize batch is detected, not
+    // materialized.
     val probeRows = probeTables(queries, loaded.index, nProbe, idCol, vecCol)
       .as[(Long, Int, Array[Double])]
-      .collect()
+      .take(maxProbeRows + 1)
+    require(
+      probeRows.length <= maxProbeRows,
+      s"scoreCandidatesServe collected more than $maxProbeRows probe rows (queries × nProbe) — " +
+        "this entry point pins the batch's probe tables on the driver and is for SERVE-SIZED " +
+        "query batches; for corpus-scale query frames use IvfPq.scoreCandidates (distributed " +
+        "probe kernel, no driver collect), or raise maxProbeRows explicitly")
     val cells  = probeRows.map(_._2).distinct.toSeq
     val probes = spark.createDataset(probeRows.toSeq).toDF("q_id", "cell", "__table")
     scoreJoin(probes, loaded.cells.where(col("cell").isin(cells: _*)), cb.m, kk)

@@ -393,6 +393,11 @@ object SemDedup {
     * (cells ≈ buckets: both can miss a cross-boundary neighbour); raise
     * `nTables` for recall. Output is (vec_id, max_sim_prev, keep) —
     * no `cell` column, since a vector belongs to nTables buckets.
+    *
+    * Defaults are the measured-best probed-auto operating point since
+    * round 14 (`nTables = Auto`, `nProbes = 2`) — see the compatibility
+    * note on [[AnnBuckets.approxTopK]]; pass `nTables = 4, nProbes = 0`
+    * to reproduce pre-r14 outputs.
     */
   def keepFlagsApprox(
       emb: DataFrame,
@@ -401,9 +406,9 @@ object SemDedup {
       tau: Double,
       nBits: Int = AnnBuckets.Auto,
       dims: Int = 64,
-      nTables: Int = 4,
+      nTables: Int = AnnBuckets.Auto,
       seed: Long = 42L,
-      nProbes: Int = 0): DataFrame = {
+      nProbes: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.dot
     val e = emb
       .select(

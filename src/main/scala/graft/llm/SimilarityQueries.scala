@@ -109,7 +109,8 @@ object SimilarityQueries {
     */
   val q41AnnTopk: Declared = Declared.rowsOnly("q41_ann_topk") { (spark, dir) =>
     AnnBuckets
-      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2)
+      .approxTopK(t(spark, dir).embeddings, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2,
+        nProbes = 0)
       .orderBy("a_id", "rn")
   }
 
@@ -527,7 +528,8 @@ object SimilarityQueries {
           nBits = nBits,
           dims = dims,
           nTables = nTables,
-          seed = seed)
+          seed = seed,
+          nProbes = 0)
         .orderBy("anchor", "rn")
     }
   }
@@ -701,7 +703,8 @@ object SimilarityQueries {
           nBits = nBits,
           dims = dims,
           nTables = nTables,
-          seed = seed)
+          seed = seed,
+          nProbes = 0)
         .orderBy("anchor")
     }
   }
@@ -963,7 +966,8 @@ object SimilarityQueries {
           nBits = nBits,
           dims = dims,
           nTables = nTables,
-          seed = seed)
+          seed = seed,
+          nProbes = 0)
         .orderBy("vec_id")
     }
   }

@@ -432,6 +432,22 @@ object StreamingOps {
     * collision would silently overwrite an old generation, so the loop
     * fails fast if `baseGen` does not clear the existing max.
     */
+  /** Highest `src_batch` generation already in a generational index, or
+    * −1 when the cells table is EMPTY — the aggregate is null over zero
+    * rows (a bootstrap from an empty frame, or an all-empty-batch
+    * history), and "no generations yet" must pass the fresh-checkpoint
+    * collision guard for any baseGen rather than NPE (ADVICE r13).
+    */
+  private[graft] def existingMaxGen(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val row = spark.read
+      .parquet(s"$indexDir/cells")
+      .agg(max(col("src_batch").cast("long")))
+      .collect()(0)
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
   def ivfPqIngestStream(
       embeddings: DataFrame,
       indexDir: String,
@@ -455,11 +471,7 @@ object StreamingOps {
       // only a FRESH checkpoint needs the collision guard: an existing
       // checkpoint's replayed ids are SUPPOSED to land on generations
       // they already wrote
-      val maxGen = spark.read
-        .parquet(s"$indexDir/cells")
-        .agg(max(col("src_batch").cast("long")))
-        .collect()(0)
-        .getLong(0)
+      val maxGen = existingMaxGen(indexDir, spark)
       require(
         baseGen > maxGen,
         s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) at " +

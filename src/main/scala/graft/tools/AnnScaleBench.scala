@@ -70,7 +70,7 @@ object AnnScaleBench {
     }
     for (seed <- Seq(42L, 7L, 1234L)) {
       val lsh = recallOf(graft.llm.AnnBuckets
-        .approxTopK(emb, "vec_id", "embedding", k = 5, nTables = 4, seed = seed))
+        .approxTopK(emb, "vec_id", "embedding", k = 5, nTables = 4, seed = seed, nProbes = 0))
       val ivf = recallOf(graft.llm.IvfIndex
         .approxTopK(emb, "vec_id", "embedding", k = 5, nProbe = 3, seed = seed.toInt))
       println(f"[annscale] recall seed=$seed lsh_auto=$lsh%.3f ivf_auto=$ivf%.3f")
@@ -108,7 +108,7 @@ object AnnScaleBench {
       }
       for (seed <- Seq(42L, 7L, 1234L)) {
         val lsh = recallS(graft.llm.AnnBuckets
-          .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 4, seed = seed))
+          .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 4, seed = seed, nProbes = 0))
         val ivf = recallS(graft.llm.IvfIndex
           .approxTopK(synth, "vec_id", "embedding", k = 5, nProbe = 3, seed = seed.toInt))
         println(f"[annscale] recall_synthetic n=$n seed=$seed lsh_auto=$lsh%.3f ivf_auto=$ivf%.3f")
@@ -122,9 +122,9 @@ object AnnScaleBench {
         println(f"[annscale] knob $name%s recall=$r%.3f sec=$sec%.3f")
       }
       timeRecall("lsh_tables8")(graft.llm.AnnBuckets
-        .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 8, seed = 42L))
+        .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 8, seed = 42L, nProbes = 0))
       timeRecall("lsh_tables16")(graft.llm.AnnBuckets
-        .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 16, seed = 42L))
+        .approxTopK(synth, "vec_id", "embedding", k = 5, nTables = 16, seed = 42L, nProbes = 0))
       timeRecall("ivf_probe8")(graft.llm.IvfIndex
         .approxTopK(synth, "vec_id", "embedding", k = 5, nProbe = 8, seed = 42))
       timeRecall("ivf_probe16")(graft.llm.IvfIndex

@@ -128,14 +128,14 @@ object ClusteredRecallBench {
     for (seed <- Seq(42L, 7L, 1234L)) {
       val t0  = System.nanoTime()
       val lsh = recallOf(graft.llm.AnnBuckets
-        .approxTopK(emb, "vec_id", "embedding", k = k, nTables = 4, seed = seed))
+        .approxTopK(emb, "vec_id", "embedding", k = k, nTables = 4, seed = seed, nProbes = 0))
       val t1 = System.nanoTime()
       // the Auto-tables path (autoTables compensates autoBits' recall
       // decay — VERDICT r12 item 3); candidate volume printed so the
       // growth stays visibly ~n·log-ish, not quadratic
       val lshAuto = recallOf(graft.llm.AnnBuckets
         .approxTopK(emb, "vec_id", "embedding", k = k,
-          nTables = graft.llm.AnnBuckets.Auto, seed = seed))
+          nTables = graft.llm.AnnBuckets.Auto, seed = seed, nProbes = 0))
       val t2  = System.nanoTime()
       val ivf = recallOf(graft.llm.IvfIndex
         .approxTopK(emb, "vec_id", "embedding", k = k, nProbe = 3, seed = seed.toInt))
@@ -209,13 +209,13 @@ object ClusteredRecallBench {
     val semTau  = 0.8
     val exactKp = kept(graft.llm.SemDedup.keepFlags(emb, "vec_id", "embedding", tau = semTau))
     val apxKp   = kept(graft.llm.SemDedup
-      .keepFlagsApprox(emb, "vec_id", "embedding", tau = semTau, nTables = 8))
+      .keepFlagsApprox(emb, "vec_id", "embedding", tau = semTau, nTables = 8, nProbes = 0))
     val agree = (n - ((exactKp diff apxKp) ++ (apxKp diff exactKp)).size).toDouble / n
     println(f"[clustered] q132 semdedup keep agreement=$agree%.3f " +
       s"(exact keeps ${exactKp.size}, approx ${apxKp.size})")
     val apxKpA = kept(graft.llm.SemDedup
       .keepFlagsApprox(emb, "vec_id", "embedding", tau = semTau,
-        nTables = graft.llm.AnnBuckets.Auto))
+        nTables = graft.llm.AnnBuckets.Auto, nProbes = 0))
     val agreeA = (n - ((exactKp diff apxKpA) ++ (apxKpA diff exactKp)).size).toDouble / n
     println(f"[clustered] q132 semdedup keep agreement (auto tables=$autoT)=$agreeA%.3f " +
       s"(approx ${apxKpA.size})")

@@ -31,7 +31,7 @@ object MinerProbe {
         val t0 = System.nanoTime()
         graft.llm.EmbeddingStats
           .hardNegativesApprox(emb, "vec_id", "label", "embedding",
-            tau = 0.3, k = 3, nBits = nBits, nTables = nTables)
+            tau = 0.3, k = 3, nBits = nBits, nTables = nTables, nProbes = 0)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
@@ -50,7 +50,7 @@ object MinerProbe {
         val t0 = System.nanoTime()
         graft.llm.EmbeddingStats
           .trainingTripletsApprox(emb, "vec_id", "label", "embedding", tau = 0.3,
-            nBits = graft.llm.AnnBuckets.Auto, nTables = nTables)
+            nBits = graft.llm.AnnBuckets.Auto, nTables = nTables, nProbes = 0)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
@@ -109,7 +109,7 @@ object MinerProbe {
       val sampleIds = anchors.select("a_id").collect().map(_.getLong(0)).toSet
       val approx = graft.llm.EmbeddingStats
         .hardNegativesApprox(emb, "vec_id", "label", "embedding",
-          tau = 0.3, k = 3, nBits = graft.llm.AnnBuckets.Auto, nTables = nTables)
+          tau = 0.3, k = 3, nBits = graft.llm.AnnBuckets.Auto, nTables = nTables, nProbes = 0)
         .where(col("anchor").isin(sampleIds.toSeq: _*))
         .select("anchor", "neighbor")
         .collect()

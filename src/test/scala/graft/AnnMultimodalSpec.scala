@@ -30,7 +30,7 @@ class AnnMultimodalSpec extends AnyFunSuite {
     for (seed <- Seq(42L, 7L, 1234L)) {
       val approx = AnnBuckets
         .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
-          k = 5, nBits = 4, nTables = 4, seed = seed)
+          k = 5, nBits = 4, nTables = 4, seed = seed, nProbes = 0)
         .select("a_id", "b_id")
         .as[(Long, Long)]
         .collect()
@@ -88,7 +88,7 @@ class AnnMultimodalSpec extends AnyFunSuite {
     for (seed <- Seq(42L, 7L)) {
       val lsh = AnnBuckets
         .approxTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
-          k = 5, nTables = 4, seed = seed)
+          k = 5, nTables = 4, seed = seed, nProbes = 0)
         .select("a_id", "b_id")
         .as[(Long, Long)]
         .collect()
@@ -195,7 +195,8 @@ class AnnMultimodalSpec extends AnyFunSuite {
     val idx = java.nio.file.Files.createTempDirectory("lsh_idx").toString
     AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2)
     val fromIndex = AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5)
-    val inMemory  = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2)
+    val inMemory  = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2,
+      nProbes = 0)
     TestSpark.assertFrameEqual(fromIndex, inMemory)
     // one probe vector touches one bucket per table → ≤2 partitions read
     val res = AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3)
@@ -213,6 +214,42 @@ class AnnMultimodalSpec extends AnyFunSuite {
       .map(_.selectedPartitions.partitionCount)
       .sum
     assert(scanned <= 2, s"expected <=2 pruned bucket partitions, scanned $scanned")
+  }
+
+  test("multi-probe path tolerates null embeddings like the plain path (ADVICE r14)") {
+    // one malformed row must not kill the probesFrame kernel: the plain
+    // nProbes=0 path degrades it (null cosine never ranks/passes tau),
+    // so nProbes>0 must drop it, not NPE
+    val dirty = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(Seq((99999L, null: Seq[Double])).toDF("vec_id", "embedding"))
+    val probed = AnnBuckets
+      .approxTopK(dirty, "vec_id", "embedding", k = 3, nBits = 4, nTables = 2, nProbes = 2)
+    assert(probed.count() > 0)
+    // parity with the plain path's degradation: the null row may surface
+    // (it buckets to 0 on the non-probed join side, as at nProbes = 0)
+    // but can never carry a real score
+    val touched = probed.where(col("a_id") === 99999L || col("b_id") === 99999L)
+    assert(touched.where(col("cos_sim").isNotNull).count() == 0,
+      "the null-embedding row must never score a real cosine")
+    // the SemDedup consumer enables probing too — same tolerance
+    val kf = graft.llm.SemDedup
+      .keepFlagsApprox(dirty, "vec_id", "embedding", tau = 0.8,
+        nBits = 4, nTables = 2, nProbes = 2)
+    assert(kf.count() > 0)
+  }
+
+  test("approxTopKIndexed fails fast past the probe-set bound, naming the full-corpus path") {
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx_guard").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2)
+    val e = intercept[IllegalArgumentException] {
+      AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 3, maxProbedBuckets = 2)
+    }
+    assert(e.getMessage.contains("approxTopK"), s"guard must name the scale path: ${e.getMessage}")
+    // a bounded batch at the default bound is untouched
+    assert(AnnBuckets.approxTopKIndexed(idx, emb.limit(2), "vec_id", "embedding", k = 3)
+      .count() > 0)
   }
 
   test("IVF centroids are deterministic and cover all cells") {

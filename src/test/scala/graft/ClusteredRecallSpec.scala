@@ -55,17 +55,17 @@ class ClusteredRecallSpec extends AnyFunSuite {
   test("LSH Auto (autoBits + autoTables) holds recall@5 on clustered geometry") {
     val r = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
-        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto))
+        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto, nProbes = 0))
     assert(r >= 0.80, f"LSH Auto recall@5 $r%.3f under floor 0.80 (measured 0.915 at seed 2026)")
   }
 
   test("autoTables beats the fixed default tables at the same auto bits") {
     val fixed = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
-        nBits = AnnBuckets.Auto, nTables = 2))
+        nBits = AnnBuckets.Auto, nTables = 2, nProbes = 0))
     val auto = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
-        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto))
+        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto, nProbes = 0))
     assert(auto >= fixed,
       f"autoTables recall $auto%.3f must not fall under the fixed-2-tables recall $fixed%.3f")
   }
@@ -76,7 +76,7 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(nTp < nT, s"probe budget must shrink the table count: $nTp vs $nT")
     val plainAuto = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
-        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto))
+        nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto, nProbes = 0))
     val probedAuto = recallOf(
       AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
         nBits = AnnBuckets.Auto, nTables = AnnBuckets.Auto, nProbes = 2))
@@ -97,6 +97,58 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(mp23 >= plain4 - 0.02,
       f"2 tables x 3 probes recall $mp23%.3f must reach 4 plain tables ($plain4%.3f) " +
         "within 0.02 — the multi-probe premise (recall from probes, index cost from tables)")
+  }
+
+  // ── r14 default-arguments gate (VERDICT r13 item 1) ─────────────────
+  // The SHIPPED defaults (nTables = Auto, nProbes = 2 — probed-auto) must
+  // themselves hold the Auto floors: a default regression (someone resets
+  // a consumer to fixed tables, or the probed sizing drifts) fails the
+  // suite even if every explicitly-sized path is still green.
+  test("DEFAULT arguments hold the Auto recall floor (approxTopK, no sizing args)") {
+    val nTp = AnnBuckets.autoTablesProbed(n, nProbes = 2)
+    val r   = recallOf(AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5))
+    assert(r >= 0.80,
+      f"default-args recall@5 $r%.3f under floor 0.80 ($nTp probed-auto tables x 2 probes; " +
+        "measured 0.921 at seed 2026) — the shipped default must be the measured-best point")
+  }
+
+  test("DEFAULT arguments hold the miner overlap floor (hardNegativesApprox)") {
+    def pairs(df: DataFrame): Set[(Long, Long)] = df
+      .select(col("anchor").cast("long"), col("neighbor").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(
+      EmbeddingStats.hardNegatives(emb, "vec_id", "cluster", "embedding", tau = 0.45, k = 3))
+    assert(exact.nonEmpty, "exact miner returned no pairs — the gate would be vacuous")
+    val approx = pairs(
+      EmbeddingStats.hardNegativesApprox(emb, "vec_id", "cluster", "embedding", tau = 0.45, k = 3))
+    val overlap = (exact intersect approx).size.toDouble / exact.size
+    assert(overlap >= 0.30,
+      f"default-args miner overlap $overlap%.3f under floor 0.30 — probed-auto default regressed")
+  }
+
+  test("DEFAULT arguments hold the triplet overlap floor (trainingTripletsApprox)") {
+    def triplets(df: DataFrame): Set[(Long, Long, Long)] = df
+      .select(col("anchor").cast("long"), col("pos_id").cast("long"), col("neg_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = triplets(
+      EmbeddingStats.trainingTriplets(emb, "vec_id", "cluster", "embedding", tau = 0.45))
+    assert(exact.nonEmpty, "exact triplet miner returned no rows — the gate would be vacuous")
+    val approx = triplets(
+      EmbeddingStats.trainingTripletsApprox(emb, "vec_id", "cluster", "embedding", tau = 0.45))
+    val overlap = (exact intersect approx).size.toDouble / exact.size
+    assert(overlap >= 0.28,
+      f"default-args triplet overlap $overlap%.3f under floor 0.28 — probed-auto default regressed")
+  }
+
+  test("DEFAULT arguments hold the SemDedup agreement floor (keepFlagsApprox)") {
+    def kept(df: DataFrame): Set[Long] = df
+      .where(col("keep"))
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val exact  = kept(SemDedup.keepFlags(emb, "vec_id", "embedding", tau = 0.8))
+    val approx = kept(SemDedup.keepFlagsApprox(emb, "vec_id", "embedding", tau = 0.8))
+    val agree = (n - ((exact diff approx) ++ (approx diff exact)).size).toDouble / n
+    assert(agree >= 0.90,
+      f"default-args keep agreement $agree%.3f under floor 0.90 — probed-auto default regressed")
   }
 
   test("IVF Auto holds recall@5 on clustered geometry") {
@@ -122,7 +174,7 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "exact miner returned no pairs — the gate would be vacuous")
     val approx = pairs(
       EmbeddingStats.hardNegativesApprox(emb, "vec_id", "cluster", "embedding", tau = 0.45,
-        k = 3, nTables = AnnBuckets.Auto))
+        k = 3, nTables = AnnBuckets.Auto, nProbes = 0))
     val overlap = (exact intersect approx).size.toDouble / exact.size
     assert(overlap >= 0.30,
       f"q120 auto-tables overlap $overlap%.3f under floor 0.30 (measured 0.382 at seed 2026)")
@@ -157,7 +209,7 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "exact triplet miner returned no rows — the gate would be vacuous")
     val approx = triplets(
       EmbeddingStats.trainingTripletsApprox(emb, "vec_id", "cluster", "embedding", tau = 0.45,
-        nTables = AnnBuckets.Auto))
+        nTables = AnnBuckets.Auto, nProbes = 0))
     val overlap = (exact intersect approx).size.toDouble / exact.size
     assert(overlap >= 0.28,
       f"q130 auto-tables overlap $overlap%.3f under floor 0.28 (measured 0.358 at seed 2026)")
@@ -169,7 +221,7 @@ class ClusteredRecallSpec extends AnyFunSuite {
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
     val exact  = kept(SemDedup.keepFlags(emb, "vec_id", "embedding", tau = 0.8))
     val approx = kept(SemDedup.keepFlagsApprox(emb, "vec_id", "embedding", tau = 0.8,
-      nTables = AnnBuckets.Auto))
+      nTables = AnnBuckets.Auto, nProbes = 0))
     val agree = (n - ((exact diff approx) ++ (approx diff exact)).size).toDouble / n
     assert(agree >= 0.90,
       f"q132 auto-tables keep agreement $agree%.3f under floor 0.90 (measured 0.973 at seed 2026)")

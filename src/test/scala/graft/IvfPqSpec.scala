@@ -302,6 +302,46 @@ class IvfPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writeIndexGen"), s"guard must name the rebuild path: ${e.getMessage}")
   }
 
+  test("scoreCandidatesServe fails fast past the probe-row bound, naming the distributed path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_serveguard").toString
+    IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
+    val loaded = IvfPq.loadIndex(dir, spark)
+    val e = intercept[IllegalArgumentException] {
+      // the full corpus as a "serve batch" must trip the guard, not OOM
+      IvfPq.scoreCandidatesServe(emb, loaded, nProbe = 4, maxProbeRows = 8)
+    }
+    assert(e.getMessage.contains("scoreCandidates"), s"guard must name the scale path: ${e.getMessage}")
+    // at the default bound a real serve batch is untouched
+    val ok = IvfPq.scoreCandidatesServe(emb.limit(3), loaded, nProbe = 2)
+    assert(ok.count() > 0)
+  }
+
+  test("existingMaxGen is -1 over an empty generational cells table (no NPE)") {
+    // an index whose cells relation carries the src_batch column but zero
+    // rows: the max aggregate is null, which the fresh-checkpoint guard
+    // must read as "no generations yet" rather than NPE (ADVICE r13)
+    val dir    = java.nio.file.Files.createTempDirectory("ivfpq_emptygen").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("src_batch", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.parquet(s"$dir/cells")
+    assert(graft.stream.StreamingOps.existingMaxGen(dir, spark) == -1L)
+  }
+
+  test("Scratch registers ONE shutdown hook; repeated tempDir calls only queue paths") {
+    val before = graft.core.Scratch.pendingCount
+    val d1 = graft.core.Scratch.tempDir("scratch_spec")
+    val d2 = graft.core.Scratch.tempDir("scratch_spec")
+    assert(d1 != d2 && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d2)))
+    assert(graft.core.Scratch.pendingCount == before + 2,
+      "each call must queue its path for the SHARED exit hook")
+    // a second hook registration with the same Thread identity would throw
+    // IllegalArgumentException at addShutdownHook time; the lazy guard
+    // means the calls above simply must not have thrown
+  }
+
   test("build and search are deterministic") {
     val (i1, e1) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
     val (i2, e2) = IvfPq.build(emb, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)

@@ -41,7 +41,7 @@ class SemDedupSpec extends AnyFunSuite {
     // keep-first election on the planted geometry
     val got = SemDedup
       .keepFlagsApprox(corpus, "vec_id", "embedding", tau = 0.9,
-        nBits = 2, dims = 4, nTables = 4)
+        nBits = 2, dims = 4, nTables = 4, nProbes = 0)
       .orderBy("vec_id")
       .as[(Long, Option[Double], Boolean)]
       .collect()
@@ -60,7 +60,7 @@ class SemDedupSpec extends AnyFunSuite {
         .select("vec_id").as[Long].collect().toSet
     val exact  = kept(SemDedup.keepFlags(emb, "vec_id", "embedding", tau = 0.4))
     val approx = kept(SemDedup.keepFlagsApprox(emb, "vec_id", "embedding", tau = 0.4,
-      nBits = 4, nTables = 8))
+      nBits = 4, nTables = 8, nProbes = 0))
     val n = emb.count().toDouble
     val agree = (n - ((exact diff approx) ++ (approx diff exact)).size) / n
     info(f"keep-decision agreement exact-vs-approx = $agree%.3f " +

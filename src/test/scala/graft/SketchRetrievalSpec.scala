@@ -231,7 +231,7 @@ class SketchRetrievalSpec extends AnyFunSuite {
       EmbeddingStats.trainingTriplets(emb, "vec_id", "label", "embedding", tau = 0.5))
     val approx = triples(
       EmbeddingStats.trainingTripletsApprox(emb, "vec_id", "label", "embedding", tau = 0.5,
-        nBits = 2, dims = 2, nTables = 4))
+        nBits = 2, dims = 2, nTables = 4, nProbes = 0))
     // the planted cluster is tight (all candidates within ~25°), so 4
     // independent tables recover every candidate pair and the elections
     // coincide exactly
@@ -247,7 +247,7 @@ class SketchRetrievalSpec extends AnyFunSuite {
       EmbeddingStats.trainingTriplets(emb, "vec_id", "label", "embedding", tau = 0.3))
     val approx = triples(
       EmbeddingStats.trainingTripletsApprox(emb, "vec_id", "label", "embedding", tau = 0.3,
-        nBits = 4, nTables = 16))
+        nBits = 4, nTables = 16, nProbes = 0))
     val overlap = (approx intersect exact).size.toDouble / exact.size
     info(f"approx-vs-exact triplet overlap = $overlap%.3f (exact triplets: ${exact.size})")
     // full-tuple agreement (anchor, pos, neg must ALL match) — stricter
@@ -274,7 +274,7 @@ class SketchRetrievalSpec extends AnyFunSuite {
       .toSet
     val approx = EmbeddingStats
       .hardNegativesApprox(emb, "vec_id", "label", "embedding", tau = 0.5, k = 2,
-        nBits = 2, dims = 2, nTables = 4)
+        nBits = 2, dims = 2, nTables = 4, nProbes = 0)
       .select("anchor", "neighbor")
       .as[(Long, Long)]
       .collect()
@@ -299,7 +299,7 @@ class SketchRetrievalSpec extends AnyFunSuite {
       .toSet
     val approx = EmbeddingStats
       .hardNegativesApprox(emb, "vec_id", "label", "embedding", tau = 0.3, k = 3,
-        nBits = 4, nTables = 8)
+        nBits = 4, nTables = 8, nProbes = 0)
       .select("anchor", "neighbor")
       .as[(Long, Long)]
       .collect()
