@@ -121,7 +121,7 @@ object AnnBuckets {
     * literals; no RNG at executor time). Exposed within the package so the
     * bucket-assignment oracle can embed the same constants in its SQL.
     */
-  private[llm] def planes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def planes(nBits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dims)(rnd.nextGaussian()))
   }
@@ -331,14 +331,20 @@ object AnnBuckets {
     * copies and comparable join volume (measured on the clustered
     * fixture; see BENCH_SF1.md).
     */
-  private[graft] def candidatePairsMultiProbe(
+  /** The DIRECTED half of [[candidatePairsMultiProbe]]: probe-side a ×
+    * plain-bucket-side b, unioned over tables, BEFORE symmetrization —
+    * exactly the candidate set a probed QUERY-vs-CORPUS read produces
+    * (the persisted-index serve path, [[approxTopKIndexed]] at
+    * nProbes &gt; 0, pins parity against this stage).
+    */
+  private[graft] def candidatePairsMultiProbeDirected(
       e: DataFrame,
       bits: Int,
       dims: Int,
       nTables: Int,
       nProbes: Int,
-      seed: Long): DataFrame = {
-    val directed = (0 until nTables)
+      seed: Long): DataFrame =
+    (0 until nTables)
       .map { t =>
         val a = probesFrame(e, bits, dims, seed + t, nProbes).select(
           explode(col("probes")).as("bucket"),
@@ -352,6 +358,15 @@ object AnnBuckets {
             round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
       }
       .reduce(_ unionByName _)
+
+  private[graft] def candidatePairsMultiProbe(
+      e: DataFrame,
+      bits: Int,
+      dims: Int,
+      nTables: Int,
+      nProbes: Int,
+      seed: Long): DataFrame = {
+    val directed = candidatePairsMultiProbeDirected(e, bits, dims, nTables, nProbes, seed)
     directed
       .unionByName(directed.select(
         col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_sim")))
@@ -399,7 +414,15 @@ object AnnBuckets {
   /** One row per (table, bucket) with the combined partition key
     * `tb = tbl · 2^nBits + bucket`.
     */
-  private def bucketedRows(
+  /** Long-id normalized base projection shared by the persisted-index
+    * writer and both query-side bucketings.
+    */
+  private def indexBase(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df
+      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  private[graft] def bucketedRows(
       df: DataFrame,
       idCol: String,
       embCol: String,
@@ -407,9 +430,7 @@ object AnnBuckets {
       dims: Int,
       nTables: Int,
       seed: Long): DataFrame = {
-    val e = df
-      .select(Cols.q(idCol).cast("long").as("vec_id"), Cols.q(embCol).cast("array<double>").as("emb"))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val e = indexBase(df, idCol, embCol)
     e.select(
       posexplode(array((0 until nTables).map(t =>
         bucketCol(col("emb"), nBits, dims, seed + t)): _*)).as(Seq("tbl", "bucket")),
@@ -438,6 +459,18 @@ object AnnBuckets {
     */
   val MaxPersistedBits: Int = 14
 
+  /** `nProbes` is the PROBE BUDGET the index is sized for and served
+    * with: it is recorded in the meta sidecar, [[approxTopKIndexed]]
+    * applies it on every read (each query probes its own bucket plus the
+    * `nProbes` smallest-|margin| flip buckets per table — the q137 rule),
+    * and `nTables = Auto` sizes the table count by [[autoTablesProbed]],
+    * so a probed index carries ~1/(nProbes+1) the table copies of a plain
+    * one at the same recall target (measured: t×2-probe matched plain
+    * autoTables recall at ~⅓ the tables — BENCH_SF1.md). Default is the
+    * r14 probed-auto operating point; pass `nTables = 2, nProbes = 0`
+    * for a pre-r14 plain index (old meta sidecars without the column
+    * read as nProbes = 0, so existing indexes serve unchanged).
+    */
   def writeBuckets(
       emb: DataFrame,
       idCol: String,
@@ -445,8 +478,9 @@ object AnnBuckets {
       outDir: String,
       nBits: Int = Auto,
       dims: Int = 64,
-      nTables: Int = 2,
-      seed: Long = 42L): Unit = {
+      nTables: Int = Auto,
+      seed: Long = 42L,
+      nProbes: Int = 2): Unit = {
     val spark = emb.sparkSession
     val n     = if (nBits == Auto || nTables == Auto) emb.count() else 0L
     val bits =
@@ -460,25 +494,62 @@ object AnnBuckets {
               "bucket occupancy grows past this corpus size (see MaxPersistedBits)")
         b
       }
-    val tables = if (nTables != Auto) nTables else autoTables(n)
+    val tables = resolveTables(n, nTables, nProbes)
     bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
       .write
       .partitionBy("tb")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
     import spark.implicits._
-    Seq((bits, dims, tables, seed))
-      .toDF("nBits", "dims", "nTables", "seed")
+    Seq((bits, dims, tables, seed, nProbes))
+      .toDF("nBits", "dims", "nTables", "seed", "nProbes")
       .coalesce(1)
       .write
       .mode("overwrite")
       .parquet(s"$outDir/meta")
   }
 
+  /** The probed query side of a [[writeBuckets]] index read: each query
+    * vector's own bucket PLUS its `nProbes` flip-neighbour buckets per
+    * table (the [[probesFrame]] kernel — q137's hash-oracled rule),
+    * under the combined `tb` key. At nProbes = 0 this degenerates to the
+    * single-bucket [[bucketedRows]] set (probesFrame's probe list is
+    * then exactly the own bucket; spec-pinned).
+    */
+  private[graft] def probedRows(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nBits: Int,
+      dims: Int,
+      nTables: Int,
+      seed: Long,
+      nProbes: Int): DataFrame = {
+    val e = indexBase(df, idCol, embCol)
+    (0 until nTables)
+      .map { t =>
+        probesFrame(e, nBits, dims, seed + t, nProbes)
+          .select(
+            explode(col("probes")).as("bucket"),
+            col("vec_id"),
+            col("emb"),
+            col("nrm"))
+          .select(
+            (lit(t) * (1 << nBits) + col("bucket")).as("tb"),
+            col("vec_id"),
+            col("emb"),
+            col("nrm"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Probe a [[writeBuckets]] index with a query batch: re-bucket the
-    * queries from the persisted parameters, collect the bounded probed
-    * (table, bucket) set — ≤ |queries| · nTables keys, the online-batch
-    * use case this index exists for — and apply it as a STATIC partition
+    * queries from the persisted parameters — applying the index's
+    * recorded PROBE BUDGET, so each query reads its own bucket plus its
+    * `nProbes` flip-neighbour buckets per table (the q137 multi-probe
+    * rule; r14) — collect the bounded probed (table, bucket) set,
+    * ≤ |queries| · nTables · (nProbes + 1) keys, the online-batch use
+    * case this index exists for, and apply it as a STATIC partition
     * filter, so the index scan reads only the probed buckets' files. For
     * a full-corpus self-join prefer [[approxTopK]], whose single-run
     * bucketing avoids the probe-set collect.
@@ -499,11 +570,22 @@ object AnnBuckets {
       embCol: String,
       k: Int = 5,
       maxProbedBuckets: Int = MaxProbedBuckets): DataFrame = {
-    val spark = queries.sparkSession
-    val meta  = spark.read.parquet(s"$indexDir/meta").head()
-    val (bits, dims, nTables, seed) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
-    val probes = bucketedRows(queries, idCol, embCol, bits, dims, nTables, seed)
+    val spark  = queries.sparkSession
+    val metaDf = spark.read.parquet(s"$indexDir/meta")
+    val meta   = metaDf.head()
+    val (bits, dims, nTables, seed) = (
+      meta.getAs[Int]("nBits"),
+      meta.getAs[Int]("dims"),
+      meta.getAs[Int]("nTables"),
+      meta.getAs[Long]("seed"))
+    // probe budget from the sidecar — a pre-r14 index has no column and
+    // serves plain (single-bucket) reads, exactly as it was written for
+    val nProbes =
+      if (metaDf.schema.fieldNames.contains("nProbes")) meta.getAs[Int]("nProbes") else 0
+    val queryRows =
+      if (nProbes > 0) probedRows(queries, idCol, embCol, bits, dims, nTables, seed, nProbes)
+      else bucketedRows(queries, idCol, embCol, bits, dims, nTables, seed)
+    val probes = queryRows
       .select(
         col("tb"),
         col("vec_id").as("a_id"),
@@ -512,14 +594,14 @@ object AnnBuckets {
     // take(bound + 1), not collect(): the overflow check must itself be
     // bounded — a runaway query batch is detected after bound + 1 rows,
     // never materialized on the driver
-    val probedRows = probes.select("tb").distinct().take(maxProbedBuckets + 1)
+    val probedKeys = probes.select("tb").distinct().take(maxProbedBuckets + 1)
     require(
-      probedRows.length <= maxProbedBuckets,
+      probedKeys.length <= maxProbedBuckets,
       s"approxTopKIndexed probed more than $maxProbedBuckets distinct (table, bucket) keys — " +
         "the static partition filter collects the probe set to the driver, so this index read " +
         "is for BOUNDED query batches; for a full-corpus self-join use AnnBuckets.approxTopK " +
         "(single-run bucketing, no probe-set collect), or raise maxProbedBuckets explicitly")
-    val probedTbs: Seq[Int] = probedRows.map(_.getInt(0)).toSeq
+    val probedTbs: Seq[Int] = probedKeys.map(_.getInt(0)).toSeq
     val lists = spark.read
       .parquet(s"$indexDir/buckets")
       .where(col("tb").isin(probedTbs: _*))

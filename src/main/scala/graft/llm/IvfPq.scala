@@ -238,9 +238,29 @@ object IvfPq {
     writeSidecars(spark, idx, outDir)
   }
 
+  /** Deterministic fingerprint of an index's GEOMETRY (coarse centroids +
+    * PQ codebooks): two indexes with the same quantizer hash equal, a
+    * retrained one differs. This is what lets a long-lived serve handle
+    * detect that [[retrainAndRebuild]] replaced the index underneath it —
+    * codes are meaningless across geometries, so serving stale codebooks
+    * against rebuilt cells would return silently wrong distances.
+    */
+  def geomId(idx: IvfPqIndex): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a over the raw double bits
+    def mix(x: Double): Unit = {
+      h ^= java.lang.Double.doubleToLongBits(x)
+      h *= 0x100000001b3L
+    }
+    idx.centroids.foreach(_.foreach(mix))
+    idx.cb.books.foreach(_.foreach(_.foreach(mix)))
+    h
+  }
+
   /** The centroid + codebook sidecars shared by [[writeIndex]] and
     * [[writeIndexGen]] — one writer so a sidecar schema change cannot
-    * break round-tripping for indexes written by the other layout.
+    * break round-tripping for indexes written by the other layout. Also
+    * stamps the geometry fingerprint (`geom` sidecar, written LAST so a
+    * reader that sees the new stamp sees the new quantizer too).
     */
   private def writeSidecars(
       spark: org.apache.spark.sql.SparkSession,
@@ -259,6 +279,22 @@ object IvfPq {
       .toDF("subspace", "code", "label", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
+    Seq(Tuple1(geomId(idx)))
+      .toDF("geom_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/geom")
+  }
+
+  /** The persisted geometry stamp, or None for a pre-r14 index (no
+    * `geom` sidecar — those indexes predate [[retrainAndRebuild]], so
+    * there is no rebuild to detect).
+    */
+  private def readGeomId(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+    val p  = new org.apache.hadoop.fs.Path(indexDir, "geom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).head().getLong(0)) else None
   }
 
   /** [[encodeForIndex]] plus the EXACT residual reconstruction error —
@@ -347,7 +383,19 @@ object IvfPq {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      srcBatch: Long): Unit =
+      srcBatch: Long): Unit = {
+    // geometry guard (mirror of the serve-side stamp check): appending
+    // rows encoded in a quantizer that is no longer the index's — an
+    // ingest loop overtaken by retrainAndRebuild — would corrupt the
+    // index with cross-geometry codes; fail fast telling the loop to
+    // reload instead
+    readGeomId(indexDir, emb.sparkSession).foreach { cur =>
+      require(
+        cur == geomId(index),
+        s"IVFADC index at $indexDir was rebuilt since this quantizer was loaded (geometry " +
+          s"stamp $cur != loaded ${geomId(index)}) — appending cross-geometry codes would " +
+          "corrupt the index; reload via IvfPq.loadIndex and re-encode the batch")
+    }
     encodeForIndex(emb, idCol, vecCol, index)
       .withColumn("src_batch", lit(srcBatch))
       .write
@@ -355,6 +403,70 @@ object IvfPq {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$indexDir/cells")
+    ()
+  }
+
+  /** q136's retrain trigger as a predicate over the drift report
+    * (`src_batch`, `mean_err` — the q136 / `ivfPqDriftStream` shape):
+    * true when the LATEST generation's mean residual reconstruction
+    * error exceeds `tau` × the BOOTSTRAP generation's (min src_batch) —
+    * i.e. the current distribution reconstructs `tau`× worse in the
+    * frozen geometry than the data the quantizer was trained on. The
+    * report is generations-sized (collect is O(generations)).
+    */
+  def retrainDue(genErr: DataFrame, tau: Double = 1.25): Boolean = {
+    require(tau > 1.0, s"tau must exceed 1 (it multiplies the bootstrap error), got $tau")
+    val rows = genErr
+      .select(col("src_batch").cast("long"), col("mean_err").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    require(rows.nonEmpty, "retrainDue needs a non-empty drift report")
+    val base   = rows.minBy(_._1)
+    val latest = rows.maxBy(_._1)
+    latest._1 != base._1 && latest._2 > tau * base._2
+  }
+
+  /** The composed remedy when [[retrainDue]] fires — the action half of
+    * the q136 trigger: RETRAIN the quantizer (coarse centroids + residual
+    * codebooks, the [[build]] recipe) on `trainOn` (default: the full
+    * corpus; pass the recent batches to bias the new geometry toward the
+    * drifted distribution), RE-ENCODE the entire corpus through the
+    * one-pass kernel, and REBUILD the generational index via
+    * [[writeIndexGen]] — whose STATIC overwrite is exactly why this is
+    * safe: generations encoded in the old geometry cannot survive into
+    * the new index. History re-encoding is unavoidable (codes are
+    * meaningless across geometries), which is why this is the RARE
+    * operation and [[appendToIndex]] the per-batch one; post-rebuild the
+    * index is single-generation (src_batch = 0) and ingest resumes with
+    * a fresh generation space. Concurrent serving: handles loaded BEFORE
+    * the rebuild fail fast on their next [[scoreCandidatesServe]] batch
+    * via the geometry stamp (spec-pinned) rather than serving stale-
+    * codebook distances; readers racing the overwrite itself surface
+    * file-level errors, not wrong results.
+    *
+    * Returns the NEW index (so the caller's ingest loop can keep
+    * encoding without a reload).
+    */
+  def retrainAndRebuild(
+      indexDir: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      nCells: Int = 16,
+      m: Int = 4,
+      k: Int = 16,
+      pqIters: Int = 2,
+      seed: Int = 42,
+      trainOn: DataFrame = null): IvfPqIndex = {
+    val trainSrc  = Option(trainOn).getOrElse(corpus)
+    val centroids = IvfIndex.trainCentroids(trainSrc, idCol, vecCol, nCells, seed = seed)
+    val res       = residualKernelFrame(trainSrc, idCol, vecCol, centroids)
+    val cb        = Pq.train(res, "vec_id", "res", dims, m, k, pqIters)
+    val idx       = IvfPqIndex(centroids, cb)
+    writeIndexGen(idx, encodeForIndex(corpus, idCol, vecCol, idx), indexDir, srcBatch = 0L)
+    idx
+  }
 
   /** Fail fast (naming the rebuild path) when the cells table lacks the
     * `src_batch` generation level — the banded-index guard pattern.
@@ -381,7 +493,11 @@ object IvfPq {
     * [[scoreCandidates]] per query — the sidecar reads (two small
     * parquet collects) are a per-load cost, not a per-query one.
     */
-  final case class LoadedIndex(index: IvfPqIndex, cells: DataFrame)
+  final case class LoadedIndex(
+      index: IvfPqIndex,
+      cells: DataFrame,
+      dir: String = "",
+      geomId: Long = -1L)
 
   def loadIndex(
       indexDir: String,
@@ -400,8 +516,13 @@ object IvfPq {
       cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](3).toArray))
     val labels = Array.tabulate(m)(s =>
       cbRows.filter(_.getInt(0) == s).map(_.getLong(2)))
-    val cb = Pq.Codebooks(m, books(0)(0).length, books, labels)
-    LoadedIndex(IvfPqIndex(centroids, cb), spark.read.parquet(s"$indexDir/cells"))
+    val cb  = Pq.Codebooks(m, books(0)(0).length, books, labels)
+    val idx = IvfPqIndex(centroids, cb)
+    LoadedIndex(
+      idx,
+      spark.read.parquet(s"$indexDir/cells"),
+      dir = indexDir,
+      geomId = readGeomId(indexDir, spark).getOrElse(-1L))
   }
 
   def topKIndexed(
@@ -530,6 +651,20 @@ object IvfPq {
       maxProbeRows: Int = MaxServeProbeRows): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // staleness guard: a retrainAndRebuild since loadIndex replaced the
+    // quantizer, and decoding rebuilt codes with these (stale) codebooks
+    // would serve silently WRONG distances — re-check the geometry stamp
+    // (one tiny sidecar head per serve batch; ~ms next to the scan) and
+    // fail fast telling the loop to reload. Pre-r14 indexes (no stamp)
+    // skip the check, as written.
+    if (loaded.geomId != -1L && loaded.dir.nonEmpty) {
+      val current = readGeomId(loaded.dir, spark)
+      require(
+        current.contains(loaded.geomId),
+        s"IVFADC index at ${loaded.dir} was rebuilt since loadIndex (geometry stamp " +
+          s"${current.orNull} != loaded ${loaded.geomId}) — stale codebooks would decode " +
+          "rebuilt codes to wrong distances; reload the index (IvfPq.loadIndex) and retry")
+    }
     val cb = loaded.index.cb
     val kk = cb.books.map(_.length).max
     // probes are serve-batch-sized by contract (queries × nProbe rows of

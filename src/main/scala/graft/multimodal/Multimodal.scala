@@ -213,6 +213,41 @@ object Multimodal {
             s"i -> substring(content, 1 + i * int(greatest(length(content) / $nFrames, 1)), $frameLen))"))
           .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Media near-dup through the ANN family (the r14 multimodal→search
+    * bridge): decode → fixed-width feature histogram ([[decodeFeatures]])
+    * → LSH candidate pairs ([[graft.llm.AnnBuckets]], probed-auto sized
+    * like every r14 ANN consumer) → rounded-cosine threshold, unordered
+    * (a_id &lt; b_id) pairs. The similarity-RANGE variant next to q62's
+    * exact digest grouping: byte-identical duplicates collide in every
+    * table (cosine 1.0), and re-encoded/resized variants whose bytes
+    * differ but histograms are near surface at tau &lt; 1. Mind the q62
+    * caveat at scale: same-domain histograms are near-parallel, so for
+    * EXACT duplicate detection the digest grouping is the cheaper shape —
+    * this path exists for the tau &lt; 1 band the digest cannot see.
+    * Output (a_id, b_id, cos_sim).
+    */
+  def mediaNearDupApprox(
+      media: DataFrame,
+      tau: Double,
+      dims: Int = 16,
+      nBits: Int = graft.llm.AnnBuckets.Auto,
+      nTables: Int = graft.llm.AnnBuckets.Auto,
+      nProbes: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    import graft.llm.AnnBuckets
+    val e = decodeFeatures(media, dims)
+      .select(col("media_id").cast("long").as("vec_id"), col("features").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
+    val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
+    val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
+    AnnBuckets
+      .candidatesFor(e, bits, dims, tables, nProbes, seed)
+      .where(col("a_id") < col("b_id") && col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
   /** Resize in feature space: fold adjacent histogram bins (the stand-in
     * for spatial resize; same contract — array in, smaller array out).
     */

@@ -58,5 +58,83 @@ object MultimodalQueries {
       .orderBy("dup_id")
   }
 
-  val all: Seq[Declared] = Seq(q40MultimodalFeatures, q62MediaNeardup)
+  /** Media ANN search plumbing, hash-oracled (the r14 multimodal→search
+    * bridge next to [[Multimodal.mediaNearDupApprox]]): a feature vector
+    * per media item rides the FULL LSH candidate path — pinned hyperplane
+    * literals, two tables' sign-bit buckets, the within-bucket cosine
+    * join, threshold — with every stage replayed in DuckDB. Because
+    * binary decode has no SQL oracle (q40/q62 stay rows-only), the
+    * ORACLE-REPLAYABLE feature projection here is the typed-metadata +
+    * content-stat vector both engines can compute from `documents` (kind
+    * one-hots from the q62 rotation, ln-length, char-class ratios),
+    * CENTERED by pinned literals so sign-bit buckets actually spread
+    * (uncentered stat vectors are near-parallel — the q62 caveat — and
+    * would all share one bucket); `decodeFeatures` histograms are the
+    * production feature source and their ANN trip is spec-verified with
+    * the planted duplicate (AnnMultimodalSpec). Output is the SURVIVOR
+    * MAPPING (dup_id → lowest-id neighbour above tau, plus the max
+    * similarity), not the raw pair set — pairs above tau on stat features
+    * are ~n²-dense, and the q62 resolution shape keeps the result (and
+    * any downstream shuffle) linear in the corpus.
+    */
+  val q138MediaAnnSearch: Declared = {
+    val nBits   = 4
+    val dims    = 8
+    val seed    = 42L
+    val nTables = 2
+    val tau     = 0.9
+    // pinned feature projection — identical SQL fragment in both engines
+    def ratio(ch: String) =
+      s"(length(text) - length(replace(text, '$ch', ''))) / CAST(length(text) + 1 AS DOUBLE)"
+    val center = Seq(5.56, 0.177, 0.078, 0.085, 0.066, 1.0 / 3, 1.0 / 3, 1.0 / 3)
+    val raw = Seq(
+      "ln(1 + length(text))",
+      ratio(" "), ratio("e"), ratio("a"), ratio("t"),
+      "CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END",
+      "CASE WHEN doc_id % 3 = 1 THEN 1.0 ELSE 0.0 END",
+      "CASE WHEN doc_id % 3 = 2 THEN 1.0 ELSE 0.0 END")
+    val feat = raw.zip(center).map { case (f, c) => s"(($f) - $c)" }
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = graft.llm.AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n       + ")
+      s"SELECT media_id, $tb AS table_id, CAST($bits AS INTEGER) AS bucket, emb, nrm FROM n"
+    }
+    val oracle =
+      s"""WITH f AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |             [${feat.mkString(",\n              ")}] AS emb
+         |           FROM documents),
+         |n AS (SELECT media_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM f),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")}),
+         |p AS (SELECT DISTINCT a.media_id AS a_id, b2.media_id AS b_id,
+         |        round(list_dot_product(a.emb, b2.emb) / (a.nrm * b2.nrm), 6) AS cos_sim
+         |      FROM b a JOIN b b2 ON a.table_id = b2.table_id AND a.bucket = b2.bucket
+         |                        AND a.media_id < b2.media_id)
+         |SELECT b_id AS dup_id, CAST(min(a_id) AS BIGINT) AS survivor_id,
+         |       round(max(cos_sim), 6) AS max_sim
+         |FROM p WHERE cos_sim >= $tau
+         |GROUP BY b_id ORDER BY dup_id""".stripMargin
+    Declared.sql("q138_media_ann_search", oracle) { (spark, dir) =>
+      import graft.functions.GraftFunctions.dot
+      val e = Tables(spark, dir).documents
+        .selectExpr(
+          "CAST(doc_id AS LONG) AS vec_id",
+          s"array(${feat.mkString(", ")}) AS emb")
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      graft.llm.AnnBuckets
+        .candidatePairs(e, nBits, dims, nTables, seed)
+        .where(col("a_id") < col("b_id") && col("cos_sim") >= tau)
+        .groupBy(col("b_id").as("dup_id"))
+        .agg(
+          min(col("a_id")).cast("long").as("survivor_id"),
+          round(max(col("cos_sim")), 6).as("max_sim"))
+        .orderBy("dup_id")
+    }
+  }
+
+  val all: Seq[Declared] = Seq(q40MultimodalFeatures, q62MediaNeardup, q138MediaAnnSearch)
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.llm.{AnnBuckets, SimilarityQueries}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, MultimodalQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -193,7 +193,8 @@ class AnnMultimodalSpec extends AnyFunSuite {
   test("persisted LSH buckets reproduce the in-memory path and prune buckets") {
     val emb = Tables(spark, dir).embeddings
     val idx = java.nio.file.Files.createTempDirectory("lsh_idx").toString
-    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2)
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2,
+      nProbes = 0)
     val fromIndex = AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5)
     val inMemory  = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2,
       nProbes = 0)
@@ -214,6 +215,64 @@ class AnnMultimodalSpec extends AnyFunSuite {
       .map(_.selectedPartitions.partitionCount)
       .sum
     assert(scanned <= 2, s"expected <=2 pruned bucket partitions, scanned $scanned")
+  }
+
+  test("probed persisted LSH index: in-memory parity, bounded pruned scan, recall gain") {
+    import graft.functions.GraftFunctions.dot
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx_mp").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 2, nProbes = 2)
+    // the meta sidecar carries the probe budget the index was sized for
+    val fromIndex = AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5)
+    // in-memory equivalent: the DIRECTED multi-probe candidate stage
+    // (probe-side queries × plain-bucket corpus — exactly q137's
+    // hash-oracled flip rule) ranked by the shared window tail
+    val e = emb
+      .select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id").asc)
+    val expected = AnnBuckets
+      .candidatePairsMultiProbeDirected(e, bits = 4, dims = 64, nTables = 2, nProbes = 2,
+        seed = 42L)
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("a_id", "b_id", "rn", "cos_sim")
+    TestSpark.assertFrameEqual(fromIndex, expected)
+    // probes buy recall at EQUAL index size: the probed read of this
+    // 2-table index beats the plain read of the same 2 tables
+    val plainIdx = java.nio.file.Files.createTempDirectory("lsh_idx_plain").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", plainIdx, nBits = 4, nTables = 2,
+      nProbes = 0)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      (exactTop5 intersect got).size.toDouble / exactTop5.size
+    }
+    val rProbed = recallOf(fromIndex)
+    val rPlain  = recallOf(AnnBuckets.approxTopKIndexed(plainIdx, emb, "vec_id", "embedding", k = 5))
+    assert(rProbed > rPlain,
+      f"probed read must buy recall over the plain read of the same tables: " +
+        f"$rProbed%.3f vs $rPlain%.3f")
+    // one query reads ≤ nTables · (nProbes + 1) = 6 bucket partitions —
+    // static pruning survives the probe explosion
+    val res = AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val scanned = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lsh_idx_mp")))
+      .map(_.selectedPartitions.partitionCount)
+      .sum
+    assert(scanned <= 6, s"expected <= tables x (probes+1) = 6 pruned partitions, scanned $scanned")
   }
 
   test("multi-probe path tolerates null embeddings like the plain path (ADVICE r14)") {
@@ -390,6 +449,25 @@ class AnnMultimodalSpec extends AnyFunSuite {
     // the WAV row (id 1) and every distinct-text row has unique features:
     // on this fixture the planted pair is the ONLY duplicate
     assert(out == Seq((6L, 3L)), s"unexpected extra duplicates: $out")
+  }
+
+  test("media ANN search: decoded features ride the LSH path, planted duplicate surfaces") {
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    // the production bridge: decode → histogram features → LSH candidates
+    // → threshold pairs. The planted duplicate PNG (ids 3 and 6 share the
+    // same payload) has IDENTICAL features, so it collides in every table
+    // and scores cosine 1.0 — it must surface at any tau
+    val pairs = Multimodal
+      .mediaNearDupApprox(media, tau = 0.999999, dims = 16, nBits = 4, nTables = 2, nProbes = 1)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((3L, 6L)), s"planted duplicate must surface through the ANN path: $pairs")
+    // the declared q138 plumbing returns hash-stable rows at this sf
+    val q138 = MultimodalQueries.q138MediaAnnSearch.run(spark, dir)
+    assert(q138.count() > 0, "q138 must produce survivor mappings on the fixture")
+    assert(q138.columns.toSeq == Seq("dup_id", "survivor_id", "max_sim"))
   }
 
   test("approx_count_distinct stays inside the HLL error envelope") {

@@ -302,6 +302,68 @@ class IvfPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writeIndexGen"), s"guard must name the rebuild path: ${e.getMessage}")
   }
 
+  test("planted drift: retrainDue fires, retrainAndRebuild recovers, stale handle fails fast") {
+    val dir  = java.nio.file.Files.createTempDirectory("ivfpq_retrain").toString
+    val base = emb
+    val (idx0, enc0) =
+      IvfPq.build(base, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    IvfPq.writeIndexGen(idx0, enc0, dir, srcBatch = 0L)
+    // the drifted generation: uniformly shifted copies under fresh ids
+    val drifted = base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.75)).as("embedding"))
+    IvfPq.appendToIndex(dir, drifted, "vec_id", "embedding", srcBatch = 1L)
+
+    // drift report in the FROZEN geometry (the q136 shape) → trigger fires
+    def report(df: org.apache.spark.sql.DataFrame, gen: Long) = IvfPq
+      .encodeForIndexWithError(df, "vec_id", "embedding", idx0)
+      .agg(avg(col("err")).as("mean_err"))
+      .select(lit(gen).as("src_batch"), col("mean_err"))
+    val drifting = report(base, 0L).unionByName(report(drifted, 1L))
+    assert(IvfPq.retrainDue(drifting, tau = 1.05), "shifted generation must trip the trigger")
+    assert(!IvfPq.retrainDue(report(base, 0L).unionByName(report(base, 1L)), tau = 1.05),
+      "a same-distribution generation must NOT trip the trigger")
+
+    val stale = IvfPq.loadIndex(dir, spark)
+    assert(IvfPq.scoreCandidatesServe(base.limit(2), stale, nProbe = 2).count() > 0,
+      "pre-rebuild the handle serves normally")
+
+    val errBefore = IvfPq.encodeForIndexWithError(drifted, "vec_id", "embedding", idx0)
+      .agg(avg(col("err"))).collect()(0).getDouble(0)
+    val corpus = base.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .unionByName(drifted)
+    // retrain ON the recent (drifted) batch, re-encode the whole corpus
+    val newIdx = IvfPq.retrainAndRebuild(dir, corpus, "vec_id", "embedding", dims = 64,
+      nCells = 16, m = 4, k = 16, trainOn = drifted)
+    val errAfter = IvfPq.encodeForIndexWithError(drifted, "vec_id", "embedding", newIdx)
+      .agg(avg(col("err"))).collect()(0).getDouble(0)
+    assert(errAfter < errBefore * 0.9,
+      f"reconstruction error must recover after retrain: $errAfter%.4f vs $errBefore%.4f")
+
+    // the pre-rebuild handle FAILS FAST (geometry stamp) instead of
+    // decoding rebuilt codes with stale codebooks
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.scoreCandidatesServe(base.limit(2), stale, nProbe = 2).count()
+    }
+    assert(e.getMessage.contains("reload"), s"stale guard must say to reload: ${e.getMessage}")
+    // …and so does an ingest loop still holding the pre-rebuild quantizer
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndexLoaded(dir, idx0, drifted.limit(3), "vec_id", "embedding", srcBatch = 5L)
+    }
+    assert(e2.getMessage.contains("reload"), s"ingest guard must say to reload: ${e2.getMessage}")
+
+    // a fresh load serves the rebuilt single-generation index
+    val fresh = IvfPq.loadIndex(dir, spark)
+    assert(fresh.geomId == IvfPq.geomId(newIdx))
+    assert(fresh.cells.select(col("src_batch").cast("long")).distinct()
+      .as[Long].collect().toSeq == Seq(0L),
+      "rebuild must leave a single generation (static overwrite)")
+    assert(fresh.cells.count() == corpus.count())
+    assert(IvfPq.scoreCandidatesServe(base.limit(2), fresh, nProbe = 2).count() > 0)
+    // ingest resumes against a fresh generation space
+    assert(graft.stream.StreamingOps.existingMaxGen(dir, spark) == 0L)
+  }
+
   test("scoreCandidatesServe fails fast past the probe-row bound, naming the distributed path") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_serveguard").toString
     IvfPq.writeIndex(emb, "vec_id", "embedding", dir, dims = 64, nCells = 16, m = 4, k = 16)
