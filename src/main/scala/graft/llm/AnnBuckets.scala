@@ -496,6 +496,16 @@ object AnnBuckets {
       }
     val tables = resolveTables(n, nTables, nProbes)
     bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
+      // cluster rows by the partition key BEFORE the partitioned write:
+      // without it every write task emits a file into every `tb`
+      // directory (tasks × tables · 2^bits files — measured 327 k files
+      // and a 586 s build for the 5-table probed index at n = 200 k,
+      // 852 k and 1 758 s for the 13-table plain one); clustered, each
+      // directory gets its owning tasks' files only. One bounded shuffle
+      // of (id, emb, nrm) rows buys a ~file-count-proportional write —
+      // the same small-files posture the banded near-dup index write
+      // adopted in r13 (A/B in BENCH_SF1.md round-14 late section)
+      .repartition(col("tb"))
       .write
       .partitionBy("tb")
       .mode("overwrite")

@@ -280,6 +280,9 @@ object IvfIndex {
     val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
     withProbeCells(vecBase(emb, idCol, embCol), centroids, nProbe = 1)
       .select(col("probe_cells").getItem(0).as("cell"), col("vec_id"), col("emb"), col("nrm"))
+      // one task → one file per cell directory (the r13 banded-index
+      // write-clustering posture; unclustered, tasks × cells files)
+      .repartition(col("cell"))
       .write
       .partitionBy("cell")
       .mode("overwrite")

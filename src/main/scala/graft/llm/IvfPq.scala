@@ -234,7 +234,10 @@ object IvfPq {
     val spark = emb.sparkSession
     import spark.implicits._
     val (idx, encoded) = build(emb, idCol, vecCol, dims, nCells, m, k, pqIters, seed)
-    encoded.write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells")
+    // one task -> one file per cell directory (the r13 banded-index
+    // write-clustering posture; unclustered, tasks x cells files)
+    encoded.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells")
     writeSidecars(spark, idx, outDir)
   }
 
@@ -333,6 +336,7 @@ object IvfPq {
     import spark.implicits._
     encoded
       .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("cell"))
       .write.partitionBy("cell", "src_batch")
       // STATIC overwrite regardless of session conf: a bootstrap (and the
       // documented retrain-and-rebuild remedy) must replace the WHOLE
@@ -398,6 +402,7 @@ object IvfPq {
     }
     encodeForIndex(emb, idCol, vecCol, index)
       .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("cell"))
       .write
       .partitionBy("cell", "src_batch")
       .option("partitionOverwriteMode", "dynamic")
