@@ -113,9 +113,10 @@ object AnnBuckets {
       dims: Int,
       tables: Int,
       nProbes: Int,
-      seed: Long): DataFrame =
-    if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed)
-    else candidatePairs(e, bits, dims, tables, seed)
+      seed: Long,
+      minSim: Option[Double] = None): DataFrame =
+    if (nProbes > 0) candidatePairsMultiProbe(e, bits, dims, tables, nProbes, seed, minSim)
+    else candidatePairs(e, bits, dims, tables, seed, minSim)
 
   /** Deterministic seeded hyperplanes (driver-side constants → broadcast as
     * literals; no RNG at executor time). Exposed within the package so the
@@ -230,7 +231,8 @@ object AnnBuckets {
       bits: Int,
       dims: Int,
       nTables: Int,
-      seed: Long): DataFrame =
+      seed: Long,
+      minSim: Option[Double] = None): DataFrame =
     (0 until nTables)
       .map { t =>
         val bucketed = withBucket(e, "emb", bits, dims, seed + t)
@@ -238,14 +240,29 @@ object AnnBuckets {
           col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
         val b = bucketed.select(
           col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
-          .select(
-            col("a_id"),
-            col("b_id"),
-            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+        withMinSim(
+          a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
+            .select(
+              col("a_id"),
+              col("b_id"),
+              round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6)
+                .as("cos_sim")),
+          minSim)
       }
       .reduce(_ unionByName _)
       .dropDuplicates("a_id", "b_id")
+
+  /** Threshold PUSHDOWN into the candidate stage: a consumer that will
+    * drop pairs under `tau` anyway (the miners, q138's media near-dup —
+    * NOT SemDedup, which REPORTS sub-tau maxima) can filter per table
+    * BEFORE the cross-table dedup shuffle, so below-threshold pairs
+    * never ride it. Commutes with the dedup exactly because `cos_sim`
+    * is functionally determined by (a_id, b_id); a None keeps the
+    * unfiltered contract bit-for-bit (including null-cosine degradation
+    * rows, which a `>= -Inf` predicate would silently drop).
+    */
+  private def withMinSim(pairs: DataFrame, minSim: Option[Double]): DataFrame =
+    minSim.fold(pairs)(t => pairs.where(col("cos_sim") >= t))
 
   /** Per-vector MULTI-PROBE set (Lv et al. 2007, VLDB: "Multi-probe LSH"):
     * the vector's own sign-bit bucket plus the `nProbes` buckets reached
@@ -343,7 +360,8 @@ object AnnBuckets {
       dims: Int,
       nTables: Int,
       nProbes: Int,
-      seed: Long): DataFrame =
+      seed: Long,
+      minSim: Option[Double] = None): DataFrame =
     (0 until nTables)
       .map { t =>
         val a = probesFrame(e, bits, dims, seed + t, nProbes).select(
@@ -351,11 +369,14 @@ object AnnBuckets {
           col("vec_id").as("a_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
         val b = withBucket(e, "emb", bits, dims, seed + t).select(
           col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-        a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
-          .select(
-            col("a_id"),
-            col("b_id"),
-            round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+        withMinSim(
+          a.join(b, Seq("bucket")).where(col("a_id") =!= col("b_id"))
+            .select(
+              col("a_id"),
+              col("b_id"),
+              round(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6)
+                .as("cos_sim")),
+          minSim)
       }
       .reduce(_ unionByName _)
 
@@ -365,8 +386,9 @@ object AnnBuckets {
       dims: Int,
       nTables: Int,
       nProbes: Int,
-      seed: Long): DataFrame = {
-    val directed = candidatePairsMultiProbeDirected(e, bits, dims, nTables, nProbes, seed)
+      seed: Long,
+      minSim: Option[Double] = None): DataFrame = {
+    val directed = candidatePairsMultiProbeDirected(e, bits, dims, nTables, nProbes, seed, minSim)
     directed
       .unionByName(directed.select(
         col("b_id").as("a_id"), col("a_id").as("b_id"), col("cos_sim")))

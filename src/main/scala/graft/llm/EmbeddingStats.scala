@@ -385,8 +385,10 @@ object EmbeddingStats {
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
-    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed)
-      .where(col("cos_sim") >= tau)
+    // tau PUSHED into the candidate stage: sub-threshold pairs never ride
+    // the cross-table dedup shuffle (commutes with the dedup — cos_sim is
+    // functionally determined by the pair)
+    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed, minSim = Some(tau))
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     tripletElection(df, idCol, labelCol, cand)
   }
@@ -467,8 +469,10 @@ object EmbeddingStats {
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
-    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed)
-      .where(col("cos_sim") >= tau)
+    // tau PUSHED into the candidate stage: sub-threshold pairs never ride
+    // the cross-table dedup shuffle (commutes with the dedup — cos_sim is
+    // functionally determined by the pair)
+    val cand = AnnBuckets.candidatesFor(e, bits, dims, tables, nProbes, seed, minSim = Some(tau))
       .select(col("a_id").as("anchor"), col("b_id").as("neighbor"), col("cos_sim"))
     val lbl = df.select(Cols.q(idCol).cast("long").as("__lid"), Cols.q(labelCol).as("__lbl"))
     val w   = Window.partitionBy("anchor").orderBy(col("cos_sim").desc, col("neighbor").asc)

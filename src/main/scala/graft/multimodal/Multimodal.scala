@@ -243,8 +243,8 @@ object Multimodal {
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
     val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
     AnnBuckets
-      .candidatesFor(e, bits, dims, tables, nProbes, seed)
-      .where(col("a_id") < col("b_id") && col("cos_sim") >= tau)
+      .candidatesFor(e, bits, dims, tables, nProbes, seed, minSim = Some(tau))
+      .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 

@@ -126,8 +126,8 @@ object MultimodalQueries {
           s"array(${feat.mkString(", ")}) AS emb")
         .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       graft.llm.AnnBuckets
-        .candidatePairs(e, nBits, dims, nTables, seed)
-        .where(col("a_id") < col("b_id") && col("cos_sim") >= tau)
+        .candidatePairs(e, nBits, dims, nTables, seed, minSim = Some(tau))
+        .where(col("a_id") < col("b_id"))
         .groupBy(col("b_id").as("dup_id"))
         .agg(
           min(col("a_id")).cast("long").as("survivor_id"),

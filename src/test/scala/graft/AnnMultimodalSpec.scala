@@ -275,6 +275,26 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(scanned <= 6, s"expected <= tables x (probes+1) = 6 pruned partitions, scanned $scanned")
   }
 
+  test("minSim pushdown commutes with the cross-table dedup, plain and probed") {
+    import graft.functions.GraftFunctions.dot
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    // the pushdown filters per table BEFORE the dedup shuffle; because
+    // cos_sim is functionally determined by the pair, the surviving set
+    // must be IDENTICAL to filtering after
+    TestSpark.assertFrameEqual(
+      AnnBuckets.candidatePairs(e, 4, 64, 2, 42L).where(col("cos_sim") >= 0.4)
+        .orderBy("a_id", "b_id"),
+      AnnBuckets.candidatePairs(e, 4, 64, 2, 42L, minSim = Some(0.4))
+        .orderBy("a_id", "b_id"))
+    TestSpark.assertFrameEqual(
+      AnnBuckets.candidatePairsMultiProbe(e, 4, 64, 2, 2, 42L).where(col("cos_sim") >= 0.4)
+        .orderBy("a_id", "b_id"),
+      AnnBuckets.candidatePairsMultiProbe(e, 4, 64, 2, 2, 42L, minSim = Some(0.4))
+        .orderBy("a_id", "b_id"))
+  }
+
   test("multi-probe path tolerates null embeddings like the plain path (ADVICE r14)") {
     // one malformed row must not kill the probesFrame kernel: the plain
     // nProbes=0 path degrades it (null cosine never ranks/passes tau),
