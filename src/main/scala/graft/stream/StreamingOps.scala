@@ -561,6 +561,18 @@ object StreamingOps {
     * declared static side; for corpora past broadcast size, swap the
     * broadcast for a bucket-partitioned static table and let the join
     * shuffle the (small) stream side.
+    *
+    * Sizing (r14): defaults are the probed-auto operating point like
+    * every other ANN consumer — but Auto sizes off the STATIC CORPUS
+    * count, not the stream (a stream's cardinality is unknowable, and
+    * it is corpus bucket occupancy that drives per-probe join cost).
+    * `nProbes > 0` probes on the STREAM side only: each arriving vector
+    * joins its own bucket plus its flip-neighbour buckets per table
+    * (the q137 rule via the stateless [[graft.llm.AnnBuckets
+    * .probesFrame]] kernel — mapPartitions, so it runs identically per
+    * micro-batch) against the single-bucket corpus; a pair matching in
+    * several (table, probe) slots emits once per slot, same
+    * dedupe-downstream contract as the per-table emits.
     */
   def similarCandidatesStream(
       stream: DataFrame,
@@ -568,12 +580,16 @@ object StreamingOps {
       idCol: String,
       embCol: String,
       tau: Double,
-      nBits: Int = 8,
+      nBits: Int = graft.llm.AnnBuckets.Auto,
       dims: Int = 64,
-      nTables: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      nTables: Int = graft.llm.AnnBuckets.Auto,
+      seed: Long = 42L,
+      nProbes: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.dot
     import graft.llm.AnnBuckets
+    val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) corpus.count() else 0L
+    val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)
+    val tables = AnnBuckets.resolveTables(n, nTables, nProbes)
     def prep(df: DataFrame, side: String): DataFrame = {
       val e = df.select(
         col(idCol).cast("long").as(s"${side}_id"),
@@ -581,14 +597,38 @@ object StreamingOps {
       val withNrm = e.withColumn(s"${side}_nrm", sqrt(dot(col(s"${side}_emb"), col(s"${side}_emb"))))
       // one row per (table, bucket): posexplode of the per-table bucket ids
       withNrm.select(
-        posexplode(array((0 until nTables).map(t =>
-          AnnBuckets.bucketCol(col(s"${side}_emb"), nBits, dims, seed + t)): _*))
+        posexplode(array((0 until tables).map(t =>
+          AnnBuckets.bucketCol(col(s"${side}_emb"), bits, dims, seed + t)): _*))
           .as(Seq("tbl", "bucket")),
         col(s"${side}_id"),
         col(s"${side}_emb"),
         col(s"${side}_nrm"))
     }
-    prep(stream, "a")
+    val aSide =
+      if (nProbes == 0) prep(stream, "a")
+      else {
+        // probe set per arriving vector, per table — probesFrame's kernel
+        // is a stateless projection, so the same code path serves batch
+        // frames and micro-batches
+        val e = stream
+          .select(
+            col(idCol).cast("long").as("vec_id"),
+            col(embCol).cast("array<double>").as("emb"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        (0 until tables)
+          .map { t =>
+            AnnBuckets
+              .probesFrame(e, bits, dims, seed + t, nProbes)
+              .select(
+                lit(t).as("tbl"),
+                explode(col("probes")).as("bucket"),
+                col("vec_id").as("a_id"),
+                col("emb").as("a_emb"),
+                col("nrm").as("a_nrm"))
+          }
+          .reduce(_ unionByName _)
+      }
+    aSide
       .join(broadcast(prep(corpus, "b")), Seq("tbl", "bucket"))
       .where(col("a_id") =!= col("b_id"))
       .select(

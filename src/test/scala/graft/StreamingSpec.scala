@@ -568,6 +568,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming similarity search: stream-side probes only ADD pairs over the plain read") {
+    // the r14 probed-auto default probes the STREAM side (flip buckets per
+    // table); probing can only widen the candidate set, and every emitted
+    // pair still carries its exact rounded cosine >= tau
+    val corpus = graft.core.Tables(spark, dir).embeddings
+    def pairs(nProbes: Int): Set[(Long, Long)] = StreamingOps
+      .similarCandidatesStream(corpus, corpus, "vec_id", "embedding", tau = 0.25,
+        nBits = 4, nTables = 2, nProbes = nProbes)
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain  = pairs(0)
+    val probed = pairs(2)
+    assert(plain.nonEmpty, "fixture produced no pairs; spec is vacuous")
+    assert(plain.subsetOf(probed),
+      s"probing must only add candidates: missing ${(plain -- probed).take(5)}")
+    assert(probed.size > plain.size,
+      "2 probes found no additional >=tau pairs on the fixture — the probe side is likely dead")
+  }
+
   test("streaming corpus ingest matches the batch filter + dedup across micro-batches") {
     // stage documents into two files → two micro-batches; planted dup in
     // BOTH batches must survive exactly once even when the copies arrive
