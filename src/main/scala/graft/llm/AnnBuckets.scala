@@ -517,6 +517,9 @@ object AnnBuckets {
         b
       }
     val tables = resolveTables(n, nTables, nProbes)
+    require(nProbes >= 0 && nProbes <= bits,
+      s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
+        "on every index read, so an over-budget index would fail at read time instead")
     bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
       // cluster rows by the partition key BEFORE the partitioned write:
       // without it every write task emits a file into every `tb`
@@ -540,6 +543,115 @@ object AnnBuckets {
       .mode("overwrite")
       .parquet(s"$outDir/meta")
   }
+
+  /** [[writeBuckets]] in the GENERATIONAL layout
+    * (`buckets/tb=<id>/src_batch=<b>/…`) — the q135/q125 ingest contract
+    * for the LSH index family: [[appendToBuckets]] adds a batch by
+    * writing ONLY that batch's partitions, history is never re-read or
+    * re-bucketed. Unlike IVFADC there is NO quantizer to drift: the
+    * hyperplanes are seed-derived constants, data-independent for the
+    * index's life, so appends are exact forever. What DOES drift is the
+    * SIZING — `autoBits`/`autoTables` were computed for the bootstrap
+    * corpus, and bucket occupancy grows linearly as batches append;
+    * watch [[bucketOccupancy]] (the q136-monitor analog for this family)
+    * and rebuild through this writer when mean occupancy outgrows the
+    * target. Static overwrite on the bootstrap for the same reason as
+    * [[IvfPq.writeIndexGen]]: a rebuild must replace every generation.
+    */
+  def writeBucketsGen(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDir: String,
+      nBits: Int = Auto,
+      dims: Int = 64,
+      nTables: Int = Auto,
+      seed: Long = 42L,
+      nProbes: Int = 2,
+      srcBatch: Long = 0L): Unit = {
+    val spark = emb.sparkSession
+    val n     = if (nBits == Auto || nTables == Auto) emb.count() else 0L
+    val bits =
+      if (nBits != Auto) nBits else math.min(autoBits(n), MaxPersistedBits)
+    val tables = resolveTables(n, nTables, nProbes)
+    require(nProbes >= 0 && nProbes <= bits,
+      s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
+        "on every index read")
+    bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("tb"))
+      .write
+      .partitionBy("tb", "src_batch")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite")
+      .parquet(s"$outDir/buckets")
+    import spark.implicits._
+    Seq((bits, dims, tables, seed, nProbes))
+      .toDF("nBits", "dims", "nTables", "seed", "nProbes")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/meta")
+  }
+
+  /** Incremental LSH-index ingest: bucket a NEW batch under the index's
+    * FROZEN hyperplane parameters (from the meta sidecar) and append it
+    * as generation `srcBatch` — dynamic partition overwrite touches only
+    * this batch's `(tb, src_batch)` directories, so replay is
+    * idempotent and history is never re-read. Probe reads
+    * ([[approxTopKIndexed]]) prune statically on the outer `tb` level
+    * across all generations unchanged.
+    */
+  def appendToBuckets(
+      indexDir: String,
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      srcBatch: Long): Unit = {
+    val spark = emb.sparkSession
+    require(
+      spark.read.parquet(s"$indexDir/buckets").schema.fieldNames.contains("src_batch"),
+      s"LSH index at $indexDir uses the single-generation layout (no src_batch partition " +
+        "level); appendToBuckets needs the generational layout — rebuild it with " +
+        "writeBucketsGen (writeBuckets output stays valid for approxTopKIndexed serving, " +
+        "only ingest requires the generational layout)")
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val (bits, dims, tables, seed) = (
+      meta.getAs[Int]("nBits"),
+      meta.getAs[Int]("dims"),
+      meta.getAs[Int]("nTables"),
+      meta.getAs[Long]("seed"))
+    bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("tb"))
+      .write
+      .partitionBy("tb", "src_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/buckets")
+  }
+
+  /** Occupancy report for a persisted LSH index — the sizing-drift
+    * monitor (this family's q136 analog): the hyperplanes never drift,
+    * but `autoBits` was sized for the BOOTSTRAP corpus and mean bucket
+    * occupancy grows linearly with appended batches, degrading candidate
+    * cost (Σ occ² per bucket) back toward quadratic. One aggregation
+    * over the index's (tb) keys: rows, buckets, mean/max occupancy —
+    * rebuild via [[writeBucketsGen]] when mean occupancy outgrows the
+    * `targetBucketRows` the index was sized for.
+    */
+  def bucketOccupancy(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read
+      .parquet(s"$indexDir/buckets")
+      .groupBy("tb")
+      .agg(count(lit(1)).as("occ"))
+      .agg(
+        sum(col("occ")).as("rows"),
+        count(lit(1)).as("buckets"),
+        round(avg(col("occ")), 2).as("mean_occ"),
+        max(col("occ")).as("max_occ"))
 
   /** The probed query side of a [[writeBuckets]] index read: each query
     * vector's own bucket PLUS its `nProbes` flip-neighbour buckets per

@@ -440,9 +440,14 @@ object StreamingOps {
     */
   private[graft] def existingMaxGen(
       indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Long =
+    existingMaxGenAt(s"$indexDir/cells", spark)
+
+  private[graft] def existingMaxGenAt(
+      tableDir: String,
       spark: org.apache.spark.sql.SparkSession): Long = {
     val row = spark.read
-      .parquet(s"$indexDir/cells")
+      .parquet(tableDir)
       .agg(max(col("src_batch").cast("long")))
       .collect()(0)
     if (row.isNullAt(0)) -1L else row.getLong(0)
@@ -486,6 +491,55 @@ object StreamingOps {
         graft.llm.IvfPq
           .appendToIndexLoaded(indexDir, frozen, batch.toDF(), idCol, vecCol,
             srcBatch = baseGen + id)
+        ()
+      }
+      .start()
+  }
+
+  /** STREAMING LSH-index maintenance — [[ivfPqIngestStream]]'s loop shape
+    * for the [[graft.llm.AnnBuckets.writeBucketsGen]] index: each
+    * micro-batch of embeddings is bucketed under the index's FROZEN
+    * hyperplane parameters (read from the meta sidecar per batch) and
+    * appended as generation `src_batch = baseGen + id`
+    * ([[graft.llm.AnnBuckets.appendToBuckets]]). Exactly-once comes free
+    * from the dynamic-overwrite idempotence; a fresh checkpoint against
+    * an index with prior generations fails fast unless `baseGen` clears
+    * them — the same silent-history-overwrite guard as the IVFADC loop.
+    * Simpler than IVFADC in one important way: hyperplanes are
+    * seed-derived constants, so there is NO quantizer drift and no
+    * geometry staleness — only SIZING drifts (bucket occupancy grows
+    * with appended batches; watch
+    * [[graft.llm.AnnBuckets.bucketOccupancy]] and rebuild via
+    * `writeBucketsGen` when it outgrows the sized target).
+    */
+  def lshIngestStream(
+      embeddings: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = embeddings.sparkSession
+    require(
+      spark.read.parquet(s"$indexDir/buckets").schema.fieldNames.contains("src_batch"),
+      s"LSH index at $indexDir uses the single-generation layout; the ingest loop needs " +
+        "the generational layout — rebuild it with AnnBuckets.writeBucketsGen")
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(offsetsPath)) {
+      val maxGen = existingMaxGenAt(s"$indexDir/buckets", spark)
+      require(
+        baseGen > maxGen,
+        s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) at " +
+          s"$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must clear every " +
+          "generation already in the index or replays would overwrite history")
+    }
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.llm.AnnBuckets
+          .appendToBuckets(indexDir, batch.toDF(), idCol, vecCol, srcBatch = baseGen + id)
         ()
       }
       .start()

@@ -275,6 +275,49 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(scanned <= 6, s"expected <= tables x (probes+1) = 6 pruned partitions, scanned $scanned")
   }
 
+  test("generational LSH buckets: frozen-plane append, replay idempotence, cross-gen serving") {
+    val emb  = Tables(spark, dir).embeddings
+    val old  = emb.where(col("vec_id") % 3 =!= 0)
+    val b1   = emb.where(col("vec_id") % 3 === 0)
+    val idx  = java.nio.file.Files.createTempDirectory("lsh_gen").toString
+    AnnBuckets.writeBucketsGen(old, "vec_id", "embedding", idx, nBits = 4, nTables = 2,
+      nProbes = 0, srcBatch = 0L)
+    AnnBuckets.appendToBuckets(idx, b1, "vec_id", "embedding", srcBatch = 1L)
+
+    def content() = spark.read.parquet(s"$idx/buckets")
+      .select(col("tb").cast("int"), col("vec_id").cast("long"), col("src_batch").cast("long"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val afterFirst = content()
+    // generation 1 holds exactly the appended batch, bucketed under the
+    // FROZEN planes (planes are seed-derived — appends are exact forever)
+    assert(afterFirst.filter(_._3 == 1L).map(_._2).toSet ==
+      b1.select(col("vec_id").cast("long")).as[Long].collect().toSet)
+    // replay is idempotent (dynamic overwrite of the batch's partitions)
+    AnnBuckets.appendToBuckets(idx, b1, "vec_id", "embedding", srcBatch = 1L)
+    assert(content() == afterFirst, "batch replay must be idempotent")
+
+    // a two-generation index serves EXACTLY like the in-memory plan over
+    // the union corpus (same planes, same ranking)
+    val fromIndex = AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5)
+    val inMemory  = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5,
+      nBits = 4, nTables = 2, nProbes = 0)
+    TestSpark.assertFrameEqual(fromIndex, inMemory)
+
+    // single-generation writeBuckets output is refused with the rebuild path
+    val plainIdx = java.nio.file.Files.createTempDirectory("lsh_plain_guard").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", plainIdx, nBits = 4, nTables = 2,
+      nProbes = 0)
+    val e = intercept[IllegalArgumentException] {
+      AnnBuckets.appendToBuckets(plainIdx, b1, "vec_id", "embedding", srcBatch = 1L)
+    }
+    assert(e.getMessage.contains("writeBucketsGen"), e.getMessage)
+
+    // occupancy monitor: rows = corpus x tables, mean = rows / buckets
+    val occ = AnnBuckets.bucketOccupancy(idx, spark).collect()(0)
+    assert(occ.getAs[Long]("rows") == emb.count() * 2)
+    assert(occ.getAs[Long]("max_occ") >= occ.getAs[Double]("mean_occ").toLong)
+  }
+
   test("minSim pushdown commutes with the cross-table dedup, plain and probed") {
     import graft.functions.GraftFunctions.dot
     val e = Tables(spark, dir).embeddings

@@ -386,6 +386,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(gens == Set(0L, 1L, 2L, 3L, 4L), s"expected generations {0..4}, got $gens")
   }
 
+  test("streaming LSH ingest loop: frozen-plane generations, restart no-op, collision guard") {
+    import spark.implicits._
+    import graft.llm.AnnBuckets
+    val emb  = graft.core.Tables(spark, dir).embeddings
+    val boot = emb.where(col("vec_id") % 3 === 0)
+    val b1   = emb.where(col("vec_id") % 3 === 1)
+    val b2   = emb.where(col("vec_id") % 3 === 2)
+    val ixDir = java.nio.file.Files.createTempDirectory("lsh_ingest_idx").toString
+    AnnBuckets.writeBucketsGen(boot, "vec_id", "embedding", ixDir, nBits = 4, nTables = 2,
+      nProbes = 0, srcBatch = 0L)
+    val streamDir = java.nio.file.Files.createTempDirectory("lsh_ingest_in").toString
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+    val cp = java.nio.file.Files.createTempDirectory("lsh_ingest_cp").toString
+    val q = StreamingOps.lshIngestStream(
+      StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp)
+    try q.processAllAvailable() finally q.stop()
+
+    def content() = spark.read.parquet(s"$ixDir/buckets")
+      .select(col("tb").cast("int"), col("vec_id").cast("long"), col("src_batch").cast("long"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val after = content()
+    assert(after.map(_._3).toSet == Set(0L, 1L, 2L))
+    // streamed generations = the frozen-plane bucketing of the two batches
+    // (bucket content as sets — file→batch-id mapping is enumeration order)
+    val streamedIds = after.filter(_._3 >= 1L).map(_._2).toSet
+    assert(streamedIds == (b1.select(col("vec_id").cast("long")).as[Long].collect().toSet ++
+      b2.select(col("vec_id").cast("long")).as[Long].collect().toSet))
+    // the fully-streamed index serves identically to the one-shot in-memory plan
+    TestSpark.assertFrameEqual(
+      AnnBuckets.approxTopKIndexed(ixDir, emb, "vec_id", "embedding", k = 5),
+      AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5, nBits = 4, nTables = 2,
+        nProbes = 0))
+    // restart on the SAME checkpoint: no-op
+    val q2 = StreamingOps.lshIngestStream(
+      StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)), ixDir, cp)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(content() == after, "restart on the same checkpoint must not change the index")
+    // fresh checkpoint + default baseGen collides with generations 1-2
+    val cp2 = java.nio.file.Files.createTempDirectory("lsh_ingest_cp2").toString
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.lshIngestStream(
+        StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        ixDir, cp2)
+    }
+    assert(err.getMessage.contains("baseGen"), s"wrong error: ${err.getMessage}")
+  }
+
   test("streaming IVFADC encode matches the batch encoder and the build pipeline") {
     import graft.llm.IvfPq
     val emb = graft.core.Tables(spark, dir).embeddings
