@@ -1185,6 +1185,63 @@ object SimilarityQueries {
     }
   }
 
+  /** Incremental LSH-index ingest ([[AnnBuckets.writeBucketsGen]] /
+    * [[AnnBuckets.appendToBuckets]]): the q135 ingest story for the LSH
+    * family — bootstrap generation 0, append generation 1 under the
+    * FROZEN hyperplanes, read the result back through the persisted
+    * `buckets/tb/src_batch` layout. Fully hash-oracled because the
+    * whole pipeline is relational here: the hyperplanes are seeded
+    * driver constants (q67's literal trick), the combined key is
+    * `tb = tbl · 2^bits + bucket`, and the batch split is the salted-md5
+    * hash both engines compute identically (q135's split clause). Unlike
+    * IVFADC there is no quantizer to replay — planes never drift, which
+    * is exactly why appends to this index are exact forever (the sizing
+    * monitor is [[AnnBuckets.bucketOccupancy]]).
+    */
+  val q139LshIndexIngest: Declared = {
+    val nBits   = 4
+    val dims    = 64
+    val seed    = 42L
+    val nTables = 2
+    def sqlLit(p: Array[Double]): String = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { tb =>
+      val ps = AnnBuckets.planes(nBits, dims, seed + tb)
+      val bits = ps.zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product(emb, ${sqlLit(p)}) > 0 THEN ${1 << b} ELSE 0 END)"
+        }
+        .mkString("\n     + ")
+      s"SELECT vec_id, CAST($tb * ${1 << nBits} + $bits AS INTEGER) AS tb FROM e"
+    }
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (${tableSelects.mkString("\n UNION ALL\n")})
+         |SELECT vec_id, tb,
+         |       CAST(CASE WHEN substr(md5('lshinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'
+         |            THEN 0 ELSE 1 END AS BIGINT) AS src_batch
+         |FROM b
+         |ORDER BY vec_id, tb""".stripMargin
+    Declared.sql("q139_lsh_index_ingest", oracle) { (spark, dir) =>
+      val emb    = t(spark, dir).embeddings
+      val bucket = Sampling.hashBucket(col("vec_id"), "lshinc")
+      val old    = emb.where(bucket < "aa")
+      val b1     = emb.where(bucket >= "aa")
+      // a fresh index dir per run: the query IS the ingest pipeline, so
+      // each evaluation bootstraps gen 0 and appends gen 1 (q135 pattern)
+      val ixDir = graft.core.Scratch.tempDir("graft_q139_lsh")
+      AnnBuckets.writeBucketsGen(old, "vec_id", "embedding", ixDir,
+        nBits = nBits, dims = dims, nTables = nTables, seed = seed, nProbes = 0, srcBatch = 0L)
+      AnnBuckets.appendToBuckets(ixDir, b1, "vec_id", "embedding", srcBatch = 1L)
+      spark.read
+        .parquet(s"$ixDir/buckets")
+        .select(
+          col("vec_id"),
+          col("tb").cast("int").as("tb"),
+          col("src_batch").cast("bigint").as("src_batch"))
+        .orderBy("vec_id", "tb")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
@@ -1192,5 +1249,5 @@ object SimilarityQueries {
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
       q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest,
-      q136IvfPqDrift, q137MultiProbePairs)
+      q136IvfPqDrift, q137MultiProbePairs, q139LshIndexIngest)
 }
