@@ -378,8 +378,10 @@ object IvfPq {
   /** The [[appendToIndex]] write against an ALREADY-LOADED quantizer —
     * the ingest-loop shape: the quantizer is FROZEN for the life of the
     * index, so a loop loads it once and pays only the encode + write per
-    * batch (the sidecar collects and the layout guard are per-loop costs,
-    * not per-batch ones).
+    * batch. The sidecar collects and the layout guard are per-loop
+    * costs; the GEOMETRY-STAMP check below is deliberately per-batch
+    * (one tiny sidecar head, ~ms) — it is what lets the loop fail fast
+    * when retrainAndRebuild replaces the quantizer mid-stream.
     */
   def appendToIndexLoaded(
       indexDir: String,
