@@ -112,6 +112,20 @@ class ClusteredRecallSpec extends AnyFunSuite {
         "measured 0.921 at seed 2026) — the shipped default must be the measured-best point")
   }
 
+  test("DEFAULT-sized persisted index holds the recall floor (writeBuckets → approxTopKIndexed)") {
+    // the out-of-box index path: writeBuckets with ALL defaults (Auto
+    // tables sized under the recorded probe budget) served through
+    // approxTopKIndexed, which applies that budget per read. Directed
+    // (query → corpus) reads have no symmetrize step, so the floor is
+    // the in-memory one
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx_default").toString
+    AnnBuckets.writeBuckets(emb, "vec_id", "embedding", idx)
+    val r = recallOf(AnnBuckets.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5))
+    assert(r >= 0.80,
+      f"default-sized persisted-index recall@5 $r%.3f under floor 0.80 — the shipped index " +
+        "defaults must hold the Auto floor end-to-end through the persisted layout")
+  }
+
   test("DEFAULT arguments hold the miner overlap floor (hardNegativesApprox)") {
     def pairs(df: DataFrame): Set[(Long, Long)] = df
       .select(col("anchor").cast("long"), col("neighbor").cast("long"))
