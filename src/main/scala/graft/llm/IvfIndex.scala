@@ -327,6 +327,10 @@ object IvfIndex {
         col("emb").as("a_emb"),
         col("nrm").as("a_nrm"),
         explode(col("probe_cells")).as("cell"))
+    // structurally bounded: distinct probed cells ⊆ [0, nCells) and the
+    // persisted layout caps cells at 4096 dirs — unlike the LSH tb space
+    // (tables · 2^bits), so no size guard is needed here
+    // (cf. AnnBuckets.MaxProbedBuckets)
     val probedCells: Seq[Int] =
       probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val lists = spark.read
