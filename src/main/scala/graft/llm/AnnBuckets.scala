@@ -481,6 +481,169 @@ object AnnBuckets {
     */
   val MaxPersistedBits: Int = 14
 
+  /** The parameter sidecar of a persisted LSH index, decoded with
+    * backward-compatible defaults: pre-r14 sidecars have no `nProbes`
+    * (plain single-bucket reads), pre-r15 ones no `epoch`/`geom_id`
+    * (never rebuilt, no stamp to check). `geomId` is `None` exactly when
+    * the index predates the rebuild loop — [[rebuildBucketsGen]] always
+    * stamps, so "no stamp" is unrepresentable as a real hash value (the
+    * `Option`-not-sentinel rule, ADVICE r14).
+    */
+  final case class BucketsMeta(
+      nBits: Int,
+      dims: Int,
+      nTables: Int,
+      seed: Long,
+      nProbes: Int,
+      epoch: Long,
+      geomId: Option[Long])
+
+  /** Read an index's parameter sidecar once — the handle an ingest loop
+    * caches so per-batch costs are one tiny stamp read, not a sidecar
+    * collect + layout scan (the `IvfPq.appendToIndexLoaded` economics,
+    * ADVICE r14 applied to this family).
+    */
+  def readBucketsMeta(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): BucketsMeta = {
+    val df  = spark.read.parquet(s"$indexDir/meta")
+    val row = df.head()
+    val f   = df.schema.fieldNames.toSet
+    BucketsMeta(
+      row.getAs[Int]("nBits"),
+      row.getAs[Int]("dims"),
+      row.getAs[Int]("nTables"),
+      row.getAs[Long]("seed"),
+      if (f("nProbes")) row.getAs[Int]("nProbes") else 0,
+      if (f("epoch")) row.getAs[Long]("epoch") else 0L,
+      if (f("geom_id")) Some(row.getAs[Long]("geom_id")) else None)
+  }
+
+  /** Deterministic stamp of an LSH index GEOMETRY + rebuild epoch
+    * (FNV-1a over the sizing tuple): unlike IVFADC there is no trained
+    * quantizer to fingerprint — the hyperplanes are (seed, bits)-derived
+    * — but a REBUILD collapses generations and may resize, so the epoch
+    * is mixed in to make every rebuild observable even when the sizing
+    * lands unchanged (a replayed ingest batch that was already collapsed
+    * into the rebuilt batch-0 would otherwise silently double rows).
+    */
+  private[graft] def lshGeomId(
+      bits: Int,
+      dims: Int,
+      tables: Int,
+      seed: Long,
+      nProbes: Int,
+      epoch: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = {
+      var i = 0
+      while (i < 8) { h ^= (x >>> (8 * i)) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    }
+    Seq(bits.toLong, dims.toLong, tables.toLong, seed, nProbes.toLong, epoch).foreach(mix)
+    h
+  }
+
+  /** The stamp lives in BOTH halves of the index — `meta.geom_id` and an
+    * underscore marker file inside the buckets table (`buckets/_geom`,
+    * invisible to the parquet reader) — so the two-directory swap in
+    * [[rebuildBucketsGen]] has NO window that pairs one half's new
+    * geometry with the other's old one undetected: any mixed state
+    * mismatches and readers fail fast instead of bucketing queries with
+    * the wrong hyperplane count (the IvfPq geometry-stamp posture,
+    * ADVICE r14 #1 applied at design time here).
+    */
+  private def geomMarkerPath(bucketsDir: String) =
+    new org.apache.hadoop.fs.Path(bucketsDir, "_geom")
+
+  private[graft] def writeGeomMarker(
+      bucketsDir: String,
+      gid: Long,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val p   = geomMarkerPath(bucketsDir)
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(gid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private[graft] def readGeomMarker(
+      bucketsDir: String,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+    val p  = geomMarkerPath(bucketsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s.toLongOption
+    }
+  }
+
+  /** Meta-vs-buckets stamp agreement, skipped for pre-r15 indexes (no
+    * stamp on either half — nothing was ever rebuilt).
+    */
+  private def requireGeomConsistent(
+      indexDir: String,
+      meta: BucketsMeta,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    meta.geomId.foreach { mid =>
+      readGeomMarker(s"$indexDir/buckets", spark).foreach { bid =>
+        require(
+          bid == mid,
+          s"LSH index at $indexDir is mid-rebuild or was left inconsistent (meta geometry " +
+            s"stamp $mid != buckets stamp $bid) — a rebuildBucketsGen swap is in flight or " +
+            "failed partway; retry after it completes, or re-run rebuildBucketsGen to finish " +
+            "the swap")
+      }
+    }
+
+  /** The ONE bits-resolution rule for persisted writers ([[writeBuckets]],
+    * [[writeBucketsGen]], [[rebuildBucketsGen]]): auto bits clamp at
+    * [[MaxPersistedBits]] and the clamp is LOGGED — previously
+    * writeBucketsGen clamped silently while writeBuckets logged
+    * (ADVICE r14 #3).
+    */
+  private def resolvePersistedBits(
+      nBits: Int,
+      n: => Long,
+      caller: String,
+      targetBucketRows: Int = 128): Int =
+    if (nBits != Auto) nBits
+    else {
+      val b = math.min(autoBits(n, targetBucketRows), MaxPersistedBits)
+      if (b == MaxPersistedBits)
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .info(s"$caller: auto bits clamped to $b — partition-dir count bound; " +
+            "bucket occupancy grows past this corpus size (see MaxPersistedBits)")
+      b
+    }
+
+  /** The one meta-sidecar writer (bootstraps at epoch 0, rebuilds bump
+    * it); returns the geometry stamp it recorded.
+    */
+  private def writeMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      bits: Int,
+      dims: Int,
+      tables: Int,
+      seed: Long,
+      nProbes: Int,
+      epoch: Long): Long = {
+    import spark.implicits._
+    val gid = lshGeomId(bits, dims, tables, seed, nProbes, epoch)
+    Seq((bits, dims, tables, seed, nProbes, epoch, gid))
+      .toDF("nBits", "dims", "nTables", "seed", "nProbes", "epoch", "geom_id")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/meta")
+    gid
+  }
+
   /** `nProbes` is the PROBE BUDGET the index is sized for and served
     * with: it is recorded in the meta sidecar, [[approxTopKIndexed]]
     * applies it on every read (each query probes its own bucket plus the
@@ -504,18 +667,8 @@ object AnnBuckets {
       seed: Long = 42L,
       nProbes: Int = 2): Unit = {
     val spark = emb.sparkSession
-    val n     = if (nBits == Auto || nTables == Auto) emb.count() else 0L
-    val bits =
-      if (nBits != Auto) nBits
-      else {
-        val b = math.min(autoBits(n), MaxPersistedBits)
-        if (b == MaxPersistedBits)
-          org.slf4j.LoggerFactory
-            .getLogger(getClass)
-            .info(s"writeBuckets: auto bits clamped to $b — partition-dir count bound; " +
-              "bucket occupancy grows past this corpus size (see MaxPersistedBits)")
-        b
-      }
+    val n      = if (nBits == Auto || nTables == Auto) emb.count() else 0L
+    val bits   = resolvePersistedBits(nBits, n, "writeBuckets")
     val tables = resolveTables(n, nTables, nProbes)
     require(nProbes >= 0 && nProbes <= bits,
       s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
@@ -535,13 +688,8 @@ object AnnBuckets {
       .partitionBy("tb")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
-    import spark.implicits._
-    Seq((bits, dims, tables, seed, nProbes))
-      .toDF("nBits", "dims", "nTables", "seed", "nProbes")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$outDir/meta")
+    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
+    writeGeomMarker(s"$outDir/buckets", gid, spark)
   }
 
   /** [[writeBuckets]] in the GENERATIONAL layout
@@ -554,8 +702,8 @@ object AnnBuckets {
     * SIZING — `autoBits`/`autoTables` were computed for the bootstrap
     * corpus, and bucket occupancy grows linearly as batches append;
     * watch [[bucketOccupancy]] (the q136-monitor analog for this family)
-    * and rebuild through this writer when mean occupancy outgrows the
-    * target. Static overwrite on the bootstrap for the same reason as
+    * and run [[rebuildBucketsGen]] when [[rebuildDue]] fires over it.
+    * Static overwrite on the bootstrap for the same reason as
     * [[IvfPq.writeIndexGen]]: a rebuild must replace every generation.
     */
   def writeBucketsGen(
@@ -570,9 +718,8 @@ object AnnBuckets {
       nProbes: Int = 2,
       srcBatch: Long = 0L): Unit = {
     val spark = emb.sparkSession
-    val n     = if (nBits == Auto || nTables == Auto) emb.count() else 0L
-    val bits =
-      if (nBits != Auto) nBits else math.min(autoBits(n), MaxPersistedBits)
+    val n      = if (nBits == Auto || nTables == Auto) emb.count() else 0L
+    val bits   = resolvePersistedBits(nBits, n, "writeBucketsGen")
     val tables = resolveTables(n, nTables, nProbes)
     require(nProbes >= 0 && nProbes <= bits,
       s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
@@ -585,13 +732,8 @@ object AnnBuckets {
       .option("partitionOverwriteMode", "static")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
-    import spark.implicits._
-    Seq((bits, dims, tables, seed, nProbes))
-      .toDF("nBits", "dims", "nTables", "seed", "nProbes")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$outDir/meta")
+    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
+    writeGeomMarker(s"$outDir/buckets", gid, spark)
   }
 
   /** Incremental LSH-index ingest: bucket a NEW batch under the index's
@@ -609,19 +751,37 @@ object AnnBuckets {
       embCol: String,
       srcBatch: Long): Unit = {
     val spark = emb.sparkSession
-    require(
-      spark.read.parquet(s"$indexDir/buckets").schema.fieldNames.contains("src_batch"),
-      s"LSH index at $indexDir uses the single-generation layout (no src_batch partition " +
-        "level); appendToBuckets needs the generational layout — rebuild it with " +
-        "writeBucketsGen (writeBuckets output stays valid for approxTopKIndexed serving, " +
-        "only ingest requires the generational layout)")
-    val meta = spark.read.parquet(s"$indexDir/meta").head()
-    val (bits, dims, tables, seed) = (
-      meta.getAs[Int]("nBits"),
-      meta.getAs[Int]("dims"),
-      meta.getAs[Int]("nTables"),
-      meta.getAs[Long]("seed"))
-    bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
+    requireGenerationalBuckets(indexDir, spark)
+    appendToBucketsLoaded(indexDir, readBucketsMeta(indexDir, spark), emb, idCol, embCol, srcBatch)
+  }
+
+  /** The [[appendToBuckets]] write against ALREADY-LOADED meta — the
+    * ingest-loop shape (the `IvfPq.appendToIndexLoaded` economics,
+    * ADVICE r14 #4): the sidecar collect and the generational-layout
+    * guard are per-loop costs; what stays per-batch is ONE tiny stamp
+    * read, which is exactly what lets a loop holding cached sizing fail
+    * fast when [[rebuildBucketsGen]] replaces the index mid-stream —
+    * appending under stale sizing would bucket the batch with the wrong
+    * hyperplane count, and a replayed generation that the rebuild already
+    * collapsed into batch-0 would silently double its rows.
+    */
+  def appendToBucketsLoaded(
+      indexDir: String,
+      meta: BucketsMeta,
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      srcBatch: Long): Unit = {
+    meta.geomId.foreach { mid =>
+      val cur = readGeomMarker(s"$indexDir/buckets", emb.sparkSession)
+      require(
+        cur.contains(mid),
+        s"LSH index at $indexDir was rebuilt since its meta was loaded (buckets stamp " +
+          s"${cur.orNull} != loaded $mid) — the rebuild resized the index and collapsed its " +
+          "generations, so appending under the stale sizing would corrupt it; reload via " +
+          "AnnBuckets.readBucketsMeta and restart the ingest generation space")
+    }
+    bucketedRows(emb, idCol, embCol, meta.nBits, meta.dims, meta.nTables, meta.seed)
       .withColumn("src_batch", lit(srcBatch))
       .repartition(col("tb"))
       .write
@@ -631,14 +791,117 @@ object AnnBuckets {
       .parquet(s"$indexDir/buckets")
   }
 
+  /** Fail fast (naming the rebuild path) when the buckets table lacks the
+    * `src_batch` generation level — extracted so the ingest loop pays it
+    * once, not per micro-batch.
+    */
+  def requireGenerationalBuckets(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    require(
+      spark.read.parquet(s"$indexDir/buckets").schema.fieldNames.contains("src_batch"),
+      s"LSH index at $indexDir uses the single-generation layout (no src_batch partition " +
+        "level); ingest and rebuild need the generational layout — rebuild it with " +
+        "writeBucketsGen (writeBuckets output stays valid for approxTopKIndexed serving, " +
+        "only ingest requires the generational layout)")
+
+  /** The rebuild trigger as a predicate over the [[bucketOccupancy]]
+    * report — the `IvfPq.retrainDue` shape for THIS family's drift mode:
+    * hyperplanes never drift (seed-derived constants), but the SIZING was
+    * computed for the bootstrap corpus, and mean occupancy grows linearly
+    * with appended generations, degrading candidate cost (Σ occ² per
+    * bucket) back toward quadratic. True when mean occupancy exceeds
+    * `slack` × the `targetBucketRows` the index was sized for. The report
+    * is one row (collect is O(1)).
+    */
+  def rebuildDue(
+      occupancy: DataFrame,
+      targetBucketRows: Int = 128,
+      slack: Double = 2.0): Boolean = {
+    require(slack >= 1.0, s"slack must be >= 1 (it multiplies the sizing target), got $slack")
+    val rows = occupancy.select(col("mean_occ").cast("double")).collect()
+    require(rows.nonEmpty, "rebuildDue needs a non-empty occupancy report")
+    rows(0).getDouble(0) > slack * targetBucketRows
+  }
+
+  /** The composed remedy when [[rebuildDue]] fires — the action half of
+    * the occupancy monitor, closing the same monitor-without-remedy
+    * asymmetry [[IvfPq.retrainAndRebuild]] closed for IVFADC: RE-SIZE
+    * (`autoBits`/`autoTablesProbed` on the CURRENT corpus count, under
+    * the index's recorded probe budget) and RE-BUCKET from the embeddings
+    * the index partitions already store — table 0's rows
+    * (`tb < 2^nBits`) hold every vector exactly once, so the rebuild
+    * never re-reads the corpus. Generations collapse to a new batch-0
+    * and ingest resumes with a fresh generation space.
+    *
+    * Mid-rebuild consistency (the story ADVICE r14 asked to be designed,
+    * not assumed): the new buckets table is written COMPLETE to a
+    * sibling temp dir (stamped inside via `_geom`), then swapped in with
+    * delete + rename, then the meta sidecar is overwritten with the new
+    * sizing + stamp. Every interleaving a racing reader can observe is
+    * fail-fast: in the delete→rename gap the buckets path is missing
+    * (file-level error); after the rename but before the meta write the
+    * two stamps disagree (the [[requireGeomConsistent]] check on every
+    * read); an ingest loop holding cached meta fails its per-batch stamp
+    * check ([[appendToBucketsLoaded]]). No window serves cross-geometry
+    * results. Rebuild always auto-sizes — resizing is its purpose — and
+    * keeps dims/seed/probe budget from the meta.
+    *
+    * Returns the new meta (so a caller's loop can continue with the
+    * rebuilt sizing without a reload).
+    */
+  def rebuildBucketsGen(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      targetBucketRows: Int = 128): BucketsMeta = {
+    requireGenerationalBuckets(indexDir, spark)
+    val old = readBucketsMeta(indexDir, spark)
+    val corpus = spark.read
+      .parquet(s"$indexDir/buckets")
+      .where(col("tb") < lit(1 << old.nBits)) // table 0: every vector, once
+      .select(col("vec_id"), col("emb"))
+    val n      = corpus.count()
+    val bits   = resolvePersistedBits(Auto, n, "rebuildBucketsGen", targetBucketRows)
+    val tables =
+      if (old.nProbes > 0) autoTablesProbed(n, old.nProbes, targetBucketRows = targetBucketRows)
+      else autoTables(n, targetBucketRows = targetBucketRows)
+    require(old.nProbes <= bits,
+      s"recorded probe budget ${old.nProbes} exceeds rebuilt bits=$bits — shrink the budget " +
+        "or the target occupancy")
+    val epoch = old.epoch + 1
+    val gid   = lshGeomId(bits, old.dims, tables, old.seed, old.nProbes, epoch)
+    val tmp   = s"$indexDir/buckets.rebuild"
+    // the rebuild write READS the live buckets (lazily, during this job)
+    // and must not overwrite its own input — hence the sibling temp dir
+    bucketedRows(corpus, "vec_id", "emb", bits, old.dims, tables, old.seed)
+      .withColumn("src_batch", lit(0L))
+      .repartition(col("tb"))
+      .write
+      .partitionBy("tb", "src_batch")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite")
+      .parquet(tmp)
+    writeGeomMarker(tmp, gid, spark)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    fs.delete(live, true)
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"rebuildBucketsGen: rename $tmp -> $live failed; the complete rebuilt table is intact " +
+        "at the temp path — re-run rebuildBucketsGen or move it into place manually")
+    writeMeta(spark, indexDir, bits, old.dims, tables, old.seed, old.nProbes, epoch)
+    BucketsMeta(bits, old.dims, tables, old.seed, old.nProbes, epoch, Some(gid))
+  }
+
   /** Occupancy report for a persisted LSH index — the sizing-drift
     * monitor (this family's q136 analog): the hyperplanes never drift,
     * but `autoBits` was sized for the BOOTSTRAP corpus and mean bucket
     * occupancy grows linearly with appended batches, degrading candidate
     * cost (Σ occ² per bucket) back toward quadratic. One aggregation
     * over the index's (tb) keys: rows, buckets, mean/max occupancy —
-    * rebuild via [[writeBucketsGen]] when mean occupancy outgrows the
-    * `targetBucketRows` the index was sized for.
+    * feed the report to [[rebuildDue]] and run [[rebuildBucketsGen]]
+    * when it fires (the composed monitor → remedy loop, r15).
     */
   def bucketOccupancy(
       indexDir: String,
@@ -714,18 +977,15 @@ object AnnBuckets {
       embCol: String,
       k: Int = 5,
       maxProbedBuckets: Int = MaxProbedBuckets): DataFrame = {
-    val spark  = queries.sparkSession
-    val metaDf = spark.read.parquet(s"$indexDir/meta")
-    val meta   = metaDf.head()
-    val (bits, dims, nTables, seed) = (
-      meta.getAs[Int]("nBits"),
-      meta.getAs[Int]("dims"),
-      meta.getAs[Int]("nTables"),
-      meta.getAs[Long]("seed"))
+    val spark = queries.sparkSession
     // probe budget from the sidecar — a pre-r14 index has no column and
     // serves plain (single-bucket) reads, exactly as it was written for
-    val nProbes =
-      if (metaDf.schema.fieldNames.contains("nProbes")) meta.getAs[Int]("nProbes") else 0
+    val meta = readBucketsMeta(indexDir, spark)
+    // fail fast on a mid-rebuild mixed state rather than bucketing the
+    // queries with the wrong hyperplane count
+    requireGeomConsistent(indexDir, meta, spark)
+    val (bits, dims, nTables, seed, nProbes) =
+      (meta.nBits, meta.dims, meta.nTables, meta.seed, meta.nProbes)
     val queryRows =
       if (nProbes > 0) probedRows(queries, idCol, embCol, bits, dims, nTables, seed, nProbes)
       else bucketedRows(queries, idCol, embCol, bits, dims, nTables, seed)

@@ -234,11 +234,12 @@ object IvfPq {
     val spark = emb.sparkSession
     import spark.implicits._
     val (idx, encoded) = build(emb, idCol, vecCol, dims, nCells, m, k, pqIters, seed)
+    writeGeomStamp(spark, idx, outDir)
     // one task -> one file per cell directory (the r13 banded-index
     // write-clustering posture; unclustered, tasks x cells files)
     encoded.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells")
-    writeSidecars(spark, idx, outDir)
+    writeQuantizerSidecars(spark, idx, outDir)
   }
 
   /** Deterministic fingerprint of an index's GEOMETRY (coarse centroids +
@@ -261,11 +262,9 @@ object IvfPq {
 
   /** The centroid + codebook sidecars shared by [[writeIndex]] and
     * [[writeIndexGen]] — one writer so a sidecar schema change cannot
-    * break round-tripping for indexes written by the other layout. Also
-    * stamps the geometry fingerprint (`geom` sidecar, written LAST so a
-    * reader that sees the new stamp sees the new quantizer too).
+    * break round-tripping for indexes written by the other layout.
     */
-  private def writeSidecars(
+  private def writeQuantizerSidecars(
       spark: org.apache.spark.sql.SparkSession,
       idx: IvfPqIndex,
       outDir: String): Unit = {
@@ -282,6 +281,22 @@ object IvfPq {
       .toDF("subspace", "code", "label", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/codebooks")
+  }
+
+  /** The geometry stamp, written FIRST in every index (re)write
+    * (ADVICE r14 #1): readers derive their own hash from the quantizer
+    * sidecars they actually loaded ([[loadIndex]]) and compare it to this
+    * stamp, so a load racing a rebuild in the window after the stamp
+    * lands but before the cells/sidecars finish sees NEW stamp vs
+    * OLD-quantizer hash and fails fast — the old stamp-written-last
+    * order let that window pair new cells with the old quantizer AND the
+    * old stamp, passing the check and serving wrong distances.
+    */
+  private def writeGeomStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: IvfPqIndex,
+      outDir: String): Unit = {
+    import spark.implicits._
     Seq(Tuple1(geomId(idx)))
       .toDF("geom_id")
       .coalesce(1)
@@ -333,7 +348,9 @@ object IvfPq {
       outDir: String,
       srcBatch: Long = 0L): Unit = {
     val spark = encoded.sparkSession
-    import spark.implicits._
+    // stamp FIRST: from this point a racing load pairs its old-quantizer
+    // hash against the new stamp and fails fast (see writeGeomStamp)
+    writeGeomStamp(spark, idx, outDir)
     encoded
       .withColumn("src_batch", lit(srcBatch))
       .repartition(col("cell"))
@@ -345,7 +362,7 @@ object IvfPq {
       // index and serve wrong distances
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").parquet(s"$outDir/cells")
-    writeSidecars(spark, idx, outDir)
+    writeQuantizerSidecars(spark, idx, outDir)
   }
 
   /** Incremental IVFADC ingest: encode a NEW batch against a persisted
@@ -448,7 +465,12 @@ object IvfPq {
     * a fresh generation space. Concurrent serving: handles loaded BEFORE
     * the rebuild fail fast on their next [[scoreCandidatesServe]] batch
     * via the geometry stamp (spec-pinned) rather than serving stale-
-    * codebook distances; readers racing the overwrite itself surface
+    * codebook distances; a load racing the rebuild fails fast at
+    * [[loadIndex]] because the NEW stamp is written before anything else
+    * while the quantizer sidecars still hash to the old geometry
+    * (ADVICE r14 #1 — the old stamp-written-last order had a window that
+    * paired new cells with the old quantizer and the old stamp, passing
+    * the check); readers racing the cells overwrite itself surface
     * file-level errors, not wrong results.
     *
     * Returns the NEW index (so the caller's ingest loop can keep
@@ -466,6 +488,10 @@ object IvfPq {
       pqIters: Int = 2,
       seed: Int = 42,
       trainOn: DataFrame = null): IvfPqIndex = {
+    // same range check as build — the rebuilt centroids ride the same
+    // CASE expressions (ADVICE r14 #3: the paired writers validated
+    // inconsistently)
+    require(nCells >= 1 && nCells <= 64, s"nCells=$nCells out of the CASE-expression range")
     val trainSrc  = Option(trainOn).getOrElse(corpus)
     val centroids = IvfIndex.trainCentroids(trainSrc, idCol, vecCol, nCells, seed = seed)
     val res       = residualKernelFrame(trainSrc, idCol, vecCol, centroids)
@@ -499,12 +525,26 @@ object IvfPq {
     * A serving process calls [[loadIndex]] ONCE and then [[topK]] /
     * [[scoreCandidates]] per query — the sidecar reads (two small
     * parquet collects) are a per-load cost, not a per-query one.
+    *
+    * `dir = None` (a hand-constructed handle) means there is nothing to
+    * re-check the geometry against, EXPLICITLY — the staleness guard is
+    * `Option`-shaped rather than sentinel-disabled (`dir = ""`,
+    * `geomId = -1L`), so a legitimate FNV hash equal to −1 cannot
+    * silently bypass it and neither can an accidental default
+    * (ADVICE r14 #2). The stamp itself is DERIVED from the loaded
+    * quantizer ([[geomId]] over `index`), never read into the handle, so
+    * a mixed mid-rebuild load cannot carry a matching stamp.
     */
   final case class LoadedIndex(
       index: IvfPqIndex,
       cells: DataFrame,
-      dir: String = "",
-      geomId: Long = -1L)
+      dir: Option[String] = None) {
+
+    /** The loaded quantizer's own geometry hash (what the per-batch
+      * guards compare against the index directory's current stamp).
+      */
+    def geomId: Long = IvfPq.geomId(index)
+  }
 
   def loadIndex(
       indexDir: String,
@@ -525,11 +565,19 @@ object IvfPq {
       cbRows.filter(_.getInt(0) == s).map(_.getLong(2)))
     val cb  = Pq.Codebooks(m, books(0)(0).length, books, labels)
     val idx = IvfPqIndex(centroids, cb)
-    LoadedIndex(
-      idx,
-      spark.read.parquet(s"$indexDir/cells"),
-      dir = indexDir,
-      geomId = readGeomId(indexDir, spark).getOrElse(-1L))
+    // load-time consistency check: the stamp is written FIRST in every
+    // (re)write, so a load racing a rebuild sees the new stamp while the
+    // quantizer sidecars are still the old geometry — fail fast here
+    // instead of handing out a handle that pairs old codebooks with new
+    // cells (pre-r14 indexes have no stamp; nothing was ever rebuilt)
+    readGeomId(indexDir, spark).foreach { cur =>
+      require(
+        cur == geomId(idx),
+        s"IVFADC index at $indexDir is mid-rebuild (geometry stamp $cur != loaded quantizer " +
+          s"hash ${geomId(idx)}) — a retrainAndRebuild is replacing it; retry the load after " +
+          "the rebuild completes")
+    }
+    LoadedIndex(idx, spark.read.parquet(s"$indexDir/cells"), dir = Some(indexDir))
   }
 
   def topKIndexed(
@@ -662,15 +710,18 @@ object IvfPq {
     // quantizer, and decoding rebuilt codes with these (stale) codebooks
     // would serve silently WRONG distances — re-check the geometry stamp
     // (one tiny sidecar head per serve batch; ~ms next to the scan) and
-    // fail fast telling the loop to reload. Pre-r14 indexes (no stamp)
-    // skip the check, as written.
-    if (loaded.geomId != -1L && loaded.dir.nonEmpty) {
-      val current = readGeomId(loaded.dir, spark)
-      require(
-        current.contains(loaded.geomId),
-        s"IVFADC index at ${loaded.dir} was rebuilt since loadIndex (geometry stamp " +
-          s"${current.orNull} != loaded ${loaded.geomId}) — stale codebooks would decode " +
-          "rebuilt codes to wrong distances; reload the index (IvfPq.loadIndex) and retry")
+    // fail fast telling the loop to reload. The compared value is the
+    // loaded quantizer's OWN hash (never a stored stamp), so a mixed
+    // mid-rebuild handle cannot pass; dir = None (hand-constructed) and
+    // a stamp-less pre-r14 index skip the check explicitly.
+    loaded.dir.foreach { d =>
+      readGeomId(d, spark).foreach { current =>
+        require(
+          current == loaded.geomId,
+          s"IVFADC index at $d was rebuilt since loadIndex (geometry stamp " +
+            s"$current != loaded ${loaded.geomId}) — stale codebooks would decode " +
+            "rebuilt codes to wrong distances; reload the index (IvfPq.loadIndex) and retry")
+      }
     }
     val cb = loaded.index.cb
     val kk = cb.books.map(_.length).max

@@ -190,6 +190,20 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, dims: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // fail fast on a non-integral id column: the Long encoder below would
+    // otherwise cast e.g. string ids to null row-by-row, and downstream
+    // pair predicates (a_id =!= b_id, a_id < b_id) silently drop null-id
+    // rows — an empty result with no diagnostic (ADVICE r14 #5)
+    val idType = media.schema("media_id").dataType
+    require(
+      Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"media_id must be an integral column, got $idType — map ids to long before decoding " +
+        "(a lossy cast would null them and every downstream pair predicate drops null ids " +
+        "silently)")
     media
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
@@ -236,8 +250,10 @@ object Multimodal {
       seed: Long = 42L): DataFrame = {
     import graft.functions.GraftFunctions.dot
     import graft.llm.AnnBuckets
+    // decodeFeatures has already validated the id column as integral and
+    // emits a long media_id — no lossy re-cast here
     val e = decodeFeatures(media, dims)
-      .select(col("media_id").cast("long").as("vec_id"), col("features").as("emb"))
+      .select(col("media_id").as("vec_id"), col("features").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
     val bits   = if (nBits != AnnBuckets.Auto) nBits else AnnBuckets.autoBits(n)

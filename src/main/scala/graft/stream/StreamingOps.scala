@@ -520,10 +520,7 @@ object StreamingOps {
       vecCol: String = "embedding",
       baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = embeddings.sparkSession
-    require(
-      spark.read.parquet(s"$indexDir/buckets").schema.fieldNames.contains("src_batch"),
-      s"LSH index at $indexDir uses the single-generation layout; the ingest loop needs " +
-        "the generational layout — rebuild it with AnnBuckets.writeBucketsGen")
+    graft.llm.AnnBuckets.requireGenerationalBuckets(indexDir, spark)
     val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
     val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(offsetsPath)) {
@@ -534,12 +531,19 @@ object StreamingOps {
           s"$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must clear every " +
           "generation already in the index or replays would overwrite history")
     }
+    // meta read + layout guard hoisted to per-loop costs (the
+    // appendToIndexLoaded economics — ADVICE r14); what stays per batch
+    // is ONE tiny geometry-stamp read, which fails the loop fast if
+    // rebuildBucketsGen replaces the index mid-stream (the sizing — and
+    // the generation space — changed underneath the cached meta)
+    val meta = graft.llm.AnnBuckets.readBucketsMeta(indexDir, spark)
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.llm.AnnBuckets
-          .appendToBuckets(indexDir, batch.toDF(), idCol, vecCol, srcBatch = baseGen + id)
+          .appendToBucketsLoaded(indexDir, meta, batch.toDF(), idCol, vecCol,
+            srcBatch = baseGen + id)
         ()
       }
       .start()

@@ -165,6 +165,78 @@ class ClusteredRecallSpec extends AnyFunSuite {
       f"default-args keep agreement $agree%.3f under floor 0.90 — probed-auto default regressed")
   }
 
+  // ── r15 rebuild loop (VERDICT r14 item 1) ───────────────────────────
+  // The planted-growth case: a default-sized bootstrap outgrown 8× by
+  // appended generations must trip rebuildDue, and rebuildBucketsGen must
+  // restore BOTH the occupancy target and the default-args recall floor —
+  // re-bucketing only from the embeddings the index already stores.
+  test("LSH rebuild loop: planted growth fires rebuildDue, rebuild restores occupancy + recall") {
+    import AnnBuckets._
+    val idx  = java.nio.file.Files.createTempDirectory("lsh_rebuild").toString
+    val boot = emb.where(col("vec_id") < 512)
+    writeBucketsGen(boot, "vec_id", "embedding", idx) // shipped defaults (probed-auto)
+    val m0 = readBucketsMeta(idx, spark)
+    appendToBuckets(idx, emb.where(col("vec_id") >= 512 && col("vec_id") < 2048),
+      "vec_id", "embedding", srcBatch = 1L)
+    appendToBuckets(idx, emb.where(col("vec_id") >= 2048), "vec_id", "embedding", srcBatch = 2L)
+    // the geometry marker must survive dynamic-overwrite appends — it is
+    // what the per-batch staleness check reads
+    assert(readGeomMarker(s"$idx/buckets", spark) == m0.geomId,
+      "appends must not clobber the buckets geometry marker")
+    // 8× the bootstrap corpus at bootstrap sizing → mean occupancy ~2×
+    // the 128-row target → the monitor → trigger fires
+    assert(rebuildDue(bucketOccupancy(idx, spark), targetBucketRows = 128, slack = 1.5),
+      "ballooned occupancy must trip rebuildDue")
+
+    val m1 = rebuildBucketsGen(idx, spark)
+    assert(m1.nBits > m0.nBits, s"rebuild must re-size bits up: ${m1.nBits} vs ${m0.nBits}")
+    assert(m1.epoch == m0.epoch + 1 && m1.geomId != m0.geomId,
+      "every rebuild must be observable through the stamp, even at unchanged sizing")
+    assert(!rebuildDue(bucketOccupancy(idx, spark), targetBucketRows = 128, slack = 1.5),
+      "rebuild must restore the occupancy target")
+    // generations collapsed to a fresh batch-0
+    val gens = spark.read.parquet(s"$idx/buckets")
+      .select(col("src_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(gens == Seq(0L), s"rebuild must collapse generations, got $gens")
+
+    // probe reads serve CONSISTENTLY across the rebuild: the rebuilt
+    // index is indistinguishable from a fresh default bootstrap of the
+    // full corpus (same auto sizing, same seed family)
+    val fresh = java.nio.file.Files.createTempDirectory("lsh_rebuild_fresh").toString
+    writeBucketsGen(emb, "vec_id", "embedding", fresh)
+    TestSpark.assertFrameEqual(
+      approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5),
+      approxTopKIndexed(fresh, emb, "vec_id", "embedding", k = 5))
+    // …and holds the default-args recall floor the bootstrap sizing lost
+    val r = recallOf(approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5))
+    assert(r >= 0.80,
+      f"post-rebuild recall@5 $r%.3f under floor 0.80 — the rebuild must restore the " +
+        "default-args operating point")
+
+    // an ingest loop still holding the PRE-rebuild meta fails fast per
+    // batch (the rebuild collapsed its generation space)
+    val e = intercept[IllegalArgumentException] {
+      appendToBucketsLoaded(idx, m0, emb.limit(3), "vec_id", "embedding", srcBatch = 3L)
+    }
+    assert(e.getMessage.contains("rebuilt"), s"stale-meta guard must name the rebuild: ${e.getMessage}")
+    // …and ingest resumes under the new meta in a fresh generation space
+    appendToBucketsLoaded(idx, m1,
+      emb.limit(3).select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", srcBatch = 1L)
+    assert(spark.read.parquet(s"$idx/buckets")
+      .where(col("src_batch") === 1L).count() == 3L * m1.nTables)
+
+    // a mid-rebuild MIXED state (meta and buckets stamps disagree) fails
+    // reads fast instead of bucketing queries with the wrong geometry
+    // (written through the Hadoop FS so the local checksum stays valid)
+    writeGeomMarker(s"$idx/buckets", 12345L, spark)
+    val e2 = intercept[IllegalArgumentException] {
+      approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3).collect()
+    }
+    assert(e2.getMessage.contains("mid-rebuild"), e2.getMessage)
+  }
+
   test("IVF Auto holds recall@5 on clustered geometry") {
     val r = recallOf(IvfIndex.approxTopK(emb, "vec_id", "embedding", k = 5))
     assert(r >= 0.90, f"IVF Auto recall@5 $r%.3f under floor 0.90 (measured 1.000 at seed 2026)")
