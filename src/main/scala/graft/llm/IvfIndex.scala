@@ -278,8 +278,7 @@ object IvfIndex {
         (c, math.max(4096, 16 * c))
       }
     val centroids = trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows)
-    withProbeCells(vecBase(emb, idCol, embCol), centroids, nProbe = 1)
-      .select(col("probe_cells").getItem(0).as("cell"), col("vec_id"), col("emb"), col("nrm"))
+    assignedRows(emb, idCol, embCol, centroids)
       // one task → one file per cell directory (the r13 banded-index
       // write-clustering posture; unclustered, tasks × cells files)
       .repartition(col("cell"))
@@ -287,6 +286,25 @@ object IvfIndex {
       .partitionBy("cell")
       .mode("overwrite")
       .parquet(s"$outDir/cells")
+    writeCentroidSidecar(spark, centroids, outDir)
+  }
+
+  /** The assignment projection every persisted-IVF writer shares: each
+    * vector with its nearest cell (nProbe = 1 head of the probe list —
+    * the same argmin both query paths replay).
+    */
+  private def assignedRows(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    withProbeCells(vecBase(emb, idCol, embCol), centroids, nProbe = 1)
+      .select(col("probe_cells").getItem(0).as("cell"), col("vec_id"), col("emb"), col("nrm"))
+
+  private def writeCentroidSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]],
+      outDir: String): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
@@ -296,6 +314,145 @@ object IvfIndex {
       .mode("overwrite")
       .parquet(s"$outDir/centroids")
   }
+
+  /** The persisted centroids, cell-ordered — the frozen quantizer every
+    * read and append re-derives its assignment from.
+    */
+  private def readCentroids(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Array[Array[Double]] =
+    spark.read
+      .parquet(s"$indexDir/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[writeIndex]] in the GENERATIONAL layout
+    * (`cells/cell=<id>/src_batch=<b>/…`) — the q135 ingest contract
+    * applied to the plain-IVF family, so no persisted index family
+    * silently lacks the lifecycle affordances its siblings document:
+    * [[appendToIndex]] adds a batch against the FROZEN centroid sidecar
+    * by writing only that batch's partitions (history never re-read or
+    * re-assigned), [[cellOccupancy]] is the sizing monitor. Static
+    * overwrite on the bootstrap for the same reason as
+    * [[IvfPq.writeIndexGen]]: a re-bootstrap must replace every
+    * generation.
+    *
+    * MAINTENANCE ROUTING: unlike LSH hyperplanes, IVF centroids are a
+    * TRAINED quantizer — appended batches whose distribution moves away
+    * from the bootstrap assign increasingly off-center (the q136 drift
+    * mode), and this family deliberately ships NO retrain remedy: a
+    * drift-monitored, retrain-capable deployment should use [[IvfPq]]
+    * (the superset — same coarse layout plus residual codes,
+    * `retrainDue`/`retrainAndRebuild`, geometry stamps with fail-fast
+    * stale handles). Plain IVF's generational layout is for corpora
+    * whose distribution is stable across batches.
+    */
+  def writeIndexGen(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDir: String,
+      nCells: Int = Auto,
+      iters: Int = 3,
+      seed: Int = 42,
+      srcBatch: Long = 0L): Unit = {
+    val (cells, sampleRows) =
+      if (nCells != Auto) (nCells, 4096)
+      else {
+        val n = emb.count()
+        val c = math.min(4096, autoCells(n))
+        (c, math.max(4096, 16 * c))
+      }
+    writeIndexGenWith(
+      trainCentroids(emb, idCol, embCol, cells, iters, seed, sampleRows),
+      emb, idCol, embCol, outDir, srcBatch)
+  }
+
+  /** [[writeIndexGen]] against PRE-TRAINED centroids (the
+    * [[IvfPq.writeIndexGen]] shape) — lets a relational (seed-pinned)
+    * quantizer be persisted as easily as a Lloyd-trained one.
+    */
+  def writeIndexGenWith(
+      centroids: Array[Array[Double]],
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDir: String,
+      srcBatch: Long = 0L): Unit = {
+    val spark = emb.sparkSession
+    assignedRows(emb, idCol, embCol, centroids)
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("cell"))
+      .write
+      .partitionBy("cell", "src_batch")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite")
+      .parquet(s"$outDir/cells")
+    writeCentroidSidecar(spark, centroids, outDir)
+  }
+
+  /** Incremental plain-IVF ingest: assign a NEW batch under the index's
+    * FROZEN centroid sidecar and append it as generation `srcBatch` —
+    * dynamic partition overwrite touches only this batch's
+    * `(cell, src_batch)` directories, so replay is idempotent and
+    * history is never re-read. Probe reads ([[approxTopKIndexed]]) prune
+    * statically on the outer `cell` level across all generations
+    * unchanged. See [[writeIndexGen]] for the maintenance routing:
+    * drifting distributions belong on [[IvfPq]], which can retrain.
+    */
+  def appendToIndex(
+      indexDir: String,
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      srcBatch: Long): Unit = {
+    val spark = emb.sparkSession
+    requireGenerationalCells(indexDir, spark)
+    assignedRows(emb, idCol, embCol, readCentroids(indexDir, spark))
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("cell"))
+      .write
+      .partitionBy("cell", "src_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Fail fast (naming the rebuild path) when the cells table lacks the
+    * `src_batch` generation level — the family-wide guard pattern.
+    */
+  def requireGenerationalCells(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    require(
+      spark.read.parquet(s"$indexDir/cells").schema.fieldNames.contains("src_batch"),
+      s"IVF index at $indexDir uses the single-generation layout (no src_batch partition " +
+        "level); appendToIndex needs the generational layout — rebuild it with " +
+        "IvfIndex.writeIndexGen (writeIndex output stays valid for approxTopKIndexed " +
+        "serving, only ingest requires the generational layout)")
+
+  /** Occupancy report for a persisted IVF index — the sizing monitor
+    * (the [[AnnBuckets.bucketOccupancy]] analog): `autoCells` was √n of
+    * the BOOTSTRAP corpus, and mean cell occupancy grows linearly with
+    * appended generations, degrading probe-join candidate cost. One
+    * aggregation over the index's cell keys. There is deliberately no
+    * composed rebuild here — re-sizing an IVF index retrains its
+    * quantizer, which is [[IvfPq.retrainAndRebuild]]'s job; see the
+    * routing note on [[writeIndexGen]].
+    */
+  def cellOccupancy(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read
+      .parquet(s"$indexDir/cells")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("occ"))
+      .agg(
+        sum(col("occ")).as("rows"),
+        count(lit(1)).as("cells"),
+        round(avg(col("occ")), 2).as("mean_occ"),
+        max(col("occ")).as("max_occ"))
 
   /** Query a [[writeIndex]] index: assign probe cells to the query
     * vectors with the persisted centroids, join against the partitioned
@@ -315,12 +472,8 @@ object IvfIndex {
       embCol: String,
       k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val spark = queries.sparkSession
-    val centroids: Array[Array[Double]] = spark.read
-      .parquet(s"$indexDir/centroids")
-      .orderBy("cell")
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val spark     = queries.sparkSession
+    val centroids = readCentroids(indexDir, spark)
     val probes = withProbeCells(vecBase(queries, idCol, embCol), centroids, nProbe)
       .select(
         col("vec_id").as("a_id"),

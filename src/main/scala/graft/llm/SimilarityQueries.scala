@@ -1242,6 +1242,65 @@ object SimilarityQueries {
     }
   }
 
+  /** Incremental plain-IVF index ingest ([[IvfIndex.appendToIndex]]):
+    * the q135 never-re-read-history contract applied to the LAST
+    * persisted index family without it (VERDICT r14 "what's missing" #3).
+    * Bootstrap generation 0 from the `old` split with a fully RELATIONAL
+    * pinned quantizer (coarse centroids = 8 smallest-salted-md5 OLD
+    * embeddings — [[KMeans.initCentroids]], no Lloyd), persist it in the
+    * generational `cells/cell=<id>/src_batch=<b>/` layout
+    * ([[IvfIndex.writeIndexGenWith]]), then append the new batch assigned
+    * against the FROZEN centroid sidecar — dynamic overwrite of exactly
+    * the batch's partitions. The declared result is the index CONTENT
+    * read back through the persisted layout, so DuckDB replays the whole
+    * ingest: the salted-md5 batch split, the old-only seed pick, and
+    * every vector's UNROUNDED distTo argmin (‖c‖² − Σ eᵢ·(2cᵢ) in index
+    * order — the [[IvfIndex]] assignment contract, exact-FP-replayable
+    * because both engines sum IEEE doubles in the same order), and the
+    * generation tag.
+    */
+  val q140IvfIndexIngest: Declared = {
+    val oracle =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |old AS (SELECT vec_id, emb FROM e
+         |        WHERE substr(md5('ivfinc|' || CAST(vec_id AS VARCHAR)), 1, 2) < 'aa'),
+         |cs AS (SELECT emb AS cvec, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM
+         |        (SELECT vec_id, emb FROM old
+         |         ORDER BY md5('ivfx140|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+         |ad AS (SELECT e.vec_id, c.cell,
+         |         list_dot_product(c.cvec, c.cvec)
+         |           - list_dot_product(e.emb, list_transform(c.cvec, x -> x * 2)) AS dist
+         |       FROM e CROSS JOIN cs c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                       ORDER BY dist ASC, cell ASC) AS rn FROM ad)
+         |        WHERE rn = 1)
+         |SELECT e.vec_id,
+         |       CAST(g.cell AS INTEGER) AS cell,
+         |       CAST(CASE WHEN o.vec_id IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS src_batch
+         |FROM e JOIN asg g USING (vec_id)
+         |       LEFT JOIN old o ON o.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    Declared.sql("q140_ivf_index_ingest", oracle) { (spark, dir) =>
+      val emb    = t(spark, dir).embeddings
+      val bucket = Sampling.hashBucket(col("vec_id"), "ivfinc")
+      val old    = emb.where(bucket < "aa")
+      val b1     = emb.where(bucket >= "aa")
+      val cents =
+        KMeans.initCentroids(old, "vec_id", "embedding", k = 8, salt = "ivfx140").map(_.vec)
+      val ixDir = graft.core.Scratch.tempDir("graft_q140_ivfgen")
+      IvfIndex.writeIndexGenWith(cents, old, "vec_id", "embedding", ixDir, srcBatch = 0L)
+      IvfIndex.appendToIndex(ixDir, b1, "vec_id", "embedding", srcBatch = 1L)
+      spark.read
+        .parquet(s"$ixDir/cells")
+        .select(
+          col("vec_id"),
+          col("cell").cast("int").as("cell"),
+          col("src_batch").cast("bigint").as("src_batch"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Declared] =
     Seq(q19SimilarityTopk, q20LabelCentroidSim, q41AnnTopk, q49EmbeddingNeardup, q50IvfTopk,
       q58QuantizeInt8, q67AnnBucketAssign, q74EmbeddingOutliers, q80SemDedup,
@@ -1249,5 +1308,5 @@ object SimilarityQueries {
       q118HardNegatives, q120HardNegativesAnn, q122DomainClusters, q123ClusterMixture,
       q126PqEncode, q127PqAdcTopk, q128IvfPqTopk, q129TrainingTriplets,
       q130TrainingTripletsAnn, q131IvfPqScore, q132SemDedupAnn, q135IvfPqIngest,
-      q136IvfPqDrift, q137MultiProbePairs, q139LshIndexIngest)
+      q136IvfPqDrift, q137MultiProbePairs, q139LshIndexIngest, q140IvfIndexIngest)
 }

@@ -318,6 +318,81 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(occ.getAs[Long]("max_occ") >= occ.getAs[Double]("mean_occ").toLong)
   }
 
+  test("generational IVF cells: frozen-centroid append, replay idempotence, cross-gen serving") {
+    import graft.llm.IvfIndex
+    val emb = Tables(spark, dir).embeddings
+    val old = emb.where(col("vec_id") % 3 =!= 0)
+    val b1  = emb.where(col("vec_id") % 3 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_gen").toString
+    IvfIndex.writeIndexGen(old, "vec_id", "embedding", idx, nCells = 8, srcBatch = 0L)
+    IvfIndex.appendToIndex(idx, b1, "vec_id", "embedding", srcBatch = 1L)
+
+    def content() = spark.read.parquet(s"$idx/cells")
+      .select(col("cell").cast("int"), col("vec_id").cast("long"), col("src_batch").cast("long"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val afterFirst = content()
+    assert(afterFirst.filter(_._3 == 1L).map(_._2).toSet ==
+      b1.select(col("vec_id").cast("long")).as[Long].collect().toSet)
+
+    // the appended generation's cells match a driver-side replay of the
+    // FROZEN sidecar argmin (distTo arithmetic: ‖c‖² − Σ eᵢ·(2cᵢ) in
+    // index order, strict-< so ties keep the smaller cell)
+    val cents = spark.read.parquet(s"$idx/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    def cellOf(v: Array[Double]): Int = {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cen = cents(c)
+        var c2 = 0.0
+        var i = 0
+        while (i < cen.length) { c2 += cen(i) * cen(i); i += 1 }
+        var dp = 0.0
+        i = 0
+        while (i < cen.length) { dp += v(i) * (cen(i) * 2.0); i += 1 }
+        val d = c2 - dp
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val b1Vecs = b1.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    afterFirst.filter(_._3 == 1L).foreach { case (cell, id, _) =>
+      assert(cell == cellOf(b1Vecs(id)), s"appended row $id assigned to $cell, expected ${cellOf(b1Vecs(id))}")
+    }
+
+    // replay is idempotent (dynamic overwrite of the batch's partitions)
+    IvfIndex.appendToIndex(idx, b1, "vec_id", "embedding", srcBatch = 1L)
+    assert(content() == afterFirst, "batch replay must be idempotent")
+
+    // generation structure is serving-irrelevant: the same corpus split
+    // across different generation shapes serves identically (same
+    // deterministic bootstrap training → same frozen quantizer)
+    val idxB = java.nio.file.Files.createTempDirectory("ivf_gen_b").toString
+    IvfIndex.writeIndexGen(old, "vec_id", "embedding", idxB, nCells = 8, srcBatch = 0L)
+    IvfIndex.appendToIndex(idxB, b1.where(col("vec_id") % 2 === 0), "vec_id", "embedding", 1L)
+    IvfIndex.appendToIndex(idxB, b1.where(col("vec_id") % 2 =!= 0), "vec_id", "embedding", 2L)
+    TestSpark.assertFrameEqual(
+      IvfIndex.approxTopKIndexed(idx, emb, "vec_id", "embedding", k = 5),
+      IvfIndex.approxTopKIndexed(idxB, emb, "vec_id", "embedding", k = 5))
+
+    // single-generation writeIndex output is refused with the rebuild path
+    val plainIdx = java.nio.file.Files.createTempDirectory("ivf_plain_guard").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", plainIdx, nCells = 8)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(plainIdx, b1, "vec_id", "embedding", srcBatch = 1L)
+    }
+    assert(e.getMessage.contains("writeIndexGen"), e.getMessage)
+
+    // occupancy monitor: rows = corpus, mean = rows / occupied cells
+    val occ = IvfIndex.cellOccupancy(idx, spark).collect()(0)
+    assert(occ.getAs[Long]("rows") == emb.count())
+    assert(occ.getAs[Long]("max_occ") >= occ.getAs[Double]("mean_occ").toLong)
+  }
+
   test("minSim pushdown commutes with the cross-table dedup, plain and probed") {
     import graft.functions.GraftFunctions.dot
     val e = Tables(spark, dir).embeddings
