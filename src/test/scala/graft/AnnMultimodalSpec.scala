@@ -589,6 +589,149 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(out == Seq((6L, 3L)), s"unexpected extra duplicates: $out")
   }
 
+  test("persisted media features: decode-once accounting, indexed parity, incremental ingest") {
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    val n     = media.count()
+    val fDir  = java.nio.file.Files.createTempDirectory("media_feats").toString
+    val iDir  = java.nio.file.Files.createTempDirectory("media_lsh").toString
+
+    // build: every payload decoded EXACTLY once
+    Multimodal.decodeCount.set(0L)
+    Multimodal.writeFeaturesGen(media, fDir)
+    assert(Multimodal.decodeCount.get() == n,
+      s"feature build must decode each row once: ${Multimodal.decodeCount.get()} vs $n")
+    // index build + N searches over the persisted features: ZERO decodes
+    Multimodal.writeMediaIndex(fDir, iDir, spark)
+    val s1 = Multimodal.mediaNearDupIndexed(fDir, spark, tau = 0.9).collect()
+    val s2 = Multimodal.mediaNearDupIndexed(fDir, spark, tau = 0.9).collect()
+    assert(s1.nonEmpty && s1.length == s2.length)
+    assert(Multimodal.decodeCount.get() == n,
+      "searches over the persisted features must not touch the payloads — " +
+        s"decode count moved to ${Multimodal.decodeCount.get()} (expected $n)")
+
+    // parity: the persisted path IS mediaNearDupApprox minus the decode
+    TestSpark.assertFrameEqual(
+      Multimodal.mediaNearDupIndexed(fDir, spark, tau = 0.9).orderBy("a_id", "b_id"),
+      Multimodal.mediaNearDupApprox(media, tau = 0.9).orderBy("a_id", "b_id"))
+
+    // incremental ingest: the new batch is decoded once, and the index
+    // append reads the just-persisted vectors back instead of re-decoding
+    val newMedia = media
+      .where(col("media_id") < 50)
+      .select((col("media_id") + 10000L).as("media_id"), col("kind"), col("content"), col("meta"))
+    val batchN = newMedia.count()
+    Multimodal.decodeCount.set(0L)
+    Multimodal.ingestMedia(fDir, iDir, newMedia, srcBatch = 1L)
+    assert(Multimodal.decodeCount.get() == batchN,
+      s"ingest must decode only the new batch once: ${Multimodal.decodeCount.get()} vs $batchN")
+    // replay is idempotent on BOTH tables
+    val featRows   = spark.read.parquet(s"$fDir/features").count()
+    val bucketRows = spark.read.parquet(s"$iDir/buckets").count()
+    Multimodal.ingestMedia(fDir, iDir, newMedia, srcBatch = 1L)
+    assert(spark.read.parquet(s"$fDir/features").count() == featRows)
+    assert(spark.read.parquet(s"$iDir/buckets").count() == bucketRows)
+
+    // indexed search finds the ingested copies: each query row is a
+    // byte-identical copy of an indexed row, so its top hit is exact
+    val hits = Multimodal
+      .searchMediaIndexed(iDir, newMedia.limit(3), k = 3)
+      .where(col("rn") === 1)
+      .collect()
+    assert(hits.length == 3)
+    hits.foreach(h => assert(h.getAs[Double]("cos_sim") == 1.0,
+      s"top hit for an exact copy must score 1.0: $h"))
+  }
+
+  /** Synthetic near-dup media fixture for the default-args recall gate:
+    * `groups` base payloads (concentrated-luminance PNGs / fixed-
+    * amplitude WAV sines), each with `variants` small perturbations, so
+    * within-group feature cosine is high and cross-group low. Ground
+    * truth is EXACT cosine over the decoded features — the gate measures
+    * the ANN candidate stage, not the generator's intent.
+    */
+  private def nearDupMediaFixture(pngGroups: Int, wavGroups: Int, variants: Int) = {
+    def pngBytes(seed: Int, variant: Int): Array[Byte] = {
+      val rnd    = new java.util.Random(seed.toLong)
+      val center = 30 + rnd.nextInt(200)
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < 64) {
+        val v = math.max(0, math.min(255, center + rnd.nextInt(41) - 20 + variant * 3))
+        img.setRGB(p % 8, p / 8, (v << 16) | (v << 8) | v)
+        p += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wavBytes(seed: Int, variant: Int): Array[Byte] = {
+      val rnd  = new java.util.Random(seed.toLong)
+      val amp  = 4000 + rnd.nextInt(24000)
+      val freq = 150 + rnd.nextInt(700)
+      val n    = 400
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (math.sin(2 * math.Pi * freq * i / 8000.0) * amp * (1.0 - 0.02 * variant)).toInt
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      w("RIFF".getBytes); w(le32(36 + data.length)); w("WAVE".getBytes)
+      w("fmt ".getBytes); w(le32(16)); w(le16(1)); w(le16(1))
+      w(le32(8000)); w(le32(16000)); w(le16(2)); w(le16(16))
+      w("data".getBytes); w(le32(data.length)); w(data)
+      bos.toByteArray
+    }
+    val rows = (for {
+      g <- 0 until pngGroups
+      v <- 0 until variants
+    } yield ((g * variants + v).toLong, pngBytes(7000 + g, v))) ++ (for {
+      g <- 0 until wavGroups
+      v <- 0 until variants
+    } yield ((10000 + g * variants + v).toLong, wavBytes(8000 + g, v)))
+    rows
+  }
+
+  test("media recall gate: default-args mediaNearDupApprox holds the floor on planted near-dups") {
+    val rows = nearDupMediaFixture(pngGroups = 25, wavGroups = 15, variants = 4)
+    val media = rows.toDF("media_id", "content")
+    val tau = 0.9
+
+    // exact ground truth from the decoded features themselves
+    val feats = rows.map { case (id, bytes) => id -> Multimodal.decodeOne(bytes, 16) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val exact = (for {
+      (ia, fa) <- feats
+      (ib, fb) <- feats
+      if ia < ib && math.rint(cos(fa, fb) * 1e6) / 1e6 >= tau
+    } yield (ia, ib)).toSet
+    assert(exact.size > 50, s"fixture must plant real near-dup mass, got ${exact.size} pairs")
+    assert(exact.size < rows.size * (rows.size - 1) / 4,
+      s"fixture must not be all-pairs-similar (the q62 caveat), got ${exact.size}")
+
+    // the shipped DEFAULTS (probed-auto sizing) must hold the floor
+    val approx = Multimodal.mediaNearDupApprox(media, tau)
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact),
+      "every emitted pair carries its exact cosine, so precision is structural — a violation " +
+        s"means the threshold stage broke: ${(approx diff exact).take(5)}")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"media near-dup default-args recall: $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.80,
+      f"default-args media near-dup recall $recall%.3f under floor 0.80 — a default/sizing " +
+        "change degraded media recall (the embedding floors' gate, applied to media geometry)")
+  }
+
   test("media ANN search: decoded features ride the LSH path, planted duplicate surfaces") {
     val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
     // the production bridge: decode → histogram features → LSH candidates
