@@ -406,20 +406,32 @@ object IvfPq {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
+      srcBatch: Long): Unit =
+    appendEncodedLoaded(indexDir, index, encodeForIndex(emb, idCol, vecCol, index), srcBatch)
+
+  /** The [[appendToIndexLoaded]] write for an ALREADY-ENCODED batch
+    * (vec_id, cell, code0..codeM-1 — e.g. the error-carrying encode a
+    * monitored ingest loop already ran, minus its `err` column), so a
+    * loop that measures drift per batch does not encode twice through
+    * separate entry points. Carries the same per-batch geometry guard:
+    * appending rows encoded in a quantizer that is no longer the
+    * index's — an ingest loop overtaken by [[retrainAndRebuild]] — would
+    * corrupt the index with cross-geometry codes; fail fast telling the
+    * loop to reload instead.
+    */
+  def appendEncodedLoaded(
+      indexDir: String,
+      index: IvfPqIndex,
+      encoded: DataFrame,
       srcBatch: Long): Unit = {
-    // geometry guard (mirror of the serve-side stamp check): appending
-    // rows encoded in a quantizer that is no longer the index's — an
-    // ingest loop overtaken by retrainAndRebuild — would corrupt the
-    // index with cross-geometry codes; fail fast telling the loop to
-    // reload instead
-    readGeomId(indexDir, emb.sparkSession).foreach { cur =>
+    readGeomId(indexDir, encoded.sparkSession).foreach { cur =>
       require(
         cur == geomId(index),
         s"IVFADC index at $indexDir was rebuilt since this quantizer was loaded (geometry " +
           s"stamp $cur != loaded ${geomId(index)}) — appending cross-geometry codes would " +
           "corrupt the index; reload via IvfPq.loadIndex and re-encode the batch")
     }
-    encodeForIndex(emb, idCol, vecCol, index)
+    encoded
       .withColumn("src_batch", lit(srcBatch))
       .repartition(col("cell"))
       .write
@@ -427,6 +439,59 @@ object IvfPq {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$indexDir/cells")
+    ()
+  }
+
+  /** Durable per-generation drift history (`<indexDir>/drift/
+    * src_batch=<b>/…`: n, mean_err) — the q136 report persisted NEXT TO
+    * the index it describes, so a monitored ingest loop's baseline
+    * survives restarts (in-memory history would re-baseline on every
+    * recovery and miss slow drift). One row per generation, written with
+    * dynamic overwrite: a replayed micro-batch rewrites its own row —
+    * idempotent like the cells append it travels with.
+    */
+  def recordDrift(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession,
+      srcBatch: Long,
+      n: Long,
+      meanErr: Double): Unit = {
+    import spark.implicits._
+    Seq((srcBatch, n, meanErr))
+      .toDF("src_batch", "n", "mean_err")
+      .coalesce(1)
+      .write
+      .partitionBy("src_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/drift")
+  }
+
+  /** The persisted drift report (src_batch, n, mean_err), or None when no
+    * generation has recorded one yet (fresh index, or just rebuilt — the
+    * old-geometry errors are meaningless after a retrain and
+    * [[clearDrift]] drops them).
+    */
+  def driftHistory(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(indexDir, "drift")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select("src_batch", "n", "mean_err"))
+    else None
+  }
+
+  /** Drop the drift history — called after a rebuild: the recorded errors
+    * were measured in the REPLACED geometry, and keeping them would make
+    * the next [[retrainDue]] compare new-geometry batches against a
+    * stale baseline.
+    */
+  def clearDrift(
+      indexDir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val p  = new org.apache.hadoop.fs.Path(indexDir, "drift")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
     ()
   }
 

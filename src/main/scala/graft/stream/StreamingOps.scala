@@ -496,6 +496,112 @@ object StreamingOps {
       .start()
   }
 
+  /** [[ivfPqIngestStream]] with the RETRAIN LOOP IN THE LOOP (r15 —
+    * composing the pieces r14 shipped separately): each micro-batch is
+    * encoded WITH its residual reconstruction error
+    * ([[graft.llm.IvfPq.encodeForIndexWithError]]), appended under the
+    * current quantizer, and its (n, mean_err) recorded in the index's
+    * durable drift sidecar ([[graft.llm.IvfPq.recordDrift]] — persisted
+    * next to the index so the baseline survives restarts; in-memory
+    * history would re-baseline on every recovery and miss slow drift).
+    * Between micro-batches the loop evaluates
+    * [[graft.llm.IvfPq.retrainDue]] over that report, and when it fires,
+    * invokes [[graft.llm.IvfPq.retrainAndRebuild]] — retraining on the
+    * FULL `corpus()` (the caller's raw-embedding source, evaluated AT
+    * REBUILD TIME so it includes everything ingested so far — codes
+    * cannot be re-derived from the index, re-encoding needs the raw
+    * vectors), clearing the old-geometry drift rows, and continuing
+    * ingest under the RELOADED handle — no stale-stamp failure, no
+    * manual intervention. Deliberately NOT the trainOn-recent bias a
+    * manual [[graft.llm.IvfPq.retrainAndRebuild]] caller may choose: a
+    * quantizer trained on only the triggering batch reconstructs that
+    * batch optimistically (train-vs-holdout gap), so the re-baselined
+    * drift row sits biased-low and the NEXT batch of the same
+    * distribution spuriously re-triggers — measured exactly that way in
+    * StreamingSpec before this choice was pinned. An index that serves
+    * every generation should quantize every generation.
+    *
+    * Encode economics: the batch's kernel runs twice (once under the
+    * error aggregate, once under the append write) — two cheap CPU
+    * passes over a micro-batch, chosen over a per-batch
+    * `localCheckpoint` whose storage blocks would accumulate until RDD
+    * GC in a long-lived loop (the ADVICE r12 serve-path lesson).
+    *
+    * Crash semantics: a batch replayed after a crash rewrites its own
+    * cells generation AND its own drift row (both dynamic overwrites —
+    * idempotent). The rebuild itself keeps the batch↔generation mapping
+    * stable: history MINUS the triggering batch collapses to gen 0
+    * (`corpus()` anti-joined on the id), and the triggering batch is
+    * then re-encoded under the NEW geometry as its own generation — so
+    * a crash between rebuild and checkpoint commit replays the batch
+    * onto exactly that generation (overwrite, not duplication), its
+    * fresh drift row re-baselines in the new geometry, and the cleared
+    * report cannot double-fire.
+    */
+  def ivfPqIngestStreamMonitored(
+      embeddings: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      corpus: () => DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      baseGen: Long = 1L,
+      tau: Double = 1.25,
+      dims: Int = 64,
+      nCells: Int = 16,
+      m: Int = 4,
+      k: Int = 16,
+      pqIters: Int = 2,
+      seed: Int = 42): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.IvfPq
+    val spark = embeddings.sparkSession
+    IvfPq.requireGenerationalLayout(indexDir, spark)
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(offsetsPath)) {
+      val maxGen = existingMaxGen(indexDir, spark)
+      require(
+        baseGen > maxGen,
+        s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) at " +
+          s"$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must clear every " +
+          "generation already in the index or replays would overwrite history")
+    }
+    // the quantizer handle is a VAR: the rebuild replaces it mid-loop
+    var frozen = IvfPq.loadIndex(indexDir, spark).index
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val srcBatch = baseGen + id
+        val b        = batch.toDF()
+        val enc      = IvfPq.encodeForIndexWithError(b, idCol, vecCol, frozen)
+        val stats    = enc.agg(count(lit(1)), avg(col("err"))).collect()(0)
+        val n        = stats.getLong(0)
+        IvfPq.appendEncodedLoaded(indexDir, frozen, enc.drop("err"), srcBatch)
+        if (n > 0) {
+          IvfPq.recordDrift(indexDir, spark, srcBatch, n, stats.getDouble(1))
+          val due = IvfPq.driftHistory(indexDir, spark).exists(IvfPq.retrainDue(_, tau))
+          if (due) {
+            // rebuild over history WITHOUT the triggering batch, then
+            // re-append the batch under the NEW geometry as its own
+            // generation — keeps the batch↔generation mapping stable for
+            // crash replay (see the crash-semantics note above)
+            frozen = IvfPq.retrainAndRebuild(
+              indexDir, corpus().join(b, Seq(idCol), "left_anti"), idCol, vecCol, dims,
+              nCells, m, k, pqIters, seed, trainOn = corpus())
+            IvfPq.clearDrift(indexDir, spark)
+            val encNew   = IvfPq.encodeForIndexWithError(b, idCol, vecCol, frozen)
+            val newStats = encNew.agg(count(lit(1)), avg(col("err"))).collect()(0)
+            IvfPq.appendEncodedLoaded(indexDir, frozen, encNew.drop("err"), srcBatch)
+            IvfPq.recordDrift(indexDir, spark, srcBatch, newStats.getLong(0),
+              newStats.getDouble(1))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING LSH-index maintenance — [[ivfPqIngestStream]]'s loop shape
     * for the [[graft.llm.AnnBuckets.writeBucketsGen]] index: each
     * micro-batch of embeddings is bucketed under the index's FROZEN

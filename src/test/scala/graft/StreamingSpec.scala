@@ -386,6 +386,101 @@ class StreamingSpec extends AnyFunSuite {
     assert(gens == Set(0L, 1L, 2L, 3L, 4L), s"expected generations {0..4}, got $gens")
   }
 
+  test("monitored IVFADC ingest: planted drift triggers rebuild mid-stream, ingest continues " +
+    "under the new geometry, replay stays exact") {
+    import spark.implicits._
+    import graft.llm.IvfPq
+    val emb  = graft.core.Tables(spark, dir).embeddings
+    val boot = emb.where(col("vec_id") % 3 === 0)
+    val b1   = emb.where(col("vec_id") % 3 === 1)
+    val b2   = emb.where(col("vec_id") % 3 === 2)
+    def shifted(src: org.apache.spark.sql.DataFrame, idOff: Long) = src.select(
+      (col("vec_id") + idOff).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.75))
+        .cast("array<float>").as("embedding"),
+      col("label"))
+    val drifted = shifted(boot, 100000L)
+    val d2      = shifted(b1, 200000L)
+
+    val (idx0, encBoot) =
+      IvfPq.build(boot, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val ixDir = java.nio.file.Files.createTempDirectory("ivfpq_mon_idx").toString
+    IvfPq.writeIndexGen(idx0, encBoot, ixDir, srcBatch = 0L)
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfpq_mon_in").toString
+    val cp        = java.nio.file.Files.createTempDirectory("ivfpq_mon_cp").toString
+    val corpus: () => org.apache.spark.sql.DataFrame = () =>
+      boot.select("vec_id", "embedding")
+        .unionByName(spark.read.parquet(streamDir).select("vec_id", "embedding"))
+    def runOnce(): Unit = {
+      val q = StreamingOps.ivfPqIngestStreamMonitored(
+        StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        ixDir, cp, corpus, tau = 1.15)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def gens() = spark.read.parquet(s"$ixDir/cells")
+      .select(col("src_batch").cast("long")).distinct().as[Long].collect().toSet
+    def driftGens() = IvfPq.driftHistory(ixDir, spark).get
+      .select(col("src_batch").cast("long")).as[Long].collect().toSet
+    def meanErr(df: org.apache.spark.sql.DataFrame, idx: IvfPq.IvfPqIndex): Double =
+      IvfPq.encodeForIndexWithError(df, "vec_id", "embedding", idx)
+        .agg(avg(col("err"))).collect()(0).getDouble(0)
+
+    // two clean (same-distribution) batches: monitored ingest behaves
+    // exactly like the plain loop — generations land, no rebuild
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    assert(gens() == Set(0L, 1L, 2L))
+    assert(driftGens() == Set(1L, 2L), "each monitored batch must record its drift row")
+    assert(IvfPq.loadIndex(ixDir, spark).geomId == IvfPq.geomId(idx0),
+      "same-distribution batches must not trigger a rebuild")
+
+    // the drifted batch trips retrainDue mid-stream: the loop rebuilds
+    // (history minus the batch collapses to gen 0, the batch re-encodes
+    // under the NEW geometry as its own generation) and re-baselines
+    drifted.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    val fresh = IvfPq.loadIndex(ixDir, spark)
+    assert(fresh.geomId != IvfPq.geomId(idx0), "planted drift must have triggered the rebuild")
+    assert(gens() == Set(0L, 3L), s"rebuild must collapse history to gen 0 and re-append the " +
+      s"triggering batch as its own generation, got ${gens()}")
+    assert(spark.read.parquet(s"$ixDir/cells").count() ==
+      boot.count() + b1.count() + b2.count() + drifted.count())
+    assert(driftGens() == Set(3L),
+      "old-geometry drift rows must be cleared; the triggering batch re-baselines")
+    assert(meanErr(drifted, fresh.index) < meanErr(drifted, idx0) * 0.9,
+      "the drifted distribution must reconstruct better under the retrained geometry")
+
+    // ingest CONTINUES under the new geometry — no stale-stamp failure,
+    // the next generation is the rebuilt quantizer's encoding
+    d2.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    assert(gens() == Set(0L, 3L, 4L))
+    assert(IvfPq.loadIndex(ixDir, spark).geomId == fresh.geomId,
+      "a batch matching the re-baselined distribution must not re-trigger")
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("cell").cast("int"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSet
+    assert(
+      codeSet(spark.read.parquet(s"$ixDir/cells").where(col("src_batch") === 4L)) ==
+        codeSet(IvfPq.encodeForIndex(d2, "vec_id", "embedding", fresh.index)),
+      "post-rebuild generations must be the NEW quantizer's encoding")
+
+    // replay stays exact: a restart on the same checkpoint has nothing to
+    // process and changes neither the cells nor the drift report
+    val before = spark.read.parquet(s"$ixDir/cells")
+      .select(col("vec_id").cast("long"), col("cell").cast("int"), col("src_batch").cast("long"))
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    runOnce()
+    val after = spark.read.parquet(s"$ixDir/cells")
+      .select(col("vec_id").cast("long"), col("cell").cast("int"), col("src_batch").cast("long"))
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(after == before, "restart on the same checkpoint must not change the index")
+    assert(driftGens() == Set(3L, 4L))
+  }
+
   test("streaming LSH ingest loop: frozen-plane generations, restart no-op, collision guard") {
     import spark.implicits._
     import graft.llm.AnnBuckets
