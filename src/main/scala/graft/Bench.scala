@@ -212,6 +212,12 @@ object Bench {
     val baselinePipeline: Option[Double] =
       if (sfDir.endsWith("sf0.1")) Some(0.6328)
       else if (sfDir.endsWith("sf0.01")) Some(0.0756)
+      // sf1 (benchdata, 6M lineitem rows): measured by tools/
+      // pandas_baseline.py (same median-of-3, pre-loaded methodology;
+      // the script under-reports the r1 sf0.1 committed value 0.633 s
+      // as 0.490 s — mostly clean_data — so this sf1 figure makes the
+      // gate STRICTER than the original calibration, not looser)
+      else if (sfDir.endsWith("/sf1")) Some(6.8912)
       else None
     val gate = (for {
       base <- baselinePipeline

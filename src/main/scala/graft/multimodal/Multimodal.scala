@@ -423,7 +423,14 @@ object Multimodal {
       k: Int = 5,
       dims: Int = 16): DataFrame =
     graft.llm.AnnBuckets.approxTopKIndexed(
-      indexDir, decodeFeatures(queryMedia, dims), "media_id", "features", k)
+      indexDir,
+      // eager checkpoint: the indexed read evaluates its query frame once
+      // per table (probe explosion) plus the probe-set collect — without
+      // pinning, a 100-media batch decoded 4× (measured in
+      // MediaFeatureBench); query batches are serve-sized by the indexed
+      // read's own probe-set bound, so materializing them is cheap
+      decodeFeatures(queryMedia, dims).localCheckpoint(true),
+      "media_id", "features", k)
 
   /** Resize in feature space: fold adjacent histogram bins (the stand-in
     * for spatial resize; same contract — array in, smaller array out).
