@@ -264,6 +264,10 @@ object Multimodal {
     decodeFeatures(media, dims)
       .withColumn("src_batch", lit(srcBatch))
       .write
+      // NO repartition-by-partition-key here, deliberately (the r14 rule
+      // targets writers whose key has MANY values): src_batch is a single
+      // constant per write, so every task already lands in the one
+      // directory — clustering would only serialize the decode stage
       .partitionBy("src_batch")
       .option("partitionOverwriteMode", "static")
       .mode("overwrite")
