@@ -655,6 +655,83 @@ object StreamingOps {
       .start()
   }
 
+  /** [[lshIngestStream]] with the REBUILD LOOP IN THE LOOP — the
+    * [[ivfPqIngestStreamMonitored]] shape for the LSH family, closing
+    * the same monitor-without-composed-remedy asymmetry one level up:
+    * between micro-batches the loop watches bucket occupancy and runs
+    * [[graft.llm.AnnBuckets.rebuildBucketsGen]] when
+    * [[graft.llm.AnnBuckets.rebuildDue]] fires, then continues ingesting
+    * under the returned meta — no stale-stamp failure, no manual
+    * intervention.
+    *
+    * Cost shape (why this is not just "call bucketOccupancy per
+    * batch"): the occupancy report is an aggregation over the WHOLE
+    * index, a full scan per micro-batch at scale. The loop instead
+    * tracks a running row count (seeded from one `bucketOccupancy` read
+    * at loop start, advanced by each batch's size) and derives the
+    * UNIFORM-occupancy estimate `rows / (2^bits)` per table — a lower
+    * bound on the true mean (the denominator counts all key slots, not
+    * just occupied ones), so it can only fire late, never spuriously.
+    * Only when the estimate fires does the loop pay the exact
+    * [[graft.llm.AnnBuckets.bucketOccupancy]] check, and only when THAT
+    * confirms does it rebuild.
+    *
+    * Rebuild ordering (the crash-stable mapping): the check runs BEFORE
+    * the batch is appended, so the rebuild's input — the index's own
+    * stored embeddings — naturally excludes the in-flight batch; the
+    * batch then appends under the NEW sizing as its own generation. A
+    * crash replay either re-runs the rebuild on the same corpus (same
+    * result, wasted work only) or lands the batch on its own generation
+    * (dynamic overwrite — idempotent); no interleaving duplicates rows
+    * into the collapsed batch-0.
+    */
+  def lshIngestStreamMonitored(
+      embeddings: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      baseGen: Long = 1L,
+      targetBucketRows: Int = 128,
+      slack: Double = 2.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.AnnBuckets
+    val spark = embeddings.sparkSession
+    AnnBuckets.requireGenerationalBuckets(indexDir, spark)
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(offsetsPath)) {
+      val maxGen = existingMaxGenAt(s"$indexDir/buckets", spark)
+      require(
+        baseGen > maxGen,
+        s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) at " +
+          s"$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must clear every " +
+          "generation already in the index or replays would overwrite history")
+    }
+    // meta and the row counter are VARS: the rebuild replaces both
+    var meta = AnnBuckets.readBucketsMeta(indexDir, spark)
+    var rowsPerTable = AnnBuckets.bucketOccupancy(indexDir, spark)
+      .collect()(0).getAs[Long]("rows") / math.max(1, meta.nTables)
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val batchRows = b.count()
+        val estMean =
+          (rowsPerTable + batchRows).toDouble / (1L << meta.nBits)
+        if (estMean > slack * targetBucketRows &&
+          AnnBuckets.rebuildDue(
+            AnnBuckets.bucketOccupancy(indexDir, spark), targetBucketRows, slack)) {
+          meta = AnnBuckets.rebuildBucketsGen(indexDir, spark, targetBucketRows)
+        }
+        AnnBuckets.appendToBucketsLoaded(indexDir, meta, b, idCol, vecCol,
+          srcBatch = baseGen + id)
+        rowsPerTable += batchRows
+        ()
+      }
+      .start()
+  }
+
   /** ONLINE IVFADC scoring — the serve half of the residual-PQ story
     * next to [[ivfPqEncodeStream]]'s ingest half: each embedding arriving
     * on the stream is a QUERY scored against the persisted encoded corpus

@@ -481,6 +481,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(driftGens() == Set(3L, 4L))
   }
 
+  test("monitored LSH ingest: planted growth rebuilds mid-stream, ingest continues under the " +
+    "new sizing, replay stays exact") {
+    import spark.implicits._
+    import graft.llm.AnnBuckets
+    val emb  = graft.core.Tables(spark, dir).embeddings
+    val boot = emb.where(col("vec_id") < 100)
+    val b1   = emb.where(col("vec_id") >= 100 && col("vec_id") < 300)
+    val b2   = emb.where(col("vec_id") >= 300)
+    val ixDir = java.nio.file.Files.createTempDirectory("lsh_mon_idx").toString
+    AnnBuckets.writeBucketsGen(boot, "vec_id", "embedding", ixDir) // defaults: 4 bits (clamp)
+    val m0 = AnnBuckets.readBucketsMeta(ixDir, spark)
+    val streamDir = java.nio.file.Files.createTempDirectory("lsh_mon_in").toString
+    val cp        = java.nio.file.Files.createTempDirectory("lsh_mon_cp").toString
+    // occupancy target 8 with slack 2 → trigger at mean 16: the bootstrap
+    // serves under it, b1's arrival crosses it only AFTER b1 lands, so the
+    // rebuild fires exactly before b2's append
+    def runOnce(): Unit = {
+      val q = StreamingOps.lshIngestStreamMonitored(
+        StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        ixDir, cp, targetBucketRows = 8, slack = 2.0)
+      try q.processAllAvailable() finally q.stop()
+    }
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    val m1 = AnnBuckets.readBucketsMeta(ixDir, spark)
+    assert(m1.epoch == m0.epoch && m1.nBits == m0.nBits,
+      "under-threshold occupancy must not rebuild")
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    val m2 = AnnBuckets.readBucketsMeta(ixDir, spark)
+    assert(m2.epoch == m0.epoch + 1 && m2.nBits > m0.nBits,
+      s"ballooned occupancy must rebuild mid-stream: epoch ${m2.epoch} bits ${m2.nBits}")
+    // history (boot + b1) collapsed to gen 0; b2 appended AFTER the
+    // rebuild as its own generation under the new sizing
+    val gens = spark.read.parquet(s"$ixDir/buckets")
+      .select(col("src_batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(gens == Set(0L, 2L), s"expected {0, 2}, got $gens")
+    assert(spark.read.parquet(s"$ixDir/buckets").count() == 500L * m2.nTables)
+    assert(!AnnBuckets.rebuildDue(
+      AnnBuckets.bucketOccupancy(ixDir, spark), targetBucketRows = 8, slack = 2.0),
+      "rebuild must restore the occupancy target")
+    // b2's generation is bucketed under the REBUILT hyperplane sizing
+    val gen2 = spark.read.parquet(s"$ixDir/buckets").where(col("src_batch") === 2L)
+      .select(col("tb").cast("int"), col("vec_id").cast("long")).as[(Int, Long)]
+      .collect().toSet
+    val expected = AnnBuckets
+      .bucketedRows(b2, "vec_id", "embedding", m2.nBits, m2.dims, m2.nTables, m2.seed)
+      .select(col("tb").cast("int"), col("vec_id").cast("long")).as[(Int, Long)]
+      .collect().toSet
+    assert(gen2 == expected, "post-rebuild generations must bucket under the new sizing")
+    // replay stays exact
+    val before = spark.read.parquet(s"$ixDir/buckets")
+      .select(col("tb").cast("int"), col("vec_id").cast("long"), col("src_batch").cast("long"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    runOnce()
+    val after = spark.read.parquet(s"$ixDir/buckets")
+      .select(col("tb").cast("int"), col("vec_id").cast("long"), col("src_batch").cast("long"))
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(after == before, "restart on the same checkpoint must not change the index")
+  }
+
   test("streaming LSH ingest loop: frozen-plane generations, restart no-op, collision guard") {
     import spark.implicits._
     import graft.llm.AnnBuckets
