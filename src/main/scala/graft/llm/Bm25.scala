@@ -95,6 +95,82 @@ object Bm25 {
     ranked.withColumn("rn", row_number().over(w))
   }
 
+  /** MULTI-QUERY BM25 over the textbook inverted-postings join — the
+    * shape [[topK]] deliberately avoids for a single fixed query becomes
+    * the right one when the query SET is itself a table (retrieval
+    * evaluation, query mining, batch search): per-term document postings
+    * (term, doc, tf, dl) are built once, each query's DISTINCT terms
+    * join them on `term` (the shuffle key — a query only ever meets the
+    * docs containing its terms, never the corpus), and per-(query, doc)
+    * scores rank inside a per-query window. Cost is
+    * Σ_t∈queries df(t) candidate rows; `maxTermDf` is the scale lever —
+    * stopword-grade terms with df above the cap are dropped from the
+    * POSTINGS side before the join (they carry near-zero idf but df ≈ N
+    * join fan-out; same cap contract as the n-gram/banded dedup paths).
+    *
+    * Query-side term weight is 1 per DISTINCT term (repeated query
+    * tokens do not multiply — the common simplification; q141 replays
+    * it). Per-term contributions are rounded to 6 dp and summed as
+    * DECIMAL so the per-(query, doc) score is EXACT and independent of
+    * aggregation order — a plain double sum over matched terms would
+    * hash-differ run to run (and engine to engine) on addition order,
+    * which single-query [[topK]] never faces because its fixed-term
+    * expression sums in source order.
+    *
+    * @return (q_id, doc_id, score, rn) — rn ≤ k per query, ties on id;
+    *         docs matching NO query term are absent (score 0 by
+    *         definition), so fewer than k rows per query is possible
+    */
+  def topKPerQuery(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxTermDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = split(Cols.q(textCol), " ")
+    val tokenRows = docs.select(
+      Cols.q(idCol).as("doc_id"),
+      size(tk).cast("double").as("__dl"),
+      explode(tk).as("__term"))
+    val postings = tokenRows
+      .groupBy("__term", "doc_id", "__dl")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val df = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
+    val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
+    val stats = docs
+      .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    val qTerms = queries.select(
+      Cols.q(qIdCol).as("q_id"),
+      explode(array_distinct(split(Cols.q(qTextCol), " "))).as("__term"))
+    // per-term contribution in EXACTLY topK's operation order (q91's
+    // oracle parity contract): idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl))
+    val contrib = qTerms
+      .join(postings.join(dfKept, Seq("__term")), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        round(
+          log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+            (col("__tf") * (lit(k1) + 1.0)) /
+            (col("__tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("__dl") / col("__avgdl"))),
+          6).cast("decimal(20,6)").as("__c"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    contrib
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("__c")).as("__s"))
+      .select(col("q_id"), col("doc_id"), col("__s").cast("double").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
   /** Score an UNBOUNDED document stream under a STATIC corpus's BM25
     * statistics: N / avgdl / per-term df are collected once (one reduced
     * row) from the static corpus and inlined as literals, so the stream

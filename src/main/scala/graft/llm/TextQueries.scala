@@ -2424,7 +2424,111 @@ object TextQueries {
     Logit.score(docs, col("doc_id"), features, model).orderBy("doc_id")
   }
 
+  /** Multi-query BM25 over the inverted-postings join
+    * ([[Bm25.topKPerQuery]]) — batch retrieval where the query set is
+    * itself a table: 20 self-queries (first-4-token prefixes of every
+    * 25th document) ranked against the corpus at k = 10. The testdata vocabulary is
+    * deliberately tiny (every term's df ≈ 0.75·N), so the `maxTermDf`
+    * postings cap — the operator's scale lever, spec-tested on a
+    * planted skewed vocabulary — stays off here: any honest cap on this
+    * corpus empties the postings. DuckDB replays the ENTIRE path: postings from unnest +
+    * count, df + cap, distinct prefix terms, the q91 per-term formula in
+    * the same operation order, and the DECIMAL contribution sum that
+    * makes the per-(query, doc) score independent of aggregation order
+    * (a plain double sum would hash-differ on partial-agg order).
+    */
+  val q141Bm25MultiQuery: Declared = Declared.sql(
+    "q141_bm25_multiquery",
+    """WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tks),
+      |p AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+      |      FROM d GROUP BY term, doc_id, dl),
+      |dfk AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY term),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      |      FROM tks),
+      |q AS (SELECT doc_id AS q_id, unnest(list_distinct(tk[1:4])) AS term
+      |      FROM tks WHERE doc_id % 25 = 0),
+      |c AS (SELECT q.q_id, p.doc_id,
+      |        CAST(round(
+      |          ln(1.0 + (s.n - dfk.df + 0.5) / (dfk.df + 0.5)) * (p.tf * (1.2 + 1.0))
+      |            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+      |          6) AS DECIMAL(20,6)) AS c
+      |      FROM q JOIN p USING (term) JOIN dfk USING (term) CROSS JOIN s),
+      |sc AS (SELECT q_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+      |       FROM c GROUP BY q_id, doc_id),
+      |r AS (SELECT q_id, doc_id, score,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rn
+      |      FROM sc)
+      |SELECT q_id, doc_id, score, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10
+      |ORDER BY q_id, rn""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val queries = docs.where(col("doc_id") % 25 === 0).select(
+      col("doc_id").as("q_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("q_text"))
+    Bm25
+      .topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 10)
+      .orderBy("q_id", "rn")
+  }
+
+  /** Retrieval-quality report ([[RetrievalEval.report]]) over the q141
+    * results against self-retrieval gold (each query's source document):
+    * recall@k over gold pairs + MRR@k over queries at k ∈ {1, 5, 10} —
+    * the measurement a curation pipeline runs before trusting its
+    * retrieval stack for dedup / decontamination / mining. Hit
+    * indicators and reciprocal ranks sum as DECIMAL then divide once in
+    * doubles, so the report hash-replays exactly.
+    */
+  val q142RetrievalEval: Declared = Declared.sql(
+    "q142_retrieval_eval",
+    """WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tks),
+      |p AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+      |      FROM d GROUP BY term, doc_id, dl),
+      |dfk AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY term),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      |      FROM tks),
+      |q AS (SELECT doc_id AS q_id, unnest(list_distinct(tk[1:4])) AS term
+      |      FROM tks WHERE doc_id % 25 = 0),
+      |c AS (SELECT q.q_id, p.doc_id,
+      |        CAST(round(
+      |          ln(1.0 + (s.n - dfk.df + 0.5) / (dfk.df + 0.5)) * (p.tf * (1.2 + 1.0))
+      |            / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)),
+      |          6) AS DECIMAL(20,6)) AS c
+      |      FROM q JOIN p USING (term) JOIN dfk USING (term) CROSS JOIN s),
+      |sc AS (SELECT q_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+      |       FROM c GROUP BY q_id, doc_id),
+      |r AS (SELECT q_id, doc_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rn
+      |      FROM sc),
+      |res AS (SELECT q_id, doc_id, rn FROM r WHERE rn <= 10),
+      |g AS (SELECT doc_id AS q_id, doc_id AS gold_id FROM documents WHERE doc_id % 25 = 0),
+      |rk AS (SELECT g.q_id, res.rn AS rank FROM g
+      |       LEFT JOIN res ON res.q_id = g.q_id AND res.doc_id = g.gold_id),
+      |kd AS (SELECT unnest([1, 5, 10]) AS k),
+      |rec AS (SELECT k, round(CAST(sum(CASE WHEN rank IS NOT NULL AND rank <= k
+      |                 THEN CAST(1.0 AS DECIMAL(20,6))
+      |                 ELSE CAST(0.0 AS DECIMAL(20,6)) END) AS DOUBLE) / count(*), 6) AS recall
+      |        FROM rk CROSS JOIN kd GROUP BY k),
+      |bst AS (SELECT q_id, min(rank) AS best FROM rk GROUP BY q_id),
+      |m AS (SELECT k, round(CAST(sum(CASE WHEN best IS NOT NULL AND best <= k
+      |               THEN CAST(round(1.0 / best, 6) AS DECIMAL(20,6))
+      |               ELSE CAST(0.0 AS DECIMAL(20,6)) END) AS DOUBLE) / count(*), 6) AS mrr
+      |      FROM bst CROSS JOIN kd GROUP BY k)
+      |SELECT rec.k, recall, mrr FROM rec JOIN m USING (k) ORDER BY k""".stripMargin) {
+    (spark, dir) =>
+      val docs = t(spark, dir).documents
+      val queries = docs.where(col("doc_id") % 25 === 0).select(
+        col("doc_id").as("q_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("q_text"))
+      val results = Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text",
+        k = 10)
+      val gold = queries.select(col("q_id"), col("q_id").as("gold_id"))
+      RetrievalEval.report(results, gold, Seq(1, 5, 10)).orderBy("k")
+  }
+
   val all: Seq[Declared] = Seq(
+    q141Bm25MultiQuery,
+    q142RetrievalEval,
     q124LogitFilter,
     q15TextLangStats,
     q16DedupExact,

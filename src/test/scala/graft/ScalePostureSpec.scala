@@ -42,6 +42,35 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(pruned.collect()(0).getDouble(0) == want)
   }
 
+  test("LSH rebuild's corpus read prunes to the table-0 partitions") {
+    import graft.llm.AnnBuckets
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = Tables(spark, dir).embeddings
+    val idx = Files.createTempDirectory("lsh_prune_rebuild").toString
+    AnnBuckets.writeBucketsGen(emb, "vec_id", "embedding", idx, nBits = 4, nTables = 3,
+      nProbes = 0)
+    // the exact read rebuildBucketsGen issues: every vector once, from
+    // table 0 only — at 100 TB this is 1/nTables of the index, and it
+    // must execute as STATIC partition pruning, not a full scan + filter
+    val corpus = spark.read.parquet(s"$idx/buckets")
+      .where(col("tb") < lit(1 << 4))
+      .select(col("vec_id"), col("emb"))
+    assert(corpus.count() == emb.count(), "table 0 must hold every vector exactly once")
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val total = spark.read.parquet(s"$idx/buckets")
+      .select("tb").distinct().count() // occupied (tb, src_batch) leaves overall
+    val scanned = allScans(corpus.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= 16, // ≤ 2^4 table-0 buckets of the 3 · 2^4 total
+      s"rebuild corpus read must prune to table 0: scanned $scanned of ~${3 * total / 3} keys")
+  }
+
   test("factorWrangler's distinct-set discovery is exactly ONE Spark job") {
     import graft.core.GraftFrame
     // the r3 regression was a second blocking aggregate job (the

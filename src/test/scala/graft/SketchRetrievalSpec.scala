@@ -493,6 +493,81 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
   }
 
+  test("multi-query BM25 matches the fixed-term scorer on its matched prefix") {
+    import graft.llm.Bm25
+    val docs = corpus.toDF("doc_id", "text")
+    // one query carrying exactly the fixed scorer's terms: the inverted-
+    // postings path must reproduce topK's ranking restricted to docs that
+    // match at least one term (unmatched docs score 0 and are absent by
+    // construction in the join version)
+    val queries = Seq((99L, "new the")).toDF("q_id", "q_text")
+    val multi = Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+      .orderBy("rn").select("doc_id", "score", "rn")
+      .as[(Long, Double, Int)].collect().toSeq
+    val fixed = Bm25.topK(docs, "doc_id", "text", Seq("new", "the"), k = 5)
+      .where(col("score") > 0)
+      .orderBy("rn").select("doc_id", "score")
+      .as[(Long, Double)].collect().toSeq
+    assert(multi.map(_._1) == fixed.map(_._1), s"rankings differ: $multi vs $fixed")
+    multi.zip(fixed).foreach { case ((_, s1, _), (_, s2)) =>
+      assert(math.abs(s1 - s2) <= 2e-6, s"scores differ beyond rounding: $s1 vs $s2")
+    }
+    assert(multi.map(_._3) == (1 to multi.length))
+  }
+
+  test("multi-query BM25 df cap drops stopword-grade postings, keeps rare-term retrieval") {
+    import graft.llm.Bm25
+    // planted skew: 'common' rides every doc (df = 5), each doc keeps a
+    // unique rare term
+    val docs = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma"),
+      (4L, "common delta"),
+      (5L, "common epsilon")).toDF("doc_id", "text")
+    val queries = Seq((1L, "common alpha"), (2L, "common beta")).toDF("q_id", "q_text")
+    val capped = Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text",
+      k = 5, maxTermDf = Some(3L))
+      .select("q_id", "doc_id", "rn").as[(Long, Long, Int)].collect().toSeq.sorted
+    // the capped join never meets 'common' postings: each query retrieves
+    // ONLY its rare term's doc, at rank 1
+    assert(capped == Seq((1L, 1L, 1), (2L, 2L, 1)), s"got $capped")
+    // uncapped, 'common' matches every doc for both queries
+    val full = Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+    assert(full.count() == 10)
+  }
+
+  test("retrieval eval: recall monotone in k, self-retrieval on unique terms is perfect") {
+    import graft.llm.{Bm25, RetrievalEval}
+    val docs = Seq(
+      (1L, "alpha omega shared"),
+      (2L, "beta omega shared"),
+      (3L, "gamma omega shared"),
+      (4L, "delta omega shared")).toDF("doc_id", "text")
+    // each query leads with its doc's unique term → gold must rank 1
+    val queries = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("q_id", "q_text")
+    val results = Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 4)
+    val gold    = queries.select(col("q_id"), col("q_id").as("gold_id"))
+    val rep = RetrievalEval.report(results, gold, Seq(1, 2, 4))
+      .select("k", "recall", "mrr").as[(Int, Double, Double)].collect().sortBy(_._1)
+    rep.foreach { case (k, r, m) =>
+      assert(r == 1.0 && m == 1.0, s"unique-term self-retrieval must be perfect at k=$k: $r/$m")
+    }
+    // a gold the retriever can never produce drags PAIR-level recall
+    // below the QUERY-level mrr (query 1's other gold still ranks 1 —
+    // mrr is over queries, recall over gold pairs, by contract); both
+    // stay monotone in k and bounded by 1
+    val gold2 = gold.unionByName(Seq((1L, 4L)).toDF("q_id", "gold_id"))
+    val rep2 = RetrievalEval.report(results, gold2, Seq(1, 2, 4))
+      .select("k", "recall", "mrr").as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(rep2.map(_._2).toSeq == rep2.map(_._2).sorted.toSeq, "recall must be monotone in k")
+    assert(rep2.map(_._3).toSeq == rep2.map(_._3).sorted.toSeq, "mrr must be monotone in k")
+    rep2.foreach { case (k, r, m) =>
+      assert(r == 0.75, s"3 of 4 gold pairs rank first at every k=$k, got $r")
+      assert(m == 1.0, s"every QUERY still has a rank-1 gold at k=$k, got $m")
+    }
+  }
+
   test("hybrid rerank: anchor doc ranks itself first, output is a candidate subset") {
     val docs = corpus.toDF("doc_id", "text")
     val emb = Seq(
