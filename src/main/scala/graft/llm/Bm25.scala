@@ -150,9 +150,18 @@ object Bm25 {
       Cols.q(qIdCol).as("q_id"),
       explode(array_distinct(split(Cols.q(qTextCol), " "))).as("__term"))
     // per-term contribution in EXACTLY topK's operation order (q91's
-    // oracle parity contract): idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl))
-    val contrib = qTerms
-      .join(postings.join(dfKept, Seq("__term")), Seq("__term"))
+    // oracle parity contract): idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)).
+    // BOTH small sides are broadcast EXPLICITLY: `__term` has vocabulary
+    // cardinality, so a shuffle join on it is maximally skewed (measured
+    // bimodal 8 s / 36 s at sf1 while AQE flip-flopped the strategy) —
+    // broadcasting df (vocab-sized) and the query terms (an eval/serve
+    // batch by contract) makes the whole contribution stage ONE map-side
+    // pass over the postings scan; the only shuffle left is the
+    // well-keyed (q_id, doc_id) score aggregation. A corpus-scale query
+    // table needs the maxTermDf cap + a salted term join instead — that
+    // is query MINING, not batch retrieval, and out of this contract.
+    val contrib = broadcast(qTerms)
+      .join(postings.join(broadcast(dfKept), Seq("__term")), Seq("__term"))
       .crossJoin(broadcast(stats))
       .select(
         col("q_id"),
