@@ -407,6 +407,16 @@ object Multimodal {
       media: DataFrame,
       srcBatch: Long): Unit = {
     val spark = media.sparkSession
+    // the two tables must agree on the feature width: bucketing
+    // narrower-than-index vectors silently truncates the hyperplane dot
+    // products (same silent-wrong-results class as the dims/id-cast
+    // fixes) — fail fast naming the mismatch instead
+    val fDims = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
+    val iDims = graft.llm.AnnBuckets.readBucketsMeta(indexDir, spark).dims
+    require(fDims == iDims,
+      s"feature width mismatch: features at $featuresDir are $fDims-dim but the index at " +
+        s"$indexDir was built for $iDims-dim vectors — rebuild one side (writeMediaIndex " +
+        "derives its width from the features table, so indexes built through it cannot drift)")
     appendFeatures(featuresDir, media, srcBatch)
     val justWritten = spark.read
       .parquet(s"$featuresDir/features")
@@ -419,13 +429,19 @@ object Multimodal {
     * only the QUERY batch is decoded (it is new media, by definition);
     * the corpus side is the persisted index, read with the recorded
     * probe budget and static bucket pruning
-    * ([[graft.llm.AnnBuckets.approxTopKIndexed]]).
+    * ([[graft.llm.AnnBuckets.approxTopKIndexed]]). The query decode
+    * width comes from the INDEX's meta sidecar — a caller-supplied dims
+    * on a differently-sized index would decode queries at the wrong
+    * width and return silently wrong cosines (the dot product truncates
+    * to the shorter array), which is the id-cast bug class ADVICE r14
+    * already closed once.
     */
   def searchMediaIndexed(
       indexDir: String,
       queryMedia: DataFrame,
-      k: Int = 5,
-      dims: Int = 16): DataFrame =
+      k: Int = 5): DataFrame = {
+    val dims = graft.llm.AnnBuckets
+      .readBucketsMeta(indexDir, queryMedia.sparkSession).dims
     graft.llm.AnnBuckets.approxTopKIndexed(
       indexDir,
       // eager checkpoint: the indexed read evaluates its query frame once
@@ -435,6 +451,7 @@ object Multimodal {
       // read's own probe-set bound, so materializing them is cheap
       decodeFeatures(queryMedia, dims).localCheckpoint(true),
       "media_id", "features", k)
+  }
 
   /** Resize in feature space: fold adjacent histogram bins (the stand-in
     * for spatial resize; same contract — array in, smaller array out).

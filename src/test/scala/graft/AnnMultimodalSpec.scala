@@ -642,6 +642,44 @@ class AnnMultimodalSpec extends AnyFunSuite {
       s"top hit for an exact copy must score 1.0: $h"))
   }
 
+  test("media index lifecycle: non-default width round-trips, rebuild loop applies") {
+    import graft.llm.AnnBuckets
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    val fDir  = java.nio.file.Files.createTempDirectory("media_feats32").toString
+    val iDir  = java.nio.file.Files.createTempDirectory("media_lsh32").toString
+    // NON-default feature width: the search must decode queries at the
+    // INDEX's recorded width (a hardcoded 16 here would truncate the
+    // hyperplane dots and silently miss the exact copy — the dims-from-
+    // meta regression this test pins)
+    Multimodal.writeFeaturesGen(media, fDir, dims = 32)
+    Multimodal.writeMediaIndex(fDir, iDir, spark)
+    assert(AnnBuckets.readBucketsMeta(iDir, spark).dims == 32)
+    val copies = media.where(col("media_id") < 3)
+      .select((col("media_id") + 5000L).as("media_id"), col("kind"), col("content"), col("meta"))
+    val hits = Multimodal.searchMediaIndexed(iDir, copies, k = 2).where(col("rn") === 1).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(h => assert(h.getAs[Double]("cos_sim") == 1.0,
+      s"exact copy must hit 1.0 under the index's recorded width: $h"))
+    // width mismatch between a features table and an index fails fast
+    val fDir16 = java.nio.file.Files.createTempDirectory("media_feats16").toString
+    Multimodal.writeFeaturesGen(media, fDir16, dims = 16)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ingestMedia(fDir16, iDir, copies, srcBatch = 1L)
+    }
+    assert(e.getMessage.contains("width mismatch"), e.getMessage)
+
+    // the media index is a writeBucketsGen index, so the r15 rebuild loop
+    // applies to it unchanged: rebuild, then serve parity survives
+    val before = Multimodal.searchMediaIndexed(iDir, copies, k = 2)
+      .select("a_id", "b_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val m1 = AnnBuckets.rebuildBucketsGen(iDir, spark)
+    assert(m1.epoch == 1L && m1.dims == 32)
+    val after = Multimodal.searchMediaIndexed(iDir, copies, k = 2)
+      .select("a_id", "b_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(after == before, "a rebuild must not change what a probe read returns here " +
+      "(same corpus, auto sizing at the same count)")
+  }
+
   /** Synthetic near-dup media fixture for the default-args recall gate:
     * `groups` base payloads (concentrated-luminance PNGs / fixed-
     * amplitude WAV sines), each with `variants` small perturbations, so

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{AnnBuckets, BruteForce, EmbeddingStats, IvfIndex, SemDedup}
+import graft.llm.{AnnBuckets, BruteForce, EmbeddingStats, IvfIndex, RetrievalEval, SemDedup}
 import graft.tools.GenClusteredEmb
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -240,6 +240,43 @@ class ClusteredRecallSpec extends AnyFunSuite {
   test("IVF Auto holds recall@5 on clustered geometry") {
     val r = recallOf(IvfIndex.approxTopK(emb, "vec_id", "embedding", k = 5))
     assert(r >= 0.90, f"IVF Auto recall@5 $r%.3f under floor 0.90 (measured 1.000 at seed 2026)")
+  }
+
+  // ── r15: the retrieval-eval op agrees with this suite's own math ────
+  // RetrievalEval.report is method-agnostic (any (q_id, doc_id, rn)
+  // frame); fed the default-args ANN results against the exact top-1
+  // gold, its recall@5 must EQUAL a driver-side recomputation from the
+  // same sets — the q142 aggregation replayed independently.
+  test("RetrievalEval over ANN results matches the driver-side recall computation") {
+    import org.apache.spark.sql.functions.col
+    val gold = BruteForce
+      .topK(spark, emb, "vec_id", "embedding", k = 1)
+      .select(col("a_id").cast("long").as("q_id"), col("b_id").cast("long").as("gold_id"))
+    val ann = AnnBuckets.approxTopK(emb, "vec_id", "embedding", k = 5)
+      .select(col("a_id").as("q_id"), col("b_id").as("doc_id"), col("rn"))
+    val rep = RetrievalEval.report(ann, gold, Seq(1, 5))
+      .collect().map(r => r.getAs[Int]("k") ->
+        (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
+    // driver-side replay from the same collected sets
+    val goldMap = gold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranks = ann.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"), r.getAs[Int]("rn")))
+      .groupBy(_._1)
+    def expected(k: Int): (Double, Double) = {
+      val hits = goldMap.toSeq.map { case (q, g) =>
+        ranks.getOrElse(q, Array.empty).find(t => t._2 == g && t._3 <= k).map(_._3)
+      }
+      val recall = hits.count(_.isDefined).toDouble / goldMap.size
+      val mrr = hits.map(_.fold(0.0)(rk => math.rint(1e6 / rk) / 1e6)).sum / goldMap.size
+      (math.rint(recall * 1e6) / 1e6, math.rint(mrr * 1e6) / 1e6)
+    }
+    Seq(1, 5).foreach { k =>
+      val (er, em) = expected(k)
+      assert(rep(k)._1 == er, s"recall@$k: op ${rep(k)._1} vs driver $er")
+      assert(math.abs(rep(k)._2 - em) < 2e-6, s"mrr@$k: op ${rep(k)._2} vs driver $em")
+    }
+    // and the numbers are non-vacuous on this geometry
+    assert(rep(5)._1 >= 0.80, s"ANN recall@5 through the eval op: ${rep(5)._1}")
   }
 
   // miner tau is 0.45 here, not the bench fixture's 0.6: with 50 clusters
