@@ -163,6 +163,71 @@ class PropertySpec extends AnyFunSuite {
     assert(ranks == (1 to 10))
   }
 
+  test("multi-query BM25 matches a driver-side reference scorer on random corpora") {
+    import graft.llm.Bm25
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val doc  = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(Gen.listOfN(12, doc), 3).zipWithIndex.foreach { case (texts, round) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val queries = texts.take(3).zipWithIndex
+        .map { case (t, i) => (100L + i, t.split(" ").take(3).mkString(" ")) }
+        .toDF("q_id", "q_text")
+      val got = Bm25
+        .topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 12)
+        .select("q_id", "doc_id", "score")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, d, s) => (q, d) -> s }.toMap
+
+      // reference: textbook BM25 recomputed in driver math with the same
+      // rounding contract (per-term 6 dp, exact decimal-grain sum)
+      val toks  = texts.map(_.split(" ").toSeq)
+      val n     = toks.size.toDouble
+      val avgdl = toks.map(_.size).sum.toDouble / n
+      def score(qTerms: Seq[String], d: Seq[String]): Double = {
+        val sum = qTerms.distinct.map { t =>
+          val tf = d.count(_ == t).toDouble
+          if (tf == 0) 0L
+          else {
+            val df  = toks.count(_.contains(t)).toDouble
+            val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            val c   = idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * d.size / avgdl))
+            math.rint(c * 1e6).toLong
+          }
+        }.sum
+        sum / 1e6
+      }
+      val qs = queries.as[(Long, String)].collect()
+      for ((qid, qt) <- qs; (d, did) <- toks.zipWithIndex) {
+        val want = score(qt.split(" ").toSeq, d)
+        val have = got.getOrElse((qid, did.toLong), 0.0)
+        assert(math.abs(have - want) < 1e-9,
+          s"round $round q=$qid doc=$did: engine $have vs reference $want")
+      }
+    }
+  }
+
+  test("LSH rebuild preserves corpus membership and meets sizing on random splits") {
+    import graft.llm.AnnBuckets
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001").embeddings
+    for (seedMod <- Seq(2, 3, 5)) {
+      val idx = java.nio.file.Files.createTempDirectory(s"lsh_fuzz_$seedMod").toString
+      AnnBuckets.writeBucketsGen(
+        emb.where(col("vec_id") % seedMod === 0), "vec_id", "embedding", idx)
+      AnnBuckets.appendToBuckets(
+        idx, emb.where(col("vec_id") % seedMod =!= 0), "vec_id", "embedding", srcBatch = 1L)
+      val m = AnnBuckets.rebuildBucketsGen(idx, spark, targetBucketRows = 16)
+      val rows = spark.read.parquet(s"$idx/buckets")
+      // membership: every vector exactly once per table, no strays
+      assert(rows.count() == emb.count() * m.nTables)
+      assert(rows.select(col("vec_id").cast("long")).distinct().count() == emb.count())
+      // sizing: the rebuilt index meets its own trigger's target
+      assert(!AnnBuckets.rebuildDue(
+        AnnBuckets.bucketOccupancy(idx, spark), targetBucketRows = 16, slack = 2.0))
+      // stamp halves agree after the swap
+      assert(AnnBuckets.readGeomMarker(s"$idx/buckets", spark) == m.geomId)
+    }
+  }
+
   test("gelman standardization yields mean ≈ 0 and sample sd ≈ 0.5") {
     samples(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 5)
       .filter(_.distinct.size > 1)
