@@ -555,31 +555,71 @@ object AnnBuckets {
   private def geomMarkerPath(bucketsDir: String) =
     new org.apache.hadoop.fs.Path(bucketsDir, "_geom")
 
+  /** The marker is SELF-DESCRIBING (`gid|bits|dims|tables|seed|probes|
+    * epoch`), not just a hash: after a crash between the buckets swap
+    * and the meta overwrite, the buckets table is the only half that
+    * knows the new sizing — a bare hash could detect the mismatch but
+    * not repair it, and a rebuild that trusted the STALE meta's bit
+    * count would read `tb < 2^oldBits` against the new layout and
+    * silently rebuild from a fraction of the corpus (data loss on the
+    * documented recovery path). [[rebuildBucketsGen]] finishes the
+    * interrupted swap from this tuple instead.
+    */
   private[graft] def writeGeomMarker(
       bucketsDir: String,
       gid: Long,
-      spark: org.apache.spark.sql.SparkSession): Unit = {
+      spark: org.apache.spark.sql.SparkSession,
+      meta: Option[BucketsMeta] = None): Unit = {
     val p   = geomMarkerPath(bucketsDir)
     val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write(gid.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = meta.fold(gid.toString)(m =>
+      s"$gid|${m.nBits}|${m.dims}|${m.nTables}|${m.seed}|${m.nProbes}|${m.epoch}")
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
 
-  private[graft] def readGeomMarker(
+  private def readMarkerBody(
       bucketsDir: String,
-      spark: org.apache.spark.sql.SparkSession): Option[Long] = {
+      spark: org.apache.spark.sql.SparkSession): Option[String] = {
     val p  = geomMarkerPath(bucketsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val s =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      s.toLongOption
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
     }
   }
+
+  private[graft] def readGeomMarker(
+      bucketsDir: String,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] =
+    readMarkerBody(bucketsDir, spark).flatMap(_.split('|').headOption.flatMap(_.toLongOption))
+
+  /** The full sizing tuple a self-describing marker carries, validated
+    * against its own hash (a corrupt or truncated marker yields None,
+    * never a wrong repair).
+    */
+  private[graft] def readMarkerMeta(
+      bucketsDir: String,
+      spark: org.apache.spark.sql.SparkSession): Option[BucketsMeta] =
+    readMarkerBody(bucketsDir, spark).flatMap { body =>
+      body.split('|') match {
+        case Array(g, bits, dims, tables, seed, probes, epoch) =>
+          for {
+            gid <- g.toLongOption
+            b   <- bits.toIntOption
+            d   <- dims.toIntOption
+            t   <- tables.toIntOption
+            s   <- seed.toLongOption
+            p   <- probes.toIntOption
+            e   <- epoch.toLongOption
+            if lshGeomId(b, d, t, s, p, e) == gid
+          } yield BucketsMeta(b, d, t, s, p, e, Some(gid))
+        case _ => None
+      }
+    }
 
   /** Meta-vs-buckets stamp agreement, skipped for pre-r15 indexes (no
     * stamp on either half — nothing was ever rebuilt).
@@ -689,7 +729,8 @@ object AnnBuckets {
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
     val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
-    writeGeomMarker(s"$outDir/buckets", gid, spark)
+    writeGeomMarker(s"$outDir/buckets", gid, spark,
+      Some(BucketsMeta(bits, dims, tables, seed, nProbes, 0L, Some(gid))))
   }
 
   /** [[writeBuckets]] in the GENERATIONAL layout
@@ -733,7 +774,8 @@ object AnnBuckets {
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
     val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
-    writeGeomMarker(s"$outDir/buckets", gid, spark)
+    writeGeomMarker(s"$outDir/buckets", gid, spark,
+      Some(BucketsMeta(bits, dims, tables, seed, nProbes, 0L, Some(gid))))
   }
 
   /** Incremental LSH-index ingest: bucket a NEW batch under the index's
@@ -855,7 +897,31 @@ object AnnBuckets {
       spark: org.apache.spark.sql.SparkSession,
       targetBucketRows: Int = 128): BucketsMeta = {
     requireGenerationalBuckets(indexDir, spark)
-    val old = readBucketsMeta(indexDir, spark)
+    val stored = readBucketsMeta(indexDir, spark)
+    // crash repair BEFORE anything reads with the stored sizing: a prior
+    // rebuild that died between the buckets swap and the meta overwrite
+    // left NEW buckets under OLD meta — reading the corpus as
+    // `tb < 2^oldBits` against the new layout would silently rebuild
+    // from a fraction of it. The self-describing marker carries the
+    // completed rebuild's sizing; finishing the interrupted meta write
+    // is the repair, and the requested rebuild then proceeds on the
+    // repaired index.
+    val old = readGeomMarker(s"$indexDir/buckets", spark) match {
+      case Some(mgid) if stored.geomId.exists(_ != mgid) =>
+        val m = readMarkerMeta(s"$indexDir/buckets", spark).getOrElse(
+          throw new IllegalStateException(
+            s"LSH index at $indexDir has mismatched stamps but a non-self-describing buckets " +
+              "marker — cannot determine the buckets table's sizing to repair the interrupted " +
+              "swap; restore the meta sidecar from a backup or re-bootstrap via writeBucketsGen " +
+              "from the raw corpus"))
+        org.slf4j.LoggerFactory
+          .getLogger(getClass)
+          .warn(s"rebuildBucketsGen: finishing an interrupted swap at $indexDir " +
+            s"(meta epoch ${stored.epoch} -> marker epoch ${m.epoch}) before rebuilding")
+        writeMeta(spark, indexDir, m.nBits, m.dims, m.nTables, m.seed, m.nProbes, m.epoch)
+        m
+      case _ => stored
+    }
     val corpus = spark.read
       .parquet(s"$indexDir/buckets")
       .where(col("tb") < lit(1 << old.nBits)) // table 0: every vector, once
@@ -881,7 +947,8 @@ object AnnBuckets {
       .option("partitionOverwriteMode", "static")
       .mode("overwrite")
       .parquet(tmp)
-    writeGeomMarker(tmp, gid, spark)
+    writeGeomMarker(tmp, gid, spark,
+      Some(BucketsMeta(bits, old.dims, tables, old.seed, old.nProbes, epoch, Some(gid))))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")

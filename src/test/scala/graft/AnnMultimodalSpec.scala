@@ -393,6 +393,63 @@ class AnnMultimodalSpec extends AnyFunSuite {
     assert(occ.getAs[Long]("max_occ") >= occ.getAs[Double]("mean_occ").toLong)
   }
 
+  test("LSH rebuild crash recovery: a lost meta write is repaired from the marker, not " +
+    "rebuilt from a fraction of the corpus") {
+    import graft.llm.AnnBuckets
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def deleteDir(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => { java.nio.file.Files.delete(x); () })
+    }
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("lsh_crash").toString
+    AnnBuckets.writeBucketsGen(emb.where(col("vec_id") < 100), "vec_id", "embedding", idx)
+    AnnBuckets.appendToBuckets(idx, emb.where(col("vec_id") >= 100), "vec_id", "embedding", 1L)
+    val metaBackup = java.nio.file.Files.createTempDirectory("lsh_crash_meta").toString
+    copyDir(s"$idx/meta", metaBackup)
+    val m0 = AnnBuckets.readBucketsMeta(idx, spark)
+
+    // complete rebuild, then simulate the crash window: the buckets swap
+    // landed but the meta overwrite was lost
+    val m1 = AnnBuckets.rebuildBucketsGen(idx, spark, targetBucketRows = 16)
+    assert(m1.nBits > m0.nBits, "fixture must actually resize for the test to mean anything")
+    deleteDir(s"$idx/meta")
+    copyDir(metaBackup, s"$idx/meta")
+    assert(AnnBuckets.readBucketsMeta(idx, spark).geomId == m0.geomId)
+
+    // every read fails fast on the mixed state
+    val e = intercept[IllegalArgumentException] {
+      AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3).collect()
+    }
+    assert(e.getMessage.contains("mid-rebuild"), e.getMessage)
+
+    // the recovery path: rebuildBucketsGen repairs the interrupted swap
+    // from the self-describing marker (NOT the stale meta's bit count,
+    // which would read a fraction of the new layout as "the corpus"),
+    // then performs the requested rebuild — full membership survives
+    val m2 = AnnBuckets.rebuildBucketsGen(idx, spark, targetBucketRows = 16)
+    assert(m2.epoch == m1.epoch + 1, s"repair must adopt the marker epoch first: ${m2.epoch}")
+    val rows = spark.read.parquet(s"$idx/buckets")
+    assert(rows.select(col("vec_id").cast("long")).distinct().count() == emb.count(),
+      "crash recovery must preserve every vector — a stale-meta corpus read would not")
+    assert(rows.count() == emb.count() * m2.nTables)
+    assert(AnnBuckets.readGeomMarker(s"$idx/buckets", spark) == m2.geomId)
+    // and serving works again
+    assert(AnnBuckets.approxTopKIndexed(idx, emb.limit(2), "vec_id", "embedding", k = 3)
+      .count() > 0)
+  }
+
   test("minSim pushdown commutes with the cross-table dedup, plain and probed") {
     import graft.functions.GraftFunctions.dot
     val e = Tables(spark, dir).embeddings
