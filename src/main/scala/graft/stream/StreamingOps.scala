@@ -732,6 +732,48 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING MEDIA ingest — the decode-once contract under the
+    * AvailableNow loop shape: each micro-batch of opaque media rows is
+    * decoded EXACTLY once ([[graft.multimodal.Multimodal.ingestMedia]]:
+    * features appended, then the just-persisted vectors — read back, not
+    * re-decoded — appended to the LSH media index), with both writes
+    * dynamic overwrites of the batch's own generation, so crash replay
+    * is idempotent on BOTH tables and no payload is ever decoded twice.
+    * Fresh-checkpoint collision guard as in every ingest loop; the
+    * feature-vs-index width agreement is checked per batch inside
+    * ingestMedia (fail fast, not truncated dot products).
+    */
+  def mediaIngestStream(
+      media: DataFrame,
+      featuresDir: String,
+      indexDir: String,
+      checkpoint: String,
+      baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = media.sparkSession
+    graft.llm.AnnBuckets.requireGenerationalBuckets(indexDir, spark)
+    val offsetsPath = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = offsetsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(offsetsPath)) {
+      val maxGen = math.max(
+        existingMaxGenAt(s"$indexDir/buckets", spark),
+        existingMaxGenAt(s"$featuresDir/features", spark))
+      require(
+        baseGen > maxGen,
+        s"baseGen=$baseGen collides with existing generations (max src_batch=$maxGen) across " +
+          s"$featuresDir/$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must " +
+          "clear every generation already present or replays would overwrite history")
+    }
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.multimodal.Multimodal
+          .ingestMedia(featuresDir, indexDir, batch.toDF(), srcBatch = baseGen + id)
+        ()
+      }
+      .start()
+  }
+
   /** ONLINE IVFADC scoring — the serve half of the residual-PQ story
     * next to [[ivfPqEncodeStream]]'s ingest half: each embedding arriving
     * on the stream is a QUERY scored against the persisted encoded corpus

@@ -481,6 +481,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(driftGens() == Set(3L, 4L))
   }
 
+  test("streaming media ingest: decode-once per batch, generations on both tables, replay no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(graft.core.Tables(spark, dir).documents)
+      .localCheckpoint(true)
+    val boot = media.where(col("media_id") % 2 === 0)
+    def shifted(off: Long) = media.where(col("media_id") % 2 =!= 0)
+      .select((col("media_id") + off).as("media_id"), col("kind"), col("content"), col("meta"))
+    val b1 = shifted(10000L).localCheckpoint(true)
+    val b2 = shifted(20000L).localCheckpoint(true)
+    val fDir = java.nio.file.Files.createTempDirectory("media_stream_f").toString
+    val iDir = java.nio.file.Files.createTempDirectory("media_stream_i").toString
+    Multimodal.writeFeaturesGen(boot, fDir)
+    Multimodal.writeMediaIndex(fDir, iDir, spark)
+    val streamDir = java.nio.file.Files.createTempDirectory("media_stream_in").toString
+    val cp        = java.nio.file.Files.createTempDirectory("media_stream_cp").toString
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    b2.coalesce(1).write.mode("append").parquet(streamDir)
+    def runOnce(): Unit = {
+      val q = StreamingOps.mediaIngestStream(
+        spark.readStream.schema(media.schema).option("maxFilesPerTrigger", 1).parquet(streamDir),
+        fDir, iDir, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Multimodal.decodeCount.set(0L)
+    runOnce()
+    assert(Multimodal.decodeCount.get() == b1.count() + b2.count(),
+      s"each streamed payload must decode exactly once, got ${Multimodal.decodeCount.get()}")
+    def gens(path: String) = spark.read.parquet(path)
+      .select(col("src_batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(gens(s"$fDir/features") == Set(0L, 1L, 2L))
+    assert(gens(s"$iDir/buckets") == Set(0L, 1L, 2L))
+    // the streamed rows are served by the index: an exact copy of a
+    // streamed row scores 1.0 (decodes only the 1-row query batch)
+    val hit = Multimodal.searchMediaIndexed(iDir, b1.limit(1), k = 1).collect()
+    assert(hit.length == 1 && hit(0).getAs[Double]("cos_sim") == 1.0, hit.mkString)
+    // restart on the same checkpoint: nothing to process — no decodes,
+    // nothing rewritten
+    val featRows = spark.read.parquet(s"$fDir/features").count()
+    Multimodal.decodeCount.set(0L)
+    runOnce()
+    assert(Multimodal.decodeCount.get() == 0L, "a replay-free restart must not decode")
+    assert(spark.read.parquet(s"$fDir/features").count() == featRows)
+    // a NEW checkpoint must clear the existing generations
+    val cp2 = java.nio.file.Files.createTempDirectory("media_stream_cp2").toString
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.mediaIngestStream(
+        spark.readStream.schema(media.schema).parquet(streamDir), fDir, iDir, cp2)
+    }
+    assert(err.getMessage.contains("baseGen"), err.getMessage)
+  }
+
   test("monitored LSH ingest: planted growth rebuilds mid-stream, ingest continues under the " +
     "new sizing, replay stays exact") {
     import spark.implicits._
