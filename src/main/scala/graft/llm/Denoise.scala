@@ -108,4 +108,58 @@ object Denoise {
       array_join(inputToks, " ").as("input_text"),
       array_join(targetToks, " ").as("target_text"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255 — "FIM"): reorder a salted fraction of documents
+    * into the PSM (prefix-suffix-middle) layout
+    * `<PRE> prefix <SUF> suffix <MID> middle`, so an autoregressive
+    * model learns infilling from plain left-to-right training — the
+    * code-corpus companion to [[spanCorrupt]]'s T5 objective.
+    *
+    * Split points are salted-md5 draws on the doc id (the [[Sampling]]
+    * u32 scheme): `p1 ∈ [1, n−2]`, `p2 ∈ [p1+1, n−1]`, so prefix,
+    * middle and suffix are all NON-EMPTY on transformed docs; docs
+    * shorter than 3 tokens, and the un-drawn `1 − 1/rate` remainder,
+    * pass through untransformed (token stream re-joined on single
+    * spaces — the same normalization every whitespace-token op here
+    * applies). One codegen projection, no shuffle, no state; every
+    * split lands identically on every engine and cluster size, which is
+    * what lets q143 hash-replay the whole transform in DuckDB.
+    *
+    * @return (idCol, is_fim, fim_text)
+    */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Int = 2,
+      salt: String = "fim"): DataFrame = {
+    require(rate >= 1, s"rate must be >= 1, got $rate")
+    val base = docs
+      .where(Cols.q(textCol).isNotNull)
+      .select(
+        Cols.q(idCol).as("__id"),
+        filter(split(Cols.q(textCol), " "), t => t =!= lit("")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val key   = col("__id").cast("string")
+    val isFim = (u32(key, s"${salt}d") % rate === 0) && (col("n") >= 3)
+    // split draws guarded by n >= 3 on BOTH engines so no modulo ever
+    // sees a non-positive divisor (Spark nulls a %0, DuckDB errors — the
+    // guard keeps the replay engine-agnostic)
+    val p1 = when(col("n") >= 3,
+      (u32(key, s"${salt}a") % (col("n") - 2) + 1).cast("int"))
+    val p2 = when(col("n") >= 3,
+      (p1 + 1 + (u32(key, s"${salt}b") % (col("n") - 1 - p1))).cast("int"))
+    base.select(
+      col("__id").as(idCol),
+      isFim.as("is_fim"),
+      when(
+        isFim,
+        concat(
+          lit("<PRE> "), array_join(slice(col("tk"), lit(1), p1), " "),
+          lit(" <SUF> "), array_join(slice(col("tk"), p2 + 1, col("n") - p2), " "),
+          lit(" <MID> "), array_join(slice(col("tk"), p1 + 1, p2 - p1), " ")))
+        .otherwise(array_join(col("tk"), " "))
+        .as("fim_text"))
+  }
 }

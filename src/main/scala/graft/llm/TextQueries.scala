@@ -2531,9 +2531,48 @@ object TextQueries {
       RetrievalEval.report(results, gold, Seq(1, 5, 10)).orderBy("k")
   }
 
+  /** Fill-in-the-middle transformation ([[Denoise.fimTransform]],
+    * Bavarian et al. 2022): a salted half of the corpus reordered into
+    * the PSM layout (`<PRE> prefix <SUF> suffix <MID> middle`, all three
+    * segments non-empty by construction), the rest passed through —
+    * the code-model infilling objective next to q119's T5 spans. The
+    * oracle refolds both split-point u32 draws from the md5 hex prefix
+    * (the q38/q119 trick) and replays the slicing arithmetic exactly;
+    * split draws are CASE-guarded by n ≥ 3 on both engines so no modulo
+    * sees a non-positive divisor.
+    */
+  val q143FimTransform: Declared = {
+    val k = "CAST(doc_id AS VARCHAR)"
+    Declared.sql(
+      "q143_fim_transform",
+      s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |           FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+         |f AS (SELECT doc_id, tk, n,
+         |        (${u32Sql("fimd", k)} % 2 = 0 AND n >= 3) AS is_fim,
+         |        CASE WHEN n >= 3
+         |             THEN CAST(${u32Sql("fima", k)} % (n - 2) + 1 AS INTEGER) END AS p1
+         |      FROM b),
+         |g AS (SELECT *, CASE WHEN n >= 3
+         |        THEN CAST(p1 + 1 + (${u32Sql("fimb", k)} % (n - 1 - p1)) AS INTEGER) END AS p2
+         |      FROM f)
+         |SELECT doc_id, is_fim,
+         |  CASE WHEN is_fim THEN
+         |    '<PRE> ' || array_to_string(list_slice(tk, 1, p1), ' ')
+         |    || ' <SUF> ' || array_to_string(list_slice(tk, p2 + 1, n), ' ')
+         |    || ' <MID> ' || array_to_string(list_slice(tk, p1 + 1, p2), ' ')
+         |  ELSE array_to_string(tk, ' ') END AS fim_text
+         |FROM g ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Denoise
+        .fimTransform(t(spark, dir).documents, "doc_id", "text", rate = 2)
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Declared] = Seq(
     q141Bm25MultiQuery,
     q142RetrievalEval,
+    q143FimTransform,
     q124LogitFilter,
     q15TextLangStats,
     q16DedupExact,

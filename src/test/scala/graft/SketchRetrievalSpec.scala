@@ -493,6 +493,39 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
   }
 
+  test("FIM transform: PSM segments reassemble the original, all segments non-empty") {
+    import graft.llm.Denoise
+    val docs = (corpus :+ (6L, "ab cd") :+ (7L, "solo")).toDF("doc_id", "text")
+    // rate = 1: every ELIGIBLE (n >= 3) doc transforms — the short docs
+    // must still pass through untransformed
+    val out = Denoise.fimTransform(docs, "doc_id", "text", rate = 1)
+      .select("doc_id", "is_fim", "fim_text")
+      .as[(Long, Boolean, String)].collect().toSeq.sortBy(_._1)
+    val originals = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, isFim, text) =>
+      val norm = originals(id).split(" ").filter(_.nonEmpty).mkString(" ")
+      if (isFim) {
+        assert(text.startsWith("<PRE> ") && text.contains(" <SUF> ") && text.contains(" <MID> "),
+          s"doc $id: $text")
+        val Array(pre, rest) = text.stripPrefix("<PRE> ").split(" <SUF> ", 2)
+        val Array(suf, mid)  = rest.split(" <MID> ", 2)
+        assert(pre.nonEmpty && suf.nonEmpty && mid.nonEmpty,
+          s"doc $id: every PSM segment must be non-empty")
+        assert(s"$pre $mid $suf" == norm,
+          s"doc $id: PSM segments must reassemble the original")
+      } else {
+        assert(norm.split(" ").length < 3, s"doc $id with >= 3 tokens must transform at rate 1")
+        assert(text == norm)
+      }
+    }
+    assert(out.count(_._2) == corpus.size, "all 5 long docs transform at rate 1")
+    // deterministic: a second evaluation is identical
+    val again = Denoise.fimTransform(docs, "doc_id", "text", rate = 1)
+      .select("doc_id", "is_fim", "fim_text")
+      .as[(Long, Boolean, String)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+  }
+
   test("multi-query BM25 matches the fixed-term scorer on its matched prefix") {
     import graft.llm.Bm25
     val docs = corpus.toDF("doc_id", "text")
