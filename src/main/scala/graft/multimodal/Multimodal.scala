@@ -284,9 +284,17 @@ object Multimodal {
   def appendFeatures(
       featuresDir: String,
       media: DataFrame,
-      srcBatch: Long): Unit = {
-    val spark = media.sparkSession
-    val dims  = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
+      srcBatch: Long): Unit =
+    writeFeaturesBatch(
+      featuresDir, media,
+      media.sparkSession.read.parquet(s"$featuresDir/meta").head().getInt(0),
+      srcBatch)
+
+  private def writeFeaturesBatch(
+      featuresDir: String,
+      media: DataFrame,
+      dims: Int,
+      srcBatch: Long): Unit =
     decodeFeatures(media, dims)
       .withColumn("src_batch", lit(srcBatch))
       .write
@@ -294,7 +302,6 @@ object Multimodal {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$featuresDir/features")
-  }
 
   /** The persisted feature vectors across all generations — the
     * decode-free input every indexed media consumer reads.
@@ -407,22 +414,45 @@ object Multimodal {
       media: DataFrame,
       srcBatch: Long): Unit = {
     val spark = media.sparkSession
-    // the two tables must agree on the feature width: bucketing
-    // narrower-than-index vectors silently truncates the hyperplane dot
-    // products (same silent-wrong-results class as the dims/id-cast
-    // fixes) — fail fast naming the mismatch instead
-    val fDims = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
-    val iDims = graft.llm.AnnBuckets.readBucketsMeta(indexDir, spark).dims
-    require(fDims == iDims,
-      s"feature width mismatch: features at $featuresDir are $fDims-dim but the index at " +
-        s"$indexDir was built for $iDims-dim vectors — rebuild one side (writeMediaIndex " +
-        "derives its width from the features table, so indexes built through it cannot drift)")
-    appendFeatures(featuresDir, media, srcBatch)
+    graft.llm.AnnBuckets.requireGenerationalBuckets(indexDir, spark)
+    ingestMediaLoaded(
+      featuresDir, indexDir,
+      graft.llm.AnnBuckets.readBucketsMeta(indexDir, spark),
+      spark.read.parquet(s"$featuresDir/meta").head().getInt(0),
+      media, srcBatch)
+  }
+
+  /** The [[ingestMedia]] write against ALREADY-LOADED sidecars — the
+    * ingest-loop shape (the `appendToBucketsLoaded` economics, applied
+    * here so the streaming media loop does not re-collect two meta
+    * sidecars and re-scan the index schema per micro-batch). The
+    * feature-vs-index width agreement is validated here — bucketing
+    * narrower-than-index vectors silently truncates the hyperplane dot
+    * products (the dims/id-cast silent-wrong-results class) — and the
+    * index append's per-batch geometry-stamp check still runs inside
+    * [[graft.llm.AnnBuckets.appendToBucketsLoaded]], so a mid-stream
+    * rebuild fails the loop fast exactly like the other loops.
+    */
+  def ingestMediaLoaded(
+      featuresDir: String,
+      indexDir: String,
+      indexMeta: graft.llm.AnnBuckets.BucketsMeta,
+      featureDims: Int,
+      media: DataFrame,
+      srcBatch: Long): Unit = {
+    val spark = media.sparkSession
+    require(featureDims == indexMeta.dims,
+      s"feature width mismatch: features at $featuresDir are $featureDims-dim but the index " +
+        s"at $indexDir was built for ${indexMeta.dims}-dim vectors — rebuild one side " +
+        "(writeMediaIndex derives its width from the features table, so indexes built " +
+        "through it cannot drift)")
+    writeFeaturesBatch(featuresDir, media, featureDims, srcBatch)
     val justWritten = spark.read
       .parquet(s"$featuresDir/features")
       .where(col("src_batch") === srcBatch)
       .select("media_id", "features")
-    graft.llm.AnnBuckets.appendToBuckets(indexDir, justWritten, "media_id", "features", srcBatch)
+    graft.llm.AnnBuckets
+      .appendToBucketsLoaded(indexDir, indexMeta, justWritten, "media_id", "features", srcBatch)
   }
 
   /** Query-vs-corpus media search against a [[writeMediaIndex]] index:

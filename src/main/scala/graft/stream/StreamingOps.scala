@@ -739,9 +739,13 @@ object StreamingOps {
     * re-decoded — appended to the LSH media index), with both writes
     * dynamic overwrites of the batch's own generation, so crash replay
     * is idempotent on BOTH tables and no payload is ever decoded twice.
-    * Fresh-checkpoint collision guard as in every ingest loop; the
-    * feature-vs-index width agreement is checked per batch inside
-    * ingestMedia (fail fast, not truncated dot products).
+    * Fresh-checkpoint collision guard as in every ingest loop; the meta
+    * sidecars and layout guard are HOISTED to per-loop costs (the
+    * `appendToBucketsLoaded` economics every ingest loop here follows —
+    * per batch only the tiny geometry-stamp read runs, failing the loop
+    * fast if the media index is rebuilt mid-stream), and the
+    * feature-vs-index width agreement fails fast instead of truncating
+    * dot products.
     */
   def mediaIngestStream(
       media: DataFrame,
@@ -763,12 +767,15 @@ object StreamingOps {
           s"$featuresDir/$indexDir: a new checkpoint's batch ids restart at 0, so baseGen must " +
           "clear every generation already present or replays would overwrite history")
     }
+    val indexMeta   = graft.llm.AnnBuckets.readBucketsMeta(indexDir, spark)
+    val featureDims = spark.read.parquet(s"$featuresDir/meta").head().getInt(0)
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.multimodal.Multimodal
-          .ingestMedia(featuresDir, indexDir, batch.toDF(), srcBatch = baseGen + id)
+          .ingestMediaLoaded(featuresDir, indexDir, indexMeta, featureDims, batch.toDF(),
+            srcBatch = baseGen + id)
         ()
       }
       .start()
