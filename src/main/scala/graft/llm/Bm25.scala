@@ -99,10 +99,12 @@ object Bm25 {
     * shape [[topK]] deliberately avoids for a single fixed query becomes
     * the right one when the query SET is itself a table (retrieval
     * evaluation, query mining, batch search): per-term document postings
-    * (term, doc, tf, dl) are built once, each query's DISTINCT terms
-    * join them on `term` (the shuffle key — a query only ever meets the
-    * docs containing its terms, never the corpus), and per-(query, doc)
-    * scores rank inside a per-query window. Cost is
+    * (term, doc, tf, dl) feed the df side and the contribution join (two
+    * evaluations of the explode — a deployment that searches repeatedly
+    * should persist the postings like every other index here), each
+    * query's DISTINCT terms join them on `term` (a query only ever meets
+    * the docs containing its terms, never the corpus), and per-(query,
+    * doc) scores rank inside a per-query window. Cost is
     * Σ_t∈queries df(t) candidate rows; `maxTermDf` is the scale lever —
     * stopword-grade terms with df above the cap are dropped from the
     * POSTINGS side before the join (they carry near-zero idf but df ≈ N
@@ -149,6 +151,10 @@ object Bm25 {
     val qTerms = queries.select(
       Cols.q(qIdCol).as("q_id"),
       explode(array_distinct(split(Cols.q(qTextCol), " "))).as("__term"))
+      // per-(query, term) weight is 1 BY CONTRACT: dedupe across rows
+      // too, so a query id accidentally present twice cannot double its
+      // scores (tiny frame — it broadcasts below either way)
+      .distinct()
     // per-term contribution in EXACTLY topK's operation order (q91's
     // oracle parity contract): idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)).
     // BOTH small sides are broadcast EXPLICITLY: `__term` has vocabulary
