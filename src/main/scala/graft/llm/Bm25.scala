@@ -101,7 +101,8 @@ object Bm25 {
     * evaluation, query mining, batch search): per-term document postings
     * (term, doc, tf, dl) feed the df side and the contribution join (two
     * evaluations of the explode — a deployment that searches repeatedly
-    * should persist the postings like every other index here), each
+    * uses [[writePostings]]/[[topKPerQueryIndexed]], the build-once
+    * persisted form, instead), each
     * query's DISTINCT terms join them on `term` (a query only ever meets
     * the docs containing its terms, never the corpus), and per-(query,
     * doc) scores rank inside a per-query window. Cost is
@@ -155,8 +156,6 @@ object Bm25 {
       // too, so a query id accidentally present twice cannot double its
       // scores (tiny frame — it broadcasts below either way)
       .distinct()
-    // per-term contribution in EXACTLY topK's operation order (q91's
-    // oracle parity contract): idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)).
     // BOTH small sides are broadcast EXPLICITLY: `__term` has vocabulary
     // cardinality, so a shuffle join on it is maximally skewed (measured
     // bimodal 8 s / 36 s at sf1 while AQE flip-flopped the strategy) —
@@ -166,8 +165,24 @@ object Bm25 {
     // well-keyed (q_id, doc_id) score aggregation. A corpus-scale query
     // table needs the maxTermDf cap + a salted term join instead — that
     // is query MINING, not batch retrieval, and out of this contract.
-    val contrib = broadcast(qTerms)
-      .join(postings.join(broadcast(dfKept), Seq("__term")), Seq("__term"))
+    rankContributions(
+      broadcast(qTerms).join(postings.join(broadcast(dfKept), Seq("__term")), Seq("__term")),
+      stats, k, k1, b)
+  }
+
+  /** The shared multi-query scoring tail: per-term contribution in
+    * EXACTLY [[topK]]'s operation order (q91's oracle parity contract)
+    * — idf · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)) — rounded to 6 dp
+    * and summed as DECIMAL per (q_id, doc_id), ranked per query.
+    */
+  private def rankContributions(
+      matched: DataFrame,
+      stats: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contrib = matched
       .crossJoin(broadcast(stats))
       .select(
         col("q_id"),
@@ -184,6 +199,93 @@ object Bm25 {
       .select(col("q_id"), col("doc_id"), col("__s").cast("double").as("score"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
+  }
+
+  /** Persist the inverted postings — the build-once half the repeated-
+    * search deployment uses instead of re-exploding the corpus per call:
+    * posting rows (term, doc_id, tf, dl) with the per-term df
+    * DENORMALIZED on (no df join at query time), written as a
+    * term-HASH-bucketed partition layout (`postings/tb=<hash %
+    * nBuckets>/…`) so a query batch's term set prunes statically — the
+    * [[AnnBuckets.writeBuckets]] posture for the lexical family: a raw
+    * per-term partition layout would create one directory per vocabulary
+    * entry (millions at corpus scale), while the hash buckets bound the
+    * directory count outright. Corpus stats (N, avgdl) and the build
+    * parameters (nBuckets, df cap) ride sidecars; `maxTermDf` is applied
+    * at BUILD time, so stopword-grade postings never reach the disk at
+    * all.
+    */
+  def writePostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      nBuckets: Int = 256,
+      maxTermDf: Option[Long] = None): Unit = {
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets=$nBuckets out of range — the partition-dir count bound")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tk = split(Cols.q(textCol), " ")
+    val tokenRows = docs.select(
+      Cols.q(idCol).as("doc_id"),
+      size(tk).cast("double").as("__dl"),
+      explode(tk).as("__term"))
+    val postings = tokenRows
+      .groupBy("__term", "doc_id", "__dl")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val df     = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
+    val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
+    postings
+      .join(broadcast(dfKept), Seq("__term"))
+      .withColumn("tb", pmod(hash(col("__term")), lit(nBuckets)))
+      .repartition(col("tb")) // one file per owning task per dir (r14 rule)
+      .write
+      .partitionBy("tb")
+      .mode("overwrite")
+      .parquet(s"$outDir/postings")
+    docs
+      .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+    Seq((nBuckets, maxTermDf.getOrElse(-1L)))
+      .toDF("nBuckets", "maxTermDf")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** [[topKPerQuery]] against a [[writePostings]] index: the query
+    * batch's DISTINCT terms map to their hash buckets, the bounded
+    * bucket set (≤ nBuckets ≤ 4096 after distinct — key-space-bounded
+    * like the IVF probed-cell collect, no size guard needed) applies as
+    * a STATIC partition filter, and the scan reads only those buckets'
+    * files — never the corpus-wide postings. Identical output to the
+    * in-memory path at the same df cap (spec-pinned parity); the
+    * corpus explode is never paid again.
+    */
+  def topKPerQueryIndexed(
+      postingsDir: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val spark    = queries.sparkSession
+    val nBuckets = spark.read.parquet(s"$postingsDir/meta").head().getInt(0)
+    val stats    = spark.read.parquet(s"$postingsDir/stats")
+    val qTerms = queries.select(
+      Cols.q(qIdCol).as("q_id"),
+      explode(array_distinct(split(Cols.q(qTextCol), " "))).as("__term"))
+      .distinct()
+      .withColumn("tb", pmod(hash(col("__term")), lit(nBuckets)))
+    val probedTbs = qTerms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val lists = spark.read
+      .parquet(s"$postingsDir/postings")
+      .where(col("tb").isin(probedTbs: _*))
+    rankContributions(
+      broadcast(qTerms.drop("tb")).join(lists, Seq("__term")), stats, k, k1, b)
   }
 
   /** Score an UNBOUNDED document stream under a STATIC corpus's BM25

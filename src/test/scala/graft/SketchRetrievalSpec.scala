@@ -570,6 +570,46 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(full.count() == 10)
   }
 
+  test("persisted postings: indexed multi-query BM25 equals the in-memory path, prunes buckets") {
+    import graft.llm.Bm25
+    val docs    = corpus.toDF("doc_id", "text")
+    val queries = Seq((1L, "new the"), (2L, "spark window"), (3L, "lazy dog")).toDF("q_id", "q_text")
+    val pDir = java.nio.file.Files.createTempDirectory("bm25_postings").toString
+    Bm25.writePostings(docs, "doc_id", "text", pDir, nBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "doc_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(
+      rows(Bm25.topKPerQueryIndexed(pDir, queries, "q_id", "q_text", k = 5)) ==
+        rows(Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 5)),
+      "the persisted path must reproduce the in-memory path exactly")
+    // the build-time df cap is part of the index: capped parity too
+    val pDirCap = java.nio.file.Files.createTempDirectory("bm25_postings_cap").toString
+    Bm25.writePostings(docs, "doc_id", "text", pDirCap, nBuckets = 8, maxTermDf = Some(2L))
+    assert(
+      rows(Bm25.topKPerQueryIndexed(pDirCap, queries, "q_id", "q_text", k = 5)) ==
+        rows(Bm25.topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 5,
+          maxTermDf = Some(2L))),
+      "the build-time cap must equal the in-memory cap")
+    // a one-term query batch reads only its term's hash bucket
+    val res = Bm25.topKPerQueryIndexed(pDir, Seq((9L, "pentaquark")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 3)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val perScan = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("bm25_postings")))
+      .map(_.selectedPartitions.partitionCount)
+    assert(perScan.nonEmpty && perScan.forall(_ <= 1),
+      s"every postings scan must prune to the one probed hash bucket, got $perScan")
+  }
+
   test("retrieval eval: recall monotone in k, self-retrieval on unique terms is perfect") {
     import graft.llm.{Bm25, RetrievalEval}
     val docs = Seq(
