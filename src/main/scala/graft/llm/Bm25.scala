@@ -201,6 +201,63 @@ object Bm25 {
       .where(col("rn") <= k)
   }
 
+  /** First 8 md5 hex digits of the salted term as a u32 — the q38/q92
+    * determinism scheme ([[Sampling]]'s), chosen over Spark's Murmur3
+    * `hash()` for the postings bucket key so the PERSISTED layout is
+    * replayable by the DuckDB oracle (q144/q145 fold the same nibbles):
+    * a layout the correctness gate cannot replay is a layout whose
+    * bucketing bugs only specs can see.
+    */
+  private def u32(c: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt + "|"), c).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** The ONE term→bucket rule every postings writer and reader shares
+    * (salt "pt"); u32 is non-negative, so plain `%` never goes negative.
+    */
+  private[graft] def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    (u32(term, "pt") % nBuckets).cast("int")
+
+  /** The shared explode → postings frame: (doc_id, __dl, __term, __tf). */
+  private def postingsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = split(Cols.q(textCol), " ")
+    docs.select(
+      Cols.q(idCol).as("doc_id"),
+      size(tk).cast("double").as("__dl"),
+      explode(tk).as("__term"))
+      .groupBy("__term", "doc_id", "__dl")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+  }
+
+  /** Build parameters from the meta sidecar, READ BY NAME (a positional
+    * read would silently swap fields on a schema change — ADVICE r15 #4):
+    * (nBuckets, maxTermDf as Option, termHash). Pre-r16 indexes lack the
+    * `termHash` column and were bucketed with Spark's Murmur3 — readers
+    * must bucket query terms the same way their index was written.
+    */
+  private[graft] def readPostingsMeta(
+      postingsDir: String,
+      spark: org.apache.spark.sql.SparkSession): (Int, Option[Long], String) = {
+    val m   = spark.read.parquet(s"$postingsDir/meta")
+    val row = m.head()
+    val cap = row.getAs[Long]("maxTermDf")
+    (
+      row.getAs[Int]("nBuckets"),
+      if (cap < 0) None else Some(cap),
+      if (m.schema.fieldNames.contains("termHash")) row.getAs[String]("termHash") else "murmur3")
+  }
+
+  private def writePostingsMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      nBuckets: Int,
+      maxTermDf: Option[Long]): Unit = {
+    import spark.implicits._
+    Seq((nBuckets, maxTermDf.getOrElse(-1L), "u32md5"))
+      .toDF("nBuckets", "maxTermDf", "termHash")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
   /** Persist the inverted postings — the build-once half the repeated-
     * search deployment uses instead of re-exploding the corpus per call:
     * posting rows (term, doc_id, tf, dl) with the per-term df
@@ -214,6 +271,13 @@ object Bm25 {
     * parameters (nBuckets, df cap) ride sidecars; `maxTermDf` is applied
     * at BUILD time, so stopword-grade postings never reach the disk at
     * all.
+    *
+    * This layout FREEZES df on every posting row and the (N, avgdl)
+    * stats at build time — correct exactly as long as the corpus is
+    * static, which is this writer's contract: a corpus that grows uses
+    * [[writePostingsGen]]/[[appendToPostings]], where appends cannot
+    * mutate what earlier generations wrote because df/stats live as
+    * per-generation PARTIALS resolved at read.
     */
   def writePostings(
       docs: DataFrame,
@@ -224,21 +288,13 @@ object Bm25 {
       maxTermDf: Option[Long] = None): Unit = {
     require(nBuckets >= 1 && nBuckets <= 4096,
       s"nBuckets=$nBuckets out of range — the partition-dir count bound")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tk = split(Cols.q(textCol), " ")
-    val tokenRows = docs.select(
-      Cols.q(idCol).as("doc_id"),
-      size(tk).cast("double").as("__dl"),
-      explode(tk).as("__term"))
-    val postings = tokenRows
-      .groupBy("__term", "doc_id", "__dl")
-      .agg(count(lit(1)).cast("double").as("__tf"))
+    val spark    = docs.sparkSession
+    val postings = postingsFrame(docs, idCol, textCol)
     val df     = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
     val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
     postings
       .join(broadcast(dfKept), Seq("__term"))
-      .withColumn("tb", pmod(hash(col("__term")), lit(nBuckets)))
+      .withColumn("tb", termBucket(col("__term"), nBuckets))
       .repartition(col("tb")) // one file per owning task per dir (r14 rule)
       .write
       .partitionBy("tb")
@@ -249,20 +305,175 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/stats")
-    Seq((nBuckets, maxTermDf.getOrElse(-1L)))
-      .toDF("nBuckets", "maxTermDf")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/meta")
+    writePostingsMeta(spark, outDir, nBuckets, maxTermDf)
   }
 
-  /** [[topKPerQuery]] against a [[writePostings]] index: the query
-    * batch's DISTINCT terms map to their hash buckets, the bounded
-    * bucket set (≤ nBuckets ≤ 4096 after distinct — key-space-bounded
-    * like the IVF probed-cell collect, no size guard needed) applies as
-    * a STATIC partition filter, and the scan reads only those buckets'
-    * files — never the corpus-wide postings. Identical output to the
-    * in-memory path at the same df cap (spec-pinned parity); the
+  // ── generational postings (r16): the never-re-read-history ingest ───
+  //
+  // VERDICT r15 "what's missing" #1: the lexical family was the only
+  // persisted index whose appends MUTATE existing rows' semantics — df
+  // and avgdl are corpus-global, so the build-once layout's denormalized
+  // df and frozen stats sidecar go stale the moment a document arrives.
+  // Design chosen (option (a) of the verdict's two): per-generation tf
+  // postings plus per-generation df PARTIALS and (n, Σdl) stats
+  // PARTIALS, resolved at query time — the sums are over INTEGER-VALUED
+  // doubles (counts and token counts), so they are exact in IEEE
+  // arithmetic regardless of generation count or order, and the resolved
+  // df/N/avgdl equal a fresh build over the union bit-for-bit
+  // (spec-pinned, and q144/q146 replay the whole ingest in DuckDB).
+  // Appends therefore never re-read or rewrite history: one new
+  // generation under each of the three tables. The alternative —
+  // append + explicit stats-refresh compaction — was rejected because
+  // between compactions every read would serve WRONG (stale-df) scores,
+  // and a compaction is exactly the full-corpus rewrite this contract
+  // exists to avoid.
+  //
+  // The read-time df resolve costs one extra aggregate over the PROBED
+  // buckets only (never the corpus), and the build-time df cap moves to
+  // read time where the global df is first known; a generation still
+  // drops postings for terms whose WITHIN-GENERATION df already exceeds
+  // the cap (df only grows across generations, so those terms are
+  // provably over the global cap) — stopword-grade postings stay off
+  // disk without making any kept term's posting list incomplete. The
+  // dfparts table keeps ALL terms (pre-cap) so the read-time filter can
+  // see every term's true df.
+
+  /** [[writePostings]] in the GENERATIONAL layout — the q139/q140 ingest
+    * contract for the lexical family:
+    * `postings/tb=<b>/src_batch=<g>/` (term, doc_id, dl, tf),
+    * `dfparts/tb=<b>/src_batch=<g>/` (term, per-generation df), and
+    * `stats/src_batch=<g>/` (n, Σdl) — [[appendToPostings]] adds a batch
+    * by writing ONLY that batch's partitions, and
+    * [[topKPerQueryIndexed]] resolves df/N/avgdl by summing the partials
+    * of the probed buckets at read. Static overwrite on the bootstrap: a
+    * re-bootstrap must replace every generation.
+    */
+  def writePostingsGen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      nBuckets: Int = 256,
+      maxTermDf: Option[Long] = None,
+      srcBatch: Long = 0L): Unit = {
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets=$nBuckets out of range — the partition-dir count bound")
+    writeGenTables(docs, idCol, textCol, outDir, nBuckets, maxTermDf, srcBatch,
+      overwriteMode = "static")
+    writePostingsMeta(docs.sparkSession, outDir, nBuckets, maxTermDf)
+  }
+
+  /** Incremental postings ingest: explode ONLY the new batch under the
+    * index's frozen build parameters (bucket count, df cap — from the
+    * meta sidecar) and append it as generation `srcBatch` of all three
+    * generational tables. Dynamic partition overwrite touches only this
+    * batch's `(tb, src_batch)` directories, so replay is idempotent and
+    * history is never re-read — and unlike the vector families, nothing
+    * here CAN drift: the bucket rule is a salted hash (data-independent
+    * forever) and the corpus-global df/N/avgdl are resolved at read from
+    * the partials every generation contributes.
+    */
+  def appendToPostings(
+      postingsDir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcBatch: Long): Unit = {
+    val spark = docs.sparkSession
+    requireGenerationalPostings(postingsDir, spark)
+    val (nBuckets, maxTermDf, termHash) = readPostingsMeta(postingsDir, spark)
+    require(termHash == "u32md5",
+      s"postings at $postingsDir were bucketed with $termHash, not the generational " +
+        "layout's u32md5 — rebuild via writePostingsGen")
+    writeGenTables(docs, idCol, textCol, postingsDir, nBuckets, maxTermDf, srcBatch,
+      overwriteMode = "dynamic")
+  }
+
+  /** The shared generational write: one batch's postings, df partials,
+    * and stats partial, as generation `srcBatch` of the three tables.
+    */
+  private def writeGenTables(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      nBuckets: Int,
+      maxTermDf: Option[Long],
+      srcBatch: Long,
+      overwriteMode: String): Unit = {
+    val postings = postingsFrame(docs, idCol, textCol)
+      .withColumn("tb", termBucket(col("__term"), nBuckets))
+    val dfGen = postings
+      .groupBy("tb", "__term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    // within-generation cap: a term over the cap INSIDE one generation is
+    // over the global cap a fortiori (df only grows) — its postings can
+    // be dropped here without ever truncating a kept term's list; the
+    // read-time filter over summed dfparts handles terms that cross the
+    // cap only in aggregate
+    val kept = maxTermDf.fold(postings) { cap =>
+      postings.join(
+        broadcast(dfGen.where(col("__df") <= cap).select("__term")), Seq("__term"), "left_semi")
+    }
+    kept
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("tb"))
+      .write
+      .partitionBy("tb", "src_batch")
+      .option("partitionOverwriteMode", overwriteMode)
+      .mode("overwrite")
+      .parquet(s"$outDir/postings")
+    dfGen
+      .withColumn("src_batch", lit(srcBatch))
+      .repartition(col("tb"))
+      .write
+      .partitionBy("tb", "src_batch")
+      .option("partitionOverwriteMode", overwriteMode)
+      .mode("overwrite")
+      .parquet(s"$outDir/dfparts")
+    docs
+      .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), sum("__dl").as("__dlsum"))
+      .withColumn("src_batch", lit(srcBatch))
+      .coalesce(1)
+      .write
+      .partitionBy("src_batch")
+      .option("partitionOverwriteMode", overwriteMode)
+      .mode("overwrite")
+      .parquet(s"$outDir/stats")
+  }
+
+  /** Fail fast (naming the rebuild path) when the postings table lacks
+    * the `src_batch` generation level — the family guard pattern.
+    */
+  def requireGenerationalPostings(
+      postingsDir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    require(
+      spark.read.parquet(s"$postingsDir/postings").schema.fieldNames.contains("src_batch"),
+      s"postings at $postingsDir use the build-once layout (no src_batch partition level, " +
+        "df denormalized at build); ingest needs the generational layout — rebuild via " +
+        "writePostingsGen (writePostings output stays valid for topKPerQueryIndexed serving, " +
+        "only ingest requires the generational layout)")
+
+  /** [[topKPerQuery]] against a persisted postings index (either
+    * layout): the query batch's DISTINCT terms map to their hash
+    * buckets, the bounded bucket set (≤ nBuckets ≤ 4096 after distinct —
+    * key-space-bounded like the IVF probed-cell collect, no size guard
+    * needed) applies as a STATIC partition filter, and the scan reads
+    * only those buckets' files — never the corpus-wide postings.
+    * Identical output to the in-memory path at the same df cap
+    * (spec-pinned parity; q145/q146 replay both layouts in DuckDB); the
     * corpus explode is never paid again.
+    *
+    * A [[writePostings]] index reads df off the posting rows and (N,
+    * avgdl) off the one-row stats sidecar; a [[writePostingsGen]] index
+    * resolves them at read — df = Σ generation partials over the PROBED
+    * buckets only, stats = (Σnᵢ, Σdlᵢ/Σnᵢ) over the per-generation
+    * partials — and applies the recorded df cap to the summed df (the
+    * only point the global df is knowable under appends). All partials
+    * are integer-valued doubles, so the resolution is exact and
+    * order-independent.
     */
   def topKPerQueryIndexed(
       postingsDir: String,
@@ -272,18 +483,37 @@ object Bm25 {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val spark    = queries.sparkSession
-    val nBuckets = spark.read.parquet(s"$postingsDir/meta").head().getInt(0)
-    val stats    = spark.read.parquet(s"$postingsDir/stats")
+    val spark = queries.sparkSession
+    val (nBuckets, maxTermDf, termHash) = readPostingsMeta(postingsDir, spark)
+    val bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (termHash == "u32md5") termBucket(_, nBuckets)
+      else c => pmod(hash(c), lit(nBuckets)) // pre-r16 index: bucket as it was written
     val qTerms = queries.select(
       Cols.q(qIdCol).as("q_id"),
       explode(array_distinct(split(Cols.q(qTextCol), " "))).as("__term"))
       .distinct()
-      .withColumn("tb", pmod(hash(col("__term")), lit(nBuckets)))
+      .withColumn("tb", bucketOf(col("__term")))
     val probedTbs = qTerms.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    val lists = spark.read
+    val postings = spark.read
       .parquet(s"$postingsDir/postings")
       .where(col("tb").isin(probedTbs: _*))
+    val generational = postings.schema.fieldNames.contains("src_batch")
+    val (lists, stats) =
+      if (!generational) (postings, spark.read.parquet(s"$postingsDir/stats"))
+      else {
+        val dfRes = spark.read
+          .parquet(s"$postingsDir/dfparts")
+          .where(col("tb").isin(probedTbs: _*))
+          .groupBy("__term")
+          .agg(sum(col("__df")).as("__df"))
+        val dfKept = maxTermDf.fold(dfRes)(cap => dfRes.where(col("__df") <= cap))
+        val st = spark.read
+          .parquet(s"$postingsDir/stats")
+          .agg(
+            sum(col("__n")).as("__n"),
+            (sum(col("__dlsum")) / sum(col("__n"))).as("__avgdl"))
+        (postings.join(broadcast(dfKept), Seq("__term")), st)
+      }
     rankContributions(
       broadcast(qTerms.drop("tb")).join(lists, Seq("__term")), stats, k, k1, b)
   }

@@ -2569,10 +2569,177 @@ object TextQueries {
     }
   }
 
+  /** Generational postings-index ingest ([[Bm25.writePostingsGen]] →
+    * [[Bm25.appendToPostings]]) — the q139/q140 never-re-read-history
+    * contract for the lexical family, whose wrinkle is that df/avgdl are
+    * CORPUS-GLOBAL (an append shifts every term's df), so the layout
+    * stores per-generation tf postings plus per-generation df partials
+    * and resolves the global values at read. The declared result is the
+    * index CONTENT read back through the persisted layout — postings
+    * joined with their generation's df partial — so DuckDB replays the
+    * whole ingest: the salted-md5 batch split, per-generation postings
+    * (unnest + count), the per-generation df and its within-generation
+    * cap drop (cap pinned high so the MECHANISM is replayed on this
+    * shared-vocabulary fixture without emptying the index — the q141
+    * note), the u32-md5 bucket arithmetic, and the generation tag.
+    * Bounded at doc_id &lt; 1000 so the content read-back stays a
+    * declared-result-sized frame at every SF.
+    */
+  val q144PostingsIngest: Declared = Declared.sql(
+    "q144_postings_ingest",
+    s"""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |            WHERE doc_id < 1000),
+       |sp AS (SELECT doc_id, tk,
+       |         substr(md5('ptinc|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'aa' AS is_old
+       |       FROM tks),
+       |d AS (SELECT doc_id, is_old, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM sp),
+       |p AS (SELECT term, doc_id, is_old, dl, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM d GROUP BY term, doc_id, is_old, dl),
+       |dfg AS (SELECT term, is_old, CAST(count(*) AS DOUBLE) AS df_gen
+       |        FROM p GROUP BY term, is_old),
+       |k AS (SELECT p.term, p.doc_id, p.is_old, p.dl, p.tf, dfg.df_gen
+       |      FROM p JOIN dfg ON dfg.term = p.term AND dfg.is_old = p.is_old
+       |      WHERE dfg.df_gen <= 100000)
+       |SELECT term, doc_id, dl, tf,
+       |       CAST(${u32Sql("pt", "term")} % 16 AS INTEGER) AS tb,
+       |       CAST(CASE WHEN is_old THEN 0 ELSE 1 END AS BIGINT) AS src_batch,
+       |       df_gen
+       |FROM k ORDER BY term, doc_id""".stripMargin) { (spark, dir) =>
+    val docs   = t(spark, dir).documents.where(col("doc_id") < 1000)
+    val bucket = Sampling.hashBucket(col("doc_id"), "ptinc")
+    val old    = docs.where(bucket < "aa")
+    val b1     = docs.where(bucket >= "aa")
+    // a fresh index dir per run: the query IS the ingest pipeline (q139)
+    val ixDir = graft.core.Scratch.tempDir("graft_q144_postings")
+    Bm25.writePostingsGen(old, "doc_id", "text", ixDir, nBuckets = 16,
+      maxTermDf = Some(100000L))
+    Bm25.appendToPostings(ixDir, b1, "doc_id", "text", srcBatch = 1L)
+    val dfparts = spark.read
+      .parquet(s"$ixDir/dfparts")
+      .select(col("__term"), col("src_batch"), col("__df").as("df_gen"))
+    spark.read
+      .parquet(s"$ixDir/postings")
+      .join(dfparts, Seq("__term", "src_batch"))
+      .select(
+        col("__term").as("term"),
+        col("doc_id"),
+        col("__dl").as("dl"),
+        col("__tf").as("tf"),
+        col("tb").cast("int").as("tb"),
+        col("src_batch").cast("bigint").as("src_batch"),
+        col("df_gen"))
+      .orderBy("term", "doc_id")
+  }
+
+  /** The persisted-postings SEARCH path declared (VERDICT r15 "what's
+    * missing" #3): q141's retrieval through [[Bm25.writePostings]] →
+    * [[Bm25.topKPerQueryIndexed]], with the oracle replaying the
+    * BUCKETED LAYOUT rather than the in-memory join — df denormalized
+    * onto each stored posting row, the query terms' u32-md5 bucket set,
+    * and the static bucket prune the read applies (a semantic no-op by
+    * construction, which is exactly why replaying it proves the layout
+    * drops nothing).
+    */
+  val q145PostingsSearch: Declared = Declared.sql(
+    "q145_postings_search",
+    s"""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |d AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM tks),
+       |p0 AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM d GROUP BY term, doc_id, dl),
+       |dfk AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p0 GROUP BY term),
+       |p AS (SELECT p0.term, p0.doc_id, p0.dl, p0.tf, dfk.df,
+       |        CAST(${u32Sql("pt", "term")} % 16 AS INTEGER) AS tb
+       |      FROM p0 JOIN dfk USING (term)),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+       |      FROM tks),
+       |q AS (SELECT doc_id AS q_id, unnest(list_distinct(tk[1:4])) AS term
+       |      FROM tks WHERE doc_id % 25 = 0 AND doc_id < 5000),
+       |qtb AS (SELECT DISTINCT CAST(${u32Sql("pt", "term")} % 16 AS INTEGER) AS tb FROM q),
+       |lists AS (SELECT p.* FROM p JOIN qtb USING (tb)),
+       |c AS (SELECT q.q_id, lists.doc_id,
+       |        CAST(round(
+       |          ln(1.0 + (s.n - lists.df + 0.5) / (lists.df + 0.5)) * (lists.tf * (1.2 + 1.0))
+       |            / (lists.tf + 1.2 * (1.0 - 0.75 + 0.75 * lists.dl / s.avgdl)),
+       |          6) AS DECIMAL(20,6)) AS c
+       |      FROM q JOIN lists USING (term) CROSS JOIN s),
+       |sc AS (SELECT q_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |       FROM c GROUP BY q_id, doc_id),
+       |r AS (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rn
+       |      FROM sc)
+       |SELECT q_id, doc_id, score, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10
+       |ORDER BY q_id, rn""".stripMargin) { (spark, dir) =>
+    val docs = t(spark, dir).documents
+    val queries = docs.where(col("doc_id") % 25 === 0 && col("doc_id") < 5000).select(
+      col("doc_id").as("q_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("q_text"))
+    val ixDir = graft.core.Scratch.tempDir("graft_q145_postings")
+    Bm25.writePostings(docs, "doc_id", "text", ixDir, nBuckets = 16)
+    Bm25.topKPerQueryIndexed(ixDir, queries, "q_id", "q_text", k = 10).orderBy("q_id", "rn")
+  }
+
+  /** q141's retrieval through the GENERATIONAL postings index — bootstrap
+    * + append ([[Bm25.writePostingsGen]] → [[Bm25.appendToPostings]]) and
+    * then [[Bm25.topKPerQueryIndexed]]'s read-time resolution: df as the
+    * sum of per-generation partials, (N, avgdl) as (Σnᵢ, Σdlᵢ/Σnᵢ) over
+    * the per-generation stats partials, bucket prune as in q145. The
+    * oracle computes df/N/avgdl EXACTLY that way — per-generation
+    * partials summed — not from the union corpus directly, so a
+    * resolution bug (a generation double-counted or dropped) hash-fails
+    * rather than hiding behind algebraic equivalence.
+    */
+  val q146PostingsSearchGen: Declared = Declared.sql(
+    "q146_postings_search_gen",
+    s"""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sp AS (SELECT doc_id, tk,
+       |         substr(md5('ptg|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'aa' AS is_old
+       |       FROM tks),
+       |d AS (SELECT doc_id, is_old, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM sp),
+       |p AS (SELECT term, doc_id, is_old, dl, CAST(count(*) AS DOUBLE) AS tf
+       |      FROM d GROUP BY term, doc_id, is_old, dl),
+       |dfg AS (SELECT term, is_old, CAST(count(*) AS DOUBLE) AS dfp
+       |        FROM p GROUP BY term, is_old),
+       |dfk AS (SELECT term, sum(dfp) AS df FROM dfg GROUP BY term),
+       |sg AS (SELECT is_old, CAST(count(*) AS DOUBLE) AS n,
+       |         sum(CAST(len(tk) AS DOUBLE)) AS dls
+       |       FROM sp GROUP BY is_old),
+       |s AS (SELECT sum(n) AS n, sum(dls) / sum(n) AS avgdl FROM sg),
+       |q AS (SELECT doc_id AS q_id, unnest(list_distinct(tk[1:4])) AS term
+       |      FROM tks WHERE doc_id % 25 = 0 AND doc_id < 5000),
+       |qtb AS (SELECT DISTINCT CAST(${u32Sql("pt", "term")} % 16 AS INTEGER) AS tb FROM q),
+       |lists AS (SELECT p.*, CAST(${u32Sql("pt", "term")} % 16 AS INTEGER) AS tb FROM p),
+       |lp AS (SELECT lists.* FROM lists JOIN qtb USING (tb)),
+       |c AS (SELECT q.q_id, lp.doc_id,
+       |        CAST(round(
+       |          ln(1.0 + (s.n - dfk.df + 0.5) / (dfk.df + 0.5)) * (lp.tf * (1.2 + 1.0))
+       |            / (lp.tf + 1.2 * (1.0 - 0.75 + 0.75 * lp.dl / s.avgdl)),
+       |          6) AS DECIMAL(20,6)) AS c
+       |      FROM q JOIN lp USING (term) JOIN dfk USING (term) CROSS JOIN s),
+       |sc AS (SELECT q_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |       FROM c GROUP BY q_id, doc_id),
+       |r AS (SELECT q_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rn
+       |      FROM sc)
+       |SELECT q_id, doc_id, score, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 10
+       |ORDER BY q_id, rn""".stripMargin) { (spark, dir) =>
+    val docs   = t(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"), "ptg")
+    val queries = docs.where(col("doc_id") % 25 === 0 && col("doc_id") < 5000).select(
+      col("doc_id").as("q_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("q_text"))
+    val ixDir = graft.core.Scratch.tempDir("graft_q146_postings")
+    Bm25.writePostingsGen(docs.where(bucket < "aa"), "doc_id", "text", ixDir, nBuckets = 16)
+    Bm25.appendToPostings(ixDir, docs.where(bucket >= "aa"), "doc_id", "text", srcBatch = 1L)
+    Bm25.topKPerQueryIndexed(ixDir, queries, "q_id", "q_text", k = 10).orderBy("q_id", "rn")
+  }
+
   val all: Seq[Declared] = Seq(
     q141Bm25MultiQuery,
     q142RetrievalEval,
     q143FimTransform,
+    q144PostingsIngest,
+    q145PostingsSearch,
+    q146PostingsSearchGen,
     q124LogitFilter,
     q15TextLangStats,
     q16DedupExact,

@@ -610,6 +610,113 @@ class SketchRetrievalSpec extends AnyFunSuite {
       s"every postings scan must prune to the one probed hash bucket, got $perScan")
   }
 
+  test("generational postings: post-append search equals a fresh union rebuild and the in-memory path") {
+    import graft.llm.Bm25
+    val docsA = corpus.toDF("doc_id", "text")
+    val docsB = Seq(
+      (6L, "new york pizza beats the lazy dog pizza"),
+      (7L, "quick spark window functions for the city")).toDF("doc_id", "text")
+    val union   = docsA.unionByName(docsB)
+    val queries = Seq((1L, "new the"), (2L, "spark window"), (3L, "lazy dog")).toDF("q_id", "q_text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "doc_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val inMem = rows(Bm25.topKPerQuery(union, "doc_id", "text", queries, "q_id", "q_text", k = 5))
+    val gDir = java.nio.file.Files.createTempDirectory("bm25_gen_ingest").toString
+    Bm25.writePostingsGen(docsA, "doc_id", "text", gDir, nBuckets = 8)
+    Bm25.appendToPostings(gDir, docsB, "doc_id", "text", srcBatch = 1L)
+    assert(rows(Bm25.topKPerQueryIndexed(gDir, queries, "q_id", "q_text", k = 5)) == inMem,
+      "ingested index must score exactly like the in-memory path over the union corpus")
+    val fDir = java.nio.file.Files.createTempDirectory("bm25_gen_fresh").toString
+    Bm25.writePostingsGen(union, "doc_id", "text", fDir, nBuckets = 8)
+    assert(
+      rows(Bm25.topKPerQueryIndexed(fDir, queries, "q_id", "q_text", k = 5)) == inMem,
+      "a fresh single-generation build over the union must agree — the df/stats partials " +
+        "resolve to the same global values regardless of how the corpus was generationed")
+    // replaying the append (a crash-recovered micro-batch) is a dynamic
+    // overwrite of the same generation — results must not change
+    Bm25.appendToPostings(gDir, docsB, "doc_id", "text", srcBatch = 1L)
+    assert(rows(Bm25.topKPerQueryIndexed(gDir, queries, "q_id", "q_text", k = 5)) == inMem,
+      "replayed append must be idempotent")
+    assert(
+      spark.read.parquet(s"$gDir/postings").where(col("src_batch") === 1L).count() ==
+        spark.read.parquet(s"$fDir/postings")
+          .join(docsB.select(col("doc_id")), Seq("doc_id"), "left_semi").count(),
+      "generation 1 must hold exactly the appended docs' postings")
+  }
+
+  test("generational postings df cap: read-time over summed partials, within-gen drop stays off disk") {
+    import graft.llm.Bm25
+    // planted vocabulary: "mega" df 4 WITHIN gen 0 (over cap 3 → postings
+    // never reach disk); "stop" df 2 per generation (under cap per gen,
+    // 4 > 3 summed → dropped only at READ); "rare" df 1 (retrieved)
+    val docsA = Seq(
+      (1L, "mega stop rare"),
+      (2L, "mega stop"),
+      (3L, "mega filler"),
+      (4L, "mega other")).toDF("doc_id", "text")
+    val docsB = Seq(
+      (5L, "stop pad"),
+      (6L, "stop pod")).toDF("doc_id", "text")
+    val union   = docsA.unionByName(docsB)
+    val queries = Seq((1L, "mega"), (2L, "stop"), (3L, "rare")).toDF("q_id", "q_text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_gen_cap").toString
+    Bm25.writePostingsGen(docsA, "doc_id", "text", dir, nBuckets = 8, maxTermDf = Some(3L))
+    Bm25.appendToPostings(dir, docsB, "doc_id", "text", srcBatch = 1L)
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.where(col("__term") === "mega").count() == 0,
+      "a term over the cap within one generation must never reach the disk")
+    assert(postings.where(col("__term") === "stop").count() == 4,
+      "a term under the cap in EACH generation keeps its postings on disk")
+    val dfMega = spark.read.parquet(s"$dir/dfparts")
+      .where(col("__term") === "mega").agg(sum("__df")).head().getDouble(0)
+    assert(dfMega == 4.0, "dfparts must record pre-cap df even for dropped terms")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "doc_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val got = rows(Bm25.topKPerQueryIndexed(dir, queries, "q_id", "q_text", k = 5))
+    assert(
+      got == rows(Bm25.topKPerQuery(union, "doc_id", "text", queries, "q_id", "q_text", k = 5,
+        maxTermDf = Some(3L))),
+      "read-time cap over summed partials must equal the in-memory cap over the union")
+    val qids = got.map(_._1).distinct
+    assert(!qids.contains(1L) && !qids.contains(2L) && qids.contains(3L),
+      s"over-cap terms (within-gen AND summed-across-gens) must retrieve nothing: $got")
+  }
+
+  test("generational postings guards: build-once layout rejected, probed scans prune") {
+    import graft.llm.Bm25
+    val docs    = corpus.toDF("doc_id", "text")
+    val oldDir  = java.nio.file.Files.createTempDirectory("bm25_flat_guard").toString
+    Bm25.writePostings(docs, "doc_id", "text", oldDir, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Bm25.appendToPostings(oldDir, docs, "doc_id", "text", srcBatch = 1L)
+    }
+    assert(e.getMessage.contains("writePostingsGen"),
+      s"the guard must name the rebuild path: ${e.getMessage}")
+    // static bucket pruning holds on the generational layout too: a
+    // one-term query reads one hash bucket of postings AND of dfparts
+    val gDir = java.nio.file.Files.createTempDirectory("bm25_gen_prune").toString
+    Bm25.writePostingsGen(docs, "doc_id", "text", gDir, nBuckets = 8)
+    val res = Bm25.topKPerQueryIndexed(gDir, Seq((9L, "pentaquark")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 3)
+    res.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case s: QueryStageExec        => allScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
+    val perScan = allScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(p =>
+        p.toString.contains("/postings") || p.toString.contains("/dfparts")))
+      .map(_.selectedPartitions.partitionCount)
+    assert(perScan.nonEmpty && perScan.forall(_ <= 1),
+      s"every postings/dfparts scan must prune to the one probed hash bucket, got $perScan")
+  }
+
   test("retrieval eval: recall monotone in k, self-retrieval on unique terms is perfect") {
     import graft.llm.{Bm25, RetrievalEval}
     val docs = Seq(
