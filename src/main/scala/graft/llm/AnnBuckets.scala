@@ -622,21 +622,33 @@ object AnnBuckets {
     }
 
   /** Meta-vs-buckets stamp agreement, skipped for pre-r15 indexes (no
-    * stamp on either half — nothing was ever rebuilt).
+    * stamp on either half — nothing was ever rebuilt). A STAMPED meta
+    * with a MISSING buckets marker is itself a mid-write state, not a
+    * skip: every stamped writer ends by writing the marker, so its
+    * absence means a (re)bootstrap's buckets overwrite deleted the old
+    * marker and died (or is in flight) before writing the new one —
+    * silently skipping here would serve queries bucketed with meta
+    * sizing against a buckets table of unknown completeness
+    * (ADVICE r15 #2).
     */
   private def requireGeomConsistent(
       indexDir: String,
       meta: BucketsMeta,
       spark: org.apache.spark.sql.SparkSession): Unit =
     meta.geomId.foreach { mid =>
-      readGeomMarker(s"$indexDir/buckets", spark).foreach { bid =>
-        require(
-          bid == mid,
-          s"LSH index at $indexDir is mid-rebuild or was left inconsistent (meta geometry " +
-            s"stamp $mid != buckets stamp $bid) — a rebuildBucketsGen swap is in flight or " +
-            "failed partway; retry after it completes, or re-run rebuildBucketsGen to finish " +
-            "the swap")
-      }
+      val bid = readGeomMarker(s"$indexDir/buckets", spark)
+      require(
+        bid.nonEmpty,
+        s"LSH index at $indexDir is mid-rebuild or was left inconsistent: its meta carries a " +
+          s"geometry stamp ($mid) but the buckets table has no _geom marker — a (re)bootstrap " +
+          "overwrite is in flight or died before stamping; retry after it completes, or " +
+          "re-run writeBucketsGen / rebuildBucketsGen to restore a consistent index")
+      require(
+        bid.contains(mid),
+        s"LSH index at $indexDir is mid-rebuild or was left inconsistent (meta geometry " +
+          s"stamp $mid != buckets stamp ${bid.get}) — a rebuildBucketsGen swap is in flight or " +
+          "failed partway; retry after it completes, or re-run rebuildBucketsGen to finish " +
+          "the swap")
     }
 
   /** The ONE bits-resolution rule for persisted writers ([[writeBuckets]],
@@ -713,6 +725,14 @@ object AnnBuckets {
     require(nProbes >= 0 && nProbes <= bits,
       s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
         "on every index read, so an over-budget index would fail at read time instead")
+    // meta + stamp FIRST (the IvfPq posture, ADVICE r15 #2): a
+    // re-bootstrap over a LIVE index then fails every racing read fast —
+    // new meta vs old buckets marker mismatches, and once the buckets
+    // overwrite deletes the old marker the marker-missing state fails
+    // too (requireGeomConsistent); the old buckets-first order had the
+    // overwrite delete `_geom` so readers silently SKIPPED the check and
+    // bucketed queries with stale sizing against the new layout
+    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
     bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
       // cluster rows by the partition key BEFORE the partitioned write:
       // without it every write task emits a file into every `tb`
@@ -728,7 +748,6 @@ object AnnBuckets {
       .partitionBy("tb")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
-    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
     writeGeomMarker(s"$outDir/buckets", gid, spark,
       Some(BucketsMeta(bits, dims, tables, seed, nProbes, 0L, Some(gid))))
   }
@@ -765,6 +784,9 @@ object AnnBuckets {
     require(nProbes >= 0 && nProbes <= bits,
       s"nProbes=$nProbes must be in [0, bits=$bits] — the recorded probe budget is applied " +
         "on every index read")
+    // meta + stamp FIRST — see writeBuckets (ADVICE r15 #2); both
+    // bootstrap writers share the fail-fast-on-every-mixed-state order
+    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
     bucketedRows(emb, idCol, embCol, bits, dims, tables, seed)
       .withColumn("src_batch", lit(srcBatch))
       .repartition(col("tb"))
@@ -773,7 +795,6 @@ object AnnBuckets {
       .option("partitionOverwriteMode", "static")
       .mode("overwrite")
       .parquet(s"$outDir/buckets")
-    val gid = writeMeta(spark, outDir, bits, dims, tables, seed, nProbes, epoch = 0L)
     writeGeomMarker(s"$outDir/buckets", gid, spark,
       Some(BucketsMeta(bits, dims, tables, seed, nProbes, 0L, Some(gid))))
   }
@@ -896,6 +917,33 @@ object AnnBuckets {
       indexDir: String,
       spark: org.apache.spark.sql.SparkSession,
       targetBucketRows: Int = 128): BucketsMeta = {
+    // swap-gap repair FIRST (ADVICE r15 #3): a prior rebuild that died
+    // between the live-dir delete and the temp-dir rename left NO
+    // buckets path at all — the "re-run rebuildBucketsGen" recovery the
+    // rename-failure message promises would itself die reading the
+    // missing directory. The complete rebuilt table (stamped inside) is
+    // sitting at the sibling temp path; finish the swap and continue.
+    val entryFs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    val tmpPath  = new org.apache.hadoop.fs.Path(s"$indexDir/buckets.rebuild")
+    if (!entryFs.exists(livePath) && entryFs.exists(tmpPath)) {
+      val m = readMarkerMeta(s"$indexDir/buckets.rebuild", spark).getOrElse(
+        throw new IllegalStateException(
+          s"LSH index at $indexDir has no buckets table and an UN-STAMPED buckets.rebuild " +
+            "sibling — a temp table without its self-describing marker cannot be trusted as " +
+            "a complete rebuild (the marker is written before any swap step); re-bootstrap " +
+            "via writeBucketsGen from the raw corpus"))
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(s"rebuildBucketsGen: finishing an interrupted delete->rename swap at $indexDir " +
+          s"(marker epoch ${m.epoch}) before rebuilding")
+      require(
+        entryFs.rename(tmpPath, livePath),
+        s"rebuildBucketsGen: swap-repair rename $tmpPath -> $livePath failed; the complete " +
+          "rebuilt table is intact at the temp path — retry, or move it into place manually")
+      writeMeta(spark, indexDir, m.nBits, m.dims, m.nTables, m.seed, m.nProbes, m.epoch)
+    }
     requireGenerationalBuckets(indexDir, spark)
     val stored = readBucketsMeta(indexDir, spark)
     // crash repair BEFORE anything reads with the stored sizing: a prior

@@ -507,10 +507,14 @@ object StreamingOps {
     * Between micro-batches the loop evaluates
     * [[graft.llm.IvfPq.retrainDue]] over that report, and when it fires,
     * invokes [[graft.llm.IvfPq.retrainAndRebuild]] — retraining on the
-    * FULL `corpus()` (the caller's raw-embedding source, evaluated AT
-    * REBUILD TIME so it includes everything ingested so far — codes
-    * cannot be re-derived from the index, re-encoding needs the raw
-    * vectors), clearing the old-geometry drift rows, and continuing
+    * FULL ingested corpus (the caller's raw-embedding source, evaluated
+    * AT REBUILD TIME and semi-joined against the ids already in the
+    * index — codes cannot be re-derived from the index, re-encoding
+    * needs the raw vectors, but a `corpus()` that reads the stream
+    * source must not leak rows from micro-batches still pending under
+    * the trigger into collapsed gen 0, where their own later append
+    * would duplicate them), clearing the old-geometry drift rows, and
+    * continuing
     * ingest under the RELOADED handle — no stale-stamp failure, no
     * manual intervention. Deliberately NOT the trainOn-recent bias a
     * manual [[graft.llm.IvfPq.retrainAndRebuild]] caller may choose: a
@@ -585,10 +589,32 @@ object StreamingOps {
             // rebuild over history WITHOUT the triggering batch, then
             // re-append the batch under the NEW geometry as its own
             // generation — keeps the batch↔generation mapping stable for
-            // crash replay (see the crash-semantics note above)
-            frozen = IvfPq.retrainAndRebuild(
-              indexDir, corpus().join(b, Seq(idCol), "left_anti"), idCol, vecCol, dims,
-              nCells, m, k, pqIters, seed, trainOn = corpus())
+            // crash replay (see the crash-semantics note above).
+            //
+            // `corpus()` is semi-joined against the ids ALREADY IN THE
+            // INDEX (ADVICE r15 #1): a corpus() that reads the stream
+            // SOURCE — exactly what a files-on-a-directory deployment
+            // passes — includes rows from micro-batches still PENDING
+            // under Trigger.AvailableNow; baking those into collapsed
+            // gen 0 would duplicate them when their own batch later
+            // appends. The id snapshot is eagerly materialized
+            // (localCheckpoint) because the rebuild OVERWRITES the cells
+            // table it would otherwise lazily read mid-write; rebuilds
+            // are the rare path, and the blocks are dropped right after.
+            val ingestedIds = spark.read
+              .parquet(s"$indexDir/cells")
+              .select(col("vec_id").as(idCol))
+              .distinct()
+              .localCheckpoint(true)
+            try {
+              val ingested = corpus().join(ingestedIds, Seq(idCol), "left_semi")
+              frozen = IvfPq.retrainAndRebuild(
+                indexDir, ingested.join(b, Seq(idCol), "left_anti"), idCol, vecCol, dims,
+                nCells, m, k, pqIters, seed, trainOn = ingested)
+            } finally {
+              ingestedIds.unpersist()
+              ()
+            }
             IvfPq.clearDrift(indexDir, spark)
             val encNew   = IvfPq.encodeForIndexWithError(b, idCol, vecCol, frozen)
             val newStats = encNew.agg(count(lit(1)), avg(col("err"))).collect()(0)

@@ -450,6 +450,102 @@ class AnnMultimodalSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("LSH bootstrap mixed states fail fast: stamped meta without a marker, meta-first window") {
+    import graft.llm.AnnBuckets
+    val emb = Tables(spark, dir).embeddings
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // state 1: buckets overwrite landed but the marker write was lost —
+    // the old buckets-first order left this state SILENTLY passing the
+    // geometry check (marker missing → check skipped, ADVICE r15 #2)
+    val idx = java.nio.file.Files.createTempDirectory("lsh_mixed1").toString
+    AnnBuckets.writeBucketsGen(emb, "vec_id", "embedding", idx,
+      nBits = 4, nTables = 2, nProbes = 0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/buckets", "_geom"), false)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3).collect()
+    }
+    assert(e1.getMessage.contains("no _geom marker"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnBuckets.appendToBuckets(idx, emb.limit(1), "vec_id", "embedding", srcBatch = 9L)
+    }
+    assert(e2.getMessage.contains("rebuilt since"), e2.getMessage)
+    // the documented recovery — re-bootstrap — restores serving
+    AnnBuckets.writeBucketsGen(emb, "vec_id", "embedding", idx,
+      nBits = 4, nTables = 2, nProbes = 0)
+    assert(AnnBuckets.approxTopKIndexed(idx, emb.limit(2), "vec_id", "embedding", k = 3)
+      .count() > 0)
+
+    // state 2: the meta-first window a re-bootstrap over a LIVE index
+    // exposes — new stamped meta, old buckets + old marker. Manufacture
+    // it by pairing a differently-sized index's meta with this one's
+    // buckets; every read must mismatch-fail, never bucket queries with
+    // the new sizing against the old layout
+    val idx2 = java.nio.file.Files.createTempDirectory("lsh_mixed2").toString
+    AnnBuckets.writeBucketsGen(emb, "vec_id", "embedding", idx2,
+      nBits = 5, nTables = 2, nProbes = 0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/meta"), true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$idx2/meta"),
+      new org.apache.hadoop.fs.Path(s"$idx/meta")))
+    val e3 = intercept[IllegalArgumentException] {
+      AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3).collect()
+    }
+    assert(e3.getMessage.contains("mid-rebuild"), e3.getMessage)
+  }
+
+  test("LSH rebuild crash in the delete->rename gap: entry repair finishes the swap") {
+    import graft.llm.AnnBuckets
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val emb = Tables(spark, dir).embeddings
+    val idx = java.nio.file.Files.createTempDirectory("lsh_gap").toString
+    AnnBuckets.writeBucketsGen(emb.where(col("vec_id") < 100), "vec_id", "embedding", idx)
+    AnnBuckets.appendToBuckets(idx, emb.where(col("vec_id") >= 100), "vec_id", "embedding", 1L)
+    val metaBackup = java.nio.file.Files.createTempDirectory("lsh_gap_meta").toString
+    copyDir(s"$idx/meta", metaBackup)
+    val m1 = AnnBuckets.rebuildBucketsGen(idx, spark, targetBucketRows = 16)
+
+    // manufacture the gap state: the rebuild wrote its COMPLETE stamped
+    // table to the temp sibling and deleted the live dir, then died
+    // before the rename — meta still holds the PRE-rebuild sizing
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$idx/buckets"),
+      new org.apache.hadoop.fs.Path(s"$idx/buckets.rebuild")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/meta"), true)
+    copyDir(metaBackup, s"$idx/meta")
+
+    // mixed state fails fast on every read path (no buckets table at all)
+    intercept[Exception] {
+      AnnBuckets.approxTopKIndexed(idx, emb.limit(1), "vec_id", "embedding", k = 3).collect()
+    }
+    // re-running rebuildBucketsGen — the documented recovery — first
+    // finishes the interrupted swap from the temp table's marker, then
+    // performs the requested rebuild; full membership survives
+    val m2 = AnnBuckets.rebuildBucketsGen(idx, spark, targetBucketRows = 16)
+    assert(m2.epoch == m1.epoch + 1, s"repair must adopt the marker epoch first: ${m2.epoch}")
+    val rows = spark.read.parquet(s"$idx/buckets")
+    assert(rows.select(col("vec_id").cast("long")).distinct().count() == emb.count(),
+      "swap repair must preserve every vector")
+    assert(rows.count() == emb.count() * m2.nTables)
+    assert(AnnBuckets.readGeomMarker(s"$idx/buckets", spark) == m2.geomId)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/buckets.rebuild")),
+      "the finished swap must leave no temp sibling behind")
+    assert(AnnBuckets.approxTopKIndexed(idx, emb.limit(2), "vec_id", "embedding", k = 3)
+      .count() > 0)
+  }
+
   test("minSim pushdown commutes with the cross-table dedup, plain and probed") {
     import graft.functions.GraftFunctions.dot
     val e = Tables(spark, dir).embeddings

@@ -481,6 +481,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(driftGens() == Set(3L, 4L))
   }
 
+  test("monitored IVFADC ingest: a rebuild with batches still PENDING does not duplicate them") {
+    // ADVICE r15 #1: corpus() here reads the WHOLE stream source — the
+    // natural thing for a files-on-a-directory deployment to pass — so
+    // when the drift rebuild fires while later micro-batches are still
+    // pending under maxFilesPerTrigger, those rows are visible to
+    // corpus() but NOT yet ingested. The loop must not bake them into
+    // collapsed gen 0 (their own batch appends them again later =
+    // duplicates); it semi-joins corpus() against the ids already in the
+    // index instead.
+    import spark.implicits._
+    import graft.llm.IvfPq
+    val emb  = graft.core.Tables(spark, dir).embeddings
+    val boot = emb.where(col("vec_id") % 3 === 0)
+    val b1   = emb.where(col("vec_id") % 3 === 1)
+    def shifted(src: org.apache.spark.sql.DataFrame, idOff: Long) = src.select(
+      (col("vec_id") + idOff).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.75))
+        .cast("array<float>").as("embedding"),
+      col("label"))
+    val drifted  = shifted(boot, 100000L)
+    val trailing = shifted(b1, 200000L) // same post-drift distribution: no re-trigger
+
+    val (idx0, encBoot) =
+      IvfPq.build(boot, "vec_id", "embedding", dims = 64, nCells = 16, m = 4, k = 16)
+    val ixDir = java.nio.file.Files.createTempDirectory("ivfpq_pend_idx").toString
+    IvfPq.writeIndexGen(idx0, encBoot, ixDir, srcBatch = 0L)
+    val streamDir = java.nio.file.Files.createTempDirectory("ivfpq_pend_in").toString
+    val cp        = java.nio.file.Files.createTempDirectory("ivfpq_pend_cp").toString
+    val corpus: () => org.apache.spark.sql.DataFrame = () =>
+      boot.select("vec_id", "embedding")
+        .unionByName(spark.read.parquet(streamDir).select("vec_id", "embedding"))
+    def runOnce(): Unit = {
+      val q = StreamingOps.ivfPqIngestStreamMonitored(
+        StreamingOps.readEmbeddingStream(spark, streamDir, maxFilesPerTrigger = Some(1)),
+        ixDir, cp, corpus, tau = 1.15)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // one clean batch establishes the drift baseline
+    b1.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    // the drifted batch AND a trailing batch land BEFORE the next run:
+    // the rebuild fires on the drifted one while the trailing file is
+    // pending — and visible to corpus()
+    drifted.coalesce(1).write.mode("append").parquet(streamDir)
+    trailing.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    assert(IvfPq.loadIndex(ixDir, spark).geomId != IvfPq.geomId(idx0),
+      "planted drift must have triggered the rebuild")
+    val cells = spark.read.parquet(s"$ixDir/cells")
+    val total = boot.count() + b1.count() + drifted.count() + trailing.count()
+    assert(cells.select(col("vec_id").cast("long")).distinct().count() == total,
+      "every ingested vector must be present")
+    assert(cells.count() == total,
+      "no vector may appear twice — a pending batch baked into collapsed gen 0 and then " +
+        "appended as its own generation is exactly the duplication this guards against")
+    val gens = cells.select(col("src_batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(gens == Set(0L, 2L, 3L),
+      s"history collapses to gen 0, the trigger re-appends as gen 2, the pending batch " +
+        s"arrives as gen 3 — got $gens")
+  }
+
   test("streaming media ingest: decode-once per batch, generations on both tables, replay no-op") {
     import spark.implicits._
     import graft.multimodal.Multimodal
