@@ -99,10 +99,11 @@ object Bm25 {
     * shape [[topK]] deliberately avoids for a single fixed query becomes
     * the right one when the query SET is itself a table (retrieval
     * evaluation, query mining, batch search): per-term document postings
-    * (term, doc, tf, dl) feed the df side and the contribution join (two
-    * evaluations of the explode — a deployment that searches repeatedly
-    * uses [[writePostings]]/[[topKPerQueryIndexed]], the build-once
-    * persisted form, instead), each
+    * (term, doc, tf, dl) feed the df side and the contribution join —
+    * both over tokens semi-filtered to the query term set up front; a
+    * deployment that searches repeatedly uses
+    * [[writePostings]]/[[topKPerQueryIndexed]], the build-once persisted
+    * form, instead — each
     * query's DISTINCT terms join them on `term` (a query only ever meets
     * the docs containing its terms, never the corpus), and per-(query,
     * doc) scores rank inside a per-query window. Cost is
@@ -141,11 +142,6 @@ object Bm25 {
       Cols.q(idCol).as("doc_id"),
       size(tk).cast("double").as("__dl"),
       explode(tk).as("__term"))
-    val postings = tokenRows
-      .groupBy("__term", "doc_id", "__dl")
-      .agg(count(lit(1)).cast("double").as("__tf"))
-    val df = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
-    val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
     val stats = docs
       .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
       .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
@@ -156,15 +152,35 @@ object Bm25 {
       // too, so a query id accidentally present twice cannot double its
       // scores (tiny frame — it broadcasts below either way)
       .distinct()
+    // Token stream broadcast-SEMI-filtered to the query batch's term set
+    // BEFORE any aggregation (r16, guide §2.3): a query only ever meets
+    // the docs containing its terms, so non-query tokens are dropped
+    // map-side and never ride the tf exchange or the df-branch distinct
+    // exchange — at corpus scale those exchanges shrink from every token
+    // to the matched candidate mass. Both branches still scan+explode the
+    // corpus (an eager pin of the matched postings was A/B'd at sf0.1 and
+    // the checkpoint materialization cost MORE than the duplicate explode
+    // it saved: q141 min 6.4 s → 7.1 s, reverted); df semantics are
+    // unchanged — the semi-join keeps EVERY posting of a query term, so
+    // the per-term count equals the full-corpus df for every term that
+    // can reach the output.
+    val matchedTokens = tokenRows
+      .join(broadcast(qTerms.select("__term").distinct()), Seq("__term"), "left_semi")
+    val postings = matchedTokens
+      .groupBy("__term", "doc_id", "__dl")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val df = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
+    val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
     // BOTH small sides are broadcast EXPLICITLY: `__term` has vocabulary
     // cardinality, so a shuffle join on it is maximally skewed (measured
     // bimodal 8 s / 36 s at sf1 while AQE flip-flopped the strategy) —
-    // broadcasting df (vocab-sized) and the query terms (an eval/serve
-    // batch by contract) makes the whole contribution stage ONE map-side
-    // pass over the postings scan; the only shuffle left is the
-    // well-keyed (q_id, doc_id) score aggregation. A corpus-scale query
-    // table needs the maxTermDf cap + a salted term join instead — that
-    // is query MINING, not batch retrieval, and out of this contract.
+    // broadcasting df (bounded by the query-term set after the semi-join)
+    // and the query terms (an eval/serve batch by contract) makes the
+    // whole contribution stage ONE map-side pass over the matched
+    // postings; the only shuffle left is the well-keyed (q_id, doc_id)
+    // score aggregation. A corpus-scale query table needs the maxTermDf
+    // cap + a salted term join instead — that is query MINING, not batch
+    // retrieval, and out of this contract.
     rankContributions(
       broadcast(qTerms).join(postings.join(broadcast(dfKept), Seq("__term")), Seq("__term")),
       stats, k, k1, b)
@@ -289,13 +305,22 @@ object Bm25 {
     require(nBuckets >= 1 && nBuckets <= 4096,
       s"nBuckets=$nBuckets out of range — the partition-dir count bound")
     val spark    = docs.sparkSession
+    // ONE corpus pass (r16): df is denormalized onto the posting rows by
+    // a window count over the tb-clustered postings instead of a second
+    // corpus explode + broadcast join back (the r15 shape paid the
+    // scan/split/explode twice per build — plan audit, guide §2.3/§2.4).
+    // The repartition BY tb is the write-clustering exchange that already
+    // existed (one file per owning task per dir, the r14 rule); the
+    // window's ClusteredDistribution(tb, __term) is satisfied by it (tb
+    // is a function of __term), so the df count adds a sort within the
+    // already-shuffled partitions, not a new exchange.
     val postings = postingsFrame(docs, idCol, textCol)
-    val df     = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
-    val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
-    postings
-      .join(broadcast(dfKept), Seq("__term"))
       .withColumn("tb", termBucket(col("__term"), nBuckets))
-      .repartition(col("tb")) // one file per owning task per dir (r14 rule)
+      .repartition(col("tb"))
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tb", "__term")).cast("double"))
+    maxTermDf.fold(postings)(cap => postings.where(col("__df") <= cap))
       .write
       .partitionBy("tb")
       .mode("overwrite")
@@ -401,31 +426,43 @@ object Bm25 {
       maxTermDf: Option[Long],
       srcBatch: Long,
       overwriteMode: String): Unit = {
+    // ONE corpus pass for BOTH generational tables (r16): the r15 shape
+    // evaluated the explode+tf aggregation once per write job — and twice
+    // more inside the postings job's broadcast df branch — so a single
+    // writeGenTables call paid the corpus scan ~4×. The batch's postings
+    // are computed once (tb-clustered, per-term df attached by a window
+    // count — {tb} ⊆ {tb, __term} so the window reuses the repartition's
+    // clustering, no extra exchange) and pinned with an eager
+    // localCheckpoint: the postings write, the dfparts distinct, and the
+    // cap filter all read the materialized rows instead of re-running the
+    // explode. The checkpoint holds one BATCH's postings (the bootstrap
+    // is corpus-sized — a one-time build cost, spilling to local disk
+    // beyond memory), and partitioning survives the checkpoint so neither
+    // write re-shuffles.
     val postings = postingsFrame(docs, idCol, textCol)
       .withColumn("tb", termBucket(col("__term"), nBuckets))
-    val dfGen = postings
-      .groupBy("tb", "__term")
-      .agg(count(lit(1)).cast("double").as("__df"))
+      .repartition(col("tb"))
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tb", "__term")).cast("double"))
+      .localCheckpoint(true)
     // within-generation cap: a term over the cap INSIDE one generation is
     // over the global cap a fortiori (df only grows) — its postings can
     // be dropped here without ever truncating a kept term's list; the
     // read-time filter over summed dfparts handles terms that cross the
     // cap only in aggregate
-    val kept = maxTermDf.fold(postings) { cap =>
-      postings.join(
-        broadcast(dfGen.where(col("__df") <= cap).select("__term")), Seq("__term"), "left_semi")
-    }
-    kept
+    maxTermDf.fold(postings)(cap => postings.where(col("__df") <= cap))
+      .drop("__df") // layout contract: per-generation df lives in dfparts
       .withColumn("src_batch", lit(srcBatch))
-      .repartition(col("tb"))
       .write
       .partitionBy("tb", "src_batch")
       .option("partitionOverwriteMode", overwriteMode)
       .mode("overwrite")
       .parquet(s"$outDir/postings")
-    dfGen
+    postings // dfparts keep ALL terms (pre-cap) so reads see true global df
+      .select(col("tb"), col("__term"), col("__df"))
+      .distinct()
       .withColumn("src_batch", lit(srcBatch))
-      .repartition(col("tb"))
       .write
       .partitionBy("tb", "src_batch")
       .option("partitionOverwriteMode", overwriteMode)
