@@ -253,8 +253,14 @@ object Dedup {
     // effective threshold — the prefixFilteredPairs ceil guard
     val matchMin = math.ceil(simTau * n - 1e-9).toInt
     // the new batch's signatures MUST be the index's family — detected
-    // from the index schema, so a family mismatch cannot silently verify
+    // from the index schema, so a family mismatch cannot silently verify.
+    // Pinned eagerly (r16): the lazy plan evaluated this projection 3×
+    // (band-candidate join, verification join, election anti-join) — one
+    // batch-bounded materialization replaces two repeats of the salted
+    // minhash work (the banded path does the same; the INDEX side is
+    // deliberately NOT pinned — it is history-sized).
     val newSigs = signatureProjection(newDocs, idCol, textCol, n, indexFamily(index))
+      .localCheckpoint(true)
     val idx = index.select(
       col("digest").as("__idig") +:
         (0 until n).map(i => col(s"sig$i").as(s"__isig_$i")): _*)
@@ -502,7 +508,14 @@ object Dedup {
     val idxAll = spark.read.parquet(s"$indexDir/bands")
     val family = indexFamily(idxAll)
     val matchMin = math.ceil(simTau * n - 1e-9).toInt
-    val newSigs  = signatureProjection(newDocs, idCol, textCol, n, family)
+    // the batch's signature projection (digest + n salted minhash mins —
+    // the dominant per-row work) is pinned ONCE: lazily it re-ran up to
+    // 4× per ingest — under the probe collect, the band-candidate join,
+    // the verification join, and the election anti-join (r16 stage probe:
+    // ingest ~5 s of which ~3 s was repeated signature work at sf0.1).
+    // Batch-bounded by contract, so the pin holds batch rows, never
+    // history.
+    val newSigs = signatureProjection(newDocs, idCol, textCol, n, family).localCheckpoint(true)
 
     val wBand = Window.partitionBy("band_idx", "band_val")
     def cut(df: DataFrame): DataFrame = maxBandDf match {
