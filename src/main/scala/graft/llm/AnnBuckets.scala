@@ -232,8 +232,9 @@ object AnnBuckets {
       dims: Int,
       nTables: Int,
       seed: Long,
-      minSim: Option[Double] = None): DataFrame =
-    (0 until nTables)
+      minSim: Option[Double] = None,
+      dedup: Boolean = true): DataFrame = {
+    val unioned = (0 until nTables)
       .map { t =>
         val bucketed = withBucket(e, "emb", bits, dims, seed + t)
         val a = bucketed.select(
@@ -250,7 +251,16 @@ object AnnBuckets {
           minSim)
       }
       .reduce(_ unionByName _)
-      .dropDuplicates("a_id", "b_id")
+    // `dedup = false` skips the cross-table duplicate-pair shuffle — the
+    // LARGEST exchange of the query for dense pair sets (r16, guide
+    // §2.4): legal exactly when the consumer is duplicate-INSENSITIVE
+    // (min/max-style aggregation over the pair multiset — a pair's
+    // cos_sim is functionally determined by (a_id, b_id), so every
+    // duplicate carries the identical value). Ranking consumers
+    // (row_number/top-k) MUST keep the dedup or cross-table repeats
+    // inflate their rank positions.
+    if (dedup) unioned.dropDuplicates("a_id", "b_id") else unioned
+  }
 
   /** Threshold PUSHDOWN into the candidate stage: a consumer that will
     * drop pairs under `tau` anyway (the miners, q138's media near-dup —

@@ -874,8 +874,13 @@ object Dedup {
       .distinct()
     // per-doc retained-shingle arrays for exact verification (order-free;
     // the arrays are distinct by construction so array_intersect is the
-    // exact intersection count)
-    val arrs = rows.groupBy(col("__id")).agg(collect_list(col("s")).as("arr"))
+    // exact intersection count). Derived from `ranked` rather than `rows`
+    // (r16): the window above already shuffled the rows by __id, and a
+    // groupBy on the window's own partitioning key needs no new exchange
+    // — aggregating `rows` directly paid a second full id-keyed exchange
+    // of the same data (collect_list order differs, but only
+    // size/array_intersect are consumed, both order-free).
+    val arrs = ranked.groupBy(col("__id")).agg(collect_list(col("s")).as("arr"))
     val verified = cand
       .join(arrs.select(col("__id").as("a_id"), col("arr").as("sa")), Seq("a_id"))
       .join(arrs.select(col("__id").as("b_id"), col("arr").as("sb")), Seq("b_id"))
