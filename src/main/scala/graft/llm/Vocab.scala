@@ -261,7 +261,14 @@ object Vocab {
       .select(Cols.q(idCol).as("__id"), split(Cols.q(textCol), " ").as("__tk"))
       .select(col("__id"), explode(TextAnalysis.adjacentPairs(col("__tk"))).as("__p"))
       .select(col("__id"), col("__p.a").as("a"), col("__p.b").as("b"))
-    val cab = pairsOf(train).groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    // cab pinned eagerly (r16): the prefix-count model `ca` derives from
+    // it, and under lazy evaluation the ca broadcast replayed cab's whole
+    // plan — a second full train-side scan + pair explode just to re-sum
+    // counts the cab job already produced. cab is MODEL-sized (the train
+    // bigram vocabulary — the same bound the broadcastModel default
+    // already assumes fits in memory), so the pin holds the model, never
+    // the corpus.
+    val cab = pairsOf(train).groupBy("a", "b").agg(count(lit(1)).as("cab")).localCheckpoint(true)
     val ca  = cab.groupBy("a").agg(sum("cab").as("ca"))
     val v = train
       .select(explode(split(Cols.q(textCol), " ")).as("tok"))
