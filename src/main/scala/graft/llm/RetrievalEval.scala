@@ -44,12 +44,19 @@ object RetrievalEval {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"cutoffs must be >= 1, got $ks")
     val spark = results.sparkSession
     import spark.implicits._
+    // pinned eagerly (r16): `ranks` carries the caller's WHOLE retrieval
+    // plan as the join's right side and feeds BOTH the recall branch and
+    // the MRR branch — lazily, an expensive upstream retrieval (q142
+    // passes the full q141 multi-query BM25) re-executes once per branch
+    // unless AQE happens to reuse its exchanges. The pinned frame is one
+    // row per gold pair — nothing corpus- or result-set-sized.
     val ranks = gold
       .select(col("q_id"), col("gold_id"))
       .join(
         results.select(col("q_id"), col("doc_id").as("gold_id"), col("rn").as("rank")),
         Seq("q_id", "gold_id"),
         "left")
+      .localCheckpoint(true)
     val best = ranks.groupBy("q_id").agg(min("rank").as("best"))
     val kdf  = ks.toDF("k")
     val recall = ranks
