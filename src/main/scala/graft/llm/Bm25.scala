@@ -100,7 +100,9 @@ object Bm25 {
     * the right one when the query SET is itself a table (retrieval
     * evaluation, query mining, batch search): per-term document postings
     * (term, doc, tf, dl) feed the df side and the contribution join —
-    * both over tokens semi-filtered to the query term set up front; a
+    * with an opt-in `semiFilterTokens` hint that pre-filters the token
+    * stream to the query term set when the caller knows the query terms
+    * are a small fraction of the corpus vocabulary; a
     * deployment that searches repeatedly uses
     * [[writePostings]]/[[topKPerQueryIndexed]], the build-once persisted
     * form, instead — each
@@ -135,7 +137,8 @@ object Bm25 {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxTermDf: Option[Long] = None): DataFrame = {
+      maxTermDf: Option[Long] = None,
+      semiFilterTokens: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = split(Cols.q(textCol), " ")
     val tokenRows = docs.select(
@@ -152,25 +155,38 @@ object Bm25 {
       // too, so a query id accidentally present twice cannot double its
       // scores (tiny frame — it broadcasts below either way)
       .distinct()
-    // Token stream broadcast-SEMI-filtered to the query batch's term set
-    // BEFORE any aggregation (r16, guide §2.3): a query only ever meets
-    // the docs containing its terms, so non-query tokens are dropped
-    // map-side and never ride the tf exchange or the df-branch distinct
-    // exchange — at corpus scale those exchanges shrink from every token
-    // to the matched candidate mass. Both branches still scan+explode the
-    // corpus (an eager pin of the matched postings was A/B'd at sf0.1 and
-    // the checkpoint materialization cost MORE than the duplicate explode
-    // it saved: q141 min 6.4 s → 7.1 s, reverted); df semantics are
-    // unchanged — the semi-join keeps EVERY posting of a query term, so
-    // the per-term count equals the full-corpus df for every term that
-    // can reach the output.
-    val matchedTokens = tokenRows
-      .join(broadcast(qTerms.select("__term").distinct()), Seq("__term"), "left_semi")
-    val postings = matchedTokens
+    // `semiFilterTokens` is a CALLER HINT (r17, adjudicating the r16
+    // regression): when true, the token stream is broadcast-SEMI-filtered
+    // to the query batch's term set BEFORE the tf/df aggregations, so
+    // non-query tokens never ride either exchange — a large win exactly
+    // when the query-term set is small relative to the corpus vocabulary
+    // (selective batch retrieval over a Zipfian corpus). When the query
+    // terms cover most of the vocabulary the filter keeps ~everything and
+    // the two broadcast-probe passes over every token row are pure
+    // overhead — the r16 always-on form measured q141 0.62× / q142 0.59×
+    // in the driver's cold-JVM bench on this shared-~100-term-vocab
+    // fixture, so the default is OFF and the declared queries take the
+    // probe-free plan. The hint is caller-supplied (never a runtime
+    // count, which would cost a job to maybe save part of one); df
+    // semantics are identical either way — the semi-join keeps EVERY
+    // posting of a query term, so the per-term count equals the
+    // full-corpus df for every term that can reach the output.
+    val inTokens =
+      if (semiFilterTokens)
+        tokenRows.join(broadcast(qTerms.select("__term").distinct()), Seq("__term"), "left_semi")
+      else tokenRows
+    val postings = inTokens
       .groupBy("__term", "doc_id", "__dl")
       .agg(count(lit(1)).cast("double").as("__tf"))
     val df = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
     val dfKept = maxTermDf.fold(df)(cap => df.where(col("__df") <= cap))
+    // The df frame is ALWAYS bounded to the query-term set before it is
+    // broadcast (a vocabulary-sized broadcast is an executor OOM at 10⁸+
+    // terms, the r16 writePostings lesson) — but by a broadcast-semi
+    // probe of the AGGREGATED df rows (vocab-count rows, one probe pass)
+    // against the same qTerms broadcast the contribution join builds
+    // (one exchange, reused), never by probing every token row.
+    val dfq = dfKept.join(broadcast(qTerms), Seq("__term"), "left_semi")
     // BOTH small sides are broadcast EXPLICITLY: `__term` has vocabulary
     // cardinality, so a shuffle join on it is maximally skewed (measured
     // bimodal 8 s / 36 s at sf1 while AQE flip-flopped the strategy) —
@@ -182,7 +198,7 @@ object Bm25 {
     // cap + a salted term join instead — that is query MINING, not batch
     // retrieval, and out of this contract.
     rankContributions(
-      broadcast(qTerms).join(postings.join(broadcast(dfKept), Seq("__term")), Seq("__term")),
+      broadcast(qTerms).join(postings.join(broadcast(dfq), Seq("__term")), Seq("__term")),
       stats, k, k1, b)
   }
 
@@ -233,15 +249,64 @@ object Bm25 {
   private[graft] def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
     (u32(term, "pt") % nBuckets).cast("int")
 
-  /** The shared explode → postings frame: (doc_id, __dl, __term, __tf). */
-  private def postingsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The shared explode → postings frame (doc_id, __dl, __term, __tf),
+    * with the corpus-stats partial OBSERVED on the pre-explode projection
+    * (r17, guide §1.2 "don't compute things twice"): one row per doc —
+    * null-text docs included, exactly the rows the old standalone stats
+    * aggregate saw (they count toward N, contribute null dl) — so the
+    * first action that executes this plan also yields (n, Σdl, #non-null
+    * dl) and the stats sidecar costs no second corpus scan. n/Σdl are
+    * integer-valued doubles, so the observed sum is exact regardless of
+    * partial-aggregation order — bit-identical to the old two-pass form.
+    */
+  private def observedPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
     val tk = split(Cols.q(textCol), " ")
-    docs.select(
-      Cols.q(idCol).as("doc_id"),
-      size(tk).cast("double").as("__dl"),
-      explode(tk).as("__term"))
+    docs
+      .select(Cols.q(idCol).as("doc_id"), size(tk).cast("double").as("__dl"), tk.as("__tk"))
+      .observe(
+        obs,
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__dl")).as("__dlsum"),
+        count(col("__dl")).as("__dlcnt"))
+      .select(col("doc_id"), col("__dl"), explode(col("__tk")).as("__term"))
       .groupBy("__term", "doc_id", "__dl")
       .agg(count(lit(1)).cast("double").as("__tf"))
+  }
+
+  /** The observed stats row, awaited with a LOUD bounded wait: the
+    * observation fires when the first action executes the observed scan
+    * — a hang here means the action didn't run the metrics node (a plan
+    * regression this error names rather than deadlocking the writer).
+    */
+  private def observedStats(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    try {
+      scala.concurrent.Await.ready(obs.future, scala.concurrent.duration.Duration("120s"))
+      obs.get
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          "postings stats observation never fired — the write/pin action did not execute " +
+            "the observed scan (plan regression); stats sidecar cannot be derived")
+    }
+
+  /** Run independent write jobs concurrently from a small thread pool
+    * (guide §2.6): Spark's scheduler runs several jobs at once inside one
+    * application — actions are only sequential because driver code calls
+    * them sequentially — so independent sink writes overlap instead of
+    * paying the per-job floor back to back. Rethrows the first failure.
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val _ = Await.result(Future.sequence(tasks.map(t => Future(t())).toSeq), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Build parameters from the meta sidecar, READ BY NAME (a positional
@@ -304,17 +369,21 @@ object Bm25 {
       maxTermDf: Option[Long] = None): Unit = {
     require(nBuckets >= 1 && nBuckets <= 4096,
       s"nBuckets=$nBuckets out of range — the partition-dir count bound")
-    val spark    = docs.sparkSession
-    // ONE corpus pass (r16): df is denormalized onto the posting rows by
-    // a window count over the tb-clustered postings instead of a second
-    // corpus explode + broadcast join back (the r15 shape paid the
-    // scan/split/explode twice per build — plan audit, guide §2.3/§2.4).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus pass for postings AND stats (r16 removed the second
+    // explode for df via the window count; r17 removes the second corpus
+    // SCAN for stats via the observed metric on the same pass — see
+    // [[observedPostings]]). The meta sidecar stays LAST: it is the
+    // layout's completion marker (readers route on it), so it must not
+    // become visible before the data tables exist.
     // The repartition BY tb is the write-clustering exchange that already
     // existed (one file per owning task per dir, the r14 rule); the
     // window's ClusteredDistribution(tb, __term) is satisfied by it (tb
     // is a function of __term), so the df count adds a sort within the
     // already-shuffled partitions, not a new exchange.
-    val postings = postingsFrame(docs, idCol, textCol)
+    val obs = org.apache.spark.sql.Observation()
+    val postings = observedPostings(docs, idCol, textCol, obs)
       .withColumn("tb", termBucket(col("__term"), nBuckets))
       .repartition(col("tb"))
       .withColumn("__df",
@@ -325,9 +394,14 @@ object Bm25 {
       .partitionBy("tb")
       .mode("overwrite")
       .parquet(s"$outDir/postings")
-    docs
-      .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    // (N, avgdl) from the observed partials: avg = Σdl / #non-null-dl in
+    // ONE double division — the exact evaluation order of the old
+    // `avg("__dl")` aggregate (sum and count are integer-valued, exact).
+    val m = observedStats(obs)
+    val avgdl = Option(m("__dlsum")).map(s =>
+      s.asInstanceOf[Double] / m("__dlcnt").asInstanceOf[Long])
+    Seq((m("__n").asInstanceOf[Double], avgdl))
+      .toDF("__n", "__avgdl")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/stats")
     writePostingsMeta(spark, outDir, nBuckets, maxTermDf)
@@ -426,58 +500,77 @@ object Bm25 {
       maxTermDf: Option[Long],
       srcBatch: Long,
       overwriteMode: String): Unit = {
-    // ONE corpus pass for BOTH generational tables (r16): the r15 shape
-    // evaluated the explode+tf aggregation once per write job — and twice
-    // more inside the postings job's broadcast df branch — so a single
-    // writeGenTables call paid the corpus scan ~4×. The batch's postings
-    // are computed once (tb-clustered, per-term df attached by a window
-    // count — {tb} ⊆ {tb, __term} so the window reuses the repartition's
-    // clustering, no extra exchange) and pinned with an eager
-    // localCheckpoint: the postings write, the dfparts distinct, and the
-    // cap filter all read the materialized rows instead of re-running the
-    // explode. The checkpoint holds one BATCH's postings (the bootstrap
-    // is corpus-sized — a one-time build cost, spilling to local disk
-    // beyond memory), and partitioning survives the checkpoint so neither
+    // ONE corpus pass for ALL THREE generational tables (r16 collapsed
+    // the repeated explodes onto one pinned frame; r17 tightens it
+    // further): the batch's postings are computed once (tb-clustered,
+    // per-term df attached by a window count — {tb} ⊆ {tb, __term} so the
+    // window reuses the repartition's clustering, no extra exchange) and
+    // pinned; the (n, Σdl) stats partial rides the SAME pass as an
+    // observed metric instead of a second corpus scan; and the three
+    // table writes run CONCURRENTLY (independent sinks, guide §2.6) so
+    // the write chain costs ~the slowest write, not the sum.
+    //
+    // The pin is persist(MEMORY_AND_DISK) + eager count, NOT
+    // localCheckpoint (r17, VERDICT/ADVICE r16): persistence keeps the
+    // LINEAGE, so at cluster scale an executor lost mid-build recomputes
+    // its blocks instead of failing the whole job unrecoverably — the
+    // bootstrap pin is corpus-postings-sized, exactly the case where
+    // non-recoverable local checkpoints hurt (batch appends are
+    // batch-bounded either way) — and it is RELEASED before return
+    // instead of living until RDD GC (the streaming-loop accumulation
+    // ADVICE r16 flagged). Partitioning survives the cache, so neither
     // write re-shuffles.
-    val postings = postingsFrame(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val postings = observedPostings(docs, idCol, textCol, obs)
       .withColumn("tb", termBucket(col("__term"), nBuckets))
       .repartition(col("tb"))
       .withColumn("__df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("tb", "__term")).cast("double"))
-      .localCheckpoint(true)
-    // within-generation cap: a term over the cap INSIDE one generation is
-    // over the global cap a fortiori (df only grows) — its postings can
-    // be dropped here without ever truncating a kept term's list; the
-    // read-time filter over summed dfparts handles terms that cross the
-    // cap only in aggregate
-    maxTermDf.fold(postings)(cap => postings.where(col("__df") <= cap))
-      .drop("__df") // layout contract: per-generation df lives in dfparts
-      .withColumn("src_batch", lit(srcBatch))
-      .write
-      .partitionBy("tb", "src_batch")
-      .option("partitionOverwriteMode", overwriteMode)
-      .mode("overwrite")
-      .parquet(s"$outDir/postings")
-    postings // dfparts keep ALL terms (pre-cap) so reads see true global df
-      .select(col("tb"), col("__term"), col("__df"))
-      .distinct()
-      .withColumn("src_batch", lit(srcBatch))
-      .write
-      .partitionBy("tb", "src_batch")
-      .option("partitionOverwriteMode", overwriteMode)
-      .mode("overwrite")
-      .parquet(s"$outDir/dfparts")
-    docs
-      .select(size(split(Cols.q(textCol), " ")).cast("double").as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), sum("__dl").as("__dlsum"))
-      .withColumn("src_batch", lit(srcBatch))
-      .coalesce(1)
-      .write
-      .partitionBy("src_batch")
-      .option("partitionOverwriteMode", overwriteMode)
-      .mode("overwrite")
-      .parquet(s"$outDir/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings.count() // materialize the pin; fires the stats observation
+      val m = observedStats(obs)
+      val statsRow = Seq((m("__n").asInstanceOf[Double], Option(m("__dlsum")).map(_.asInstanceOf[Double])))
+        .toDF("__n", "__dlsum")
+      inParallel(
+        // within-generation cap: a term over the cap INSIDE one generation
+        // is over the global cap a fortiori (df only grows) — its postings
+        // can be dropped here without ever truncating a kept term's list;
+        // the read-time filter over summed dfparts handles terms that
+        // cross the cap only in aggregate
+        () =>
+          maxTermDf.fold(postings)(cap => postings.where(col("__df") <= cap))
+            .drop("__df") // layout contract: per-generation df lives in dfparts
+            .withColumn("src_batch", lit(srcBatch))
+            .write
+            .partitionBy("tb", "src_batch")
+            .option("partitionOverwriteMode", overwriteMode)
+            .mode("overwrite")
+            .parquet(s"$outDir/postings"),
+        // dfparts keep ALL terms (pre-cap) so reads see true global df
+        () =>
+          postings
+            .select(col("tb"), col("__term"), col("__df"))
+            .distinct()
+            .withColumn("src_batch", lit(srcBatch))
+            .write
+            .partitionBy("tb", "src_batch")
+            .option("partitionOverwriteMode", overwriteMode)
+            .mode("overwrite")
+            .parquet(s"$outDir/dfparts"),
+        () =>
+          statsRow
+            .withColumn("src_batch", lit(srcBatch))
+            .coalesce(1)
+            .write
+            .partitionBy("src_batch")
+            .option("partitionOverwriteMode", overwriteMode)
+            .mode("overwrite")
+            .parquet(s"$outDir/stats"))
+    } finally postings.unpersist(false)
   }
 
   /** Fail fast (naming the rebuild path) when the postings table lacks

@@ -3,56 +3,18 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Interleaved A/B probe for the q141 multi-query BM25 shape (r16): the
-  * r15 two-full-explode plan vs the r16 semi-filtered plan, alternated
+/** Interleaved A/B probe for the multi-query BM25 shape, extended for the
+  * r17 adjudication of the r16 q141/q142 regression (VERDICT r16 #1): the
+  * probe-free plan (`semiFilterTokens = false`, the r17 default — r15's
+  * two-full-explode shape plus the query-bounded df broadcast) vs the r16
+  * token-stream semi-filtered plan (`semiFilterTokens = true`), alternated
   * A/B/A/B in ONE JVM so ambient host contention (measured 40–70 s bursts
-  * on the bench box) hits both sides equally. Usage:
-  * `runMain graft.tools.Bm25ShapeProbe [roundsPerSide]`.
+  * on the bench box) hits both sides equally — and over the FULL DECLARED
+  * PATHS: q141 (topKPerQuery + total-order sort) and q142 (RetrievalEval
+  * report over the same retrieval), not just the operator kernel.
+  * Usage: `runMain graft.tools.Bm25ShapeProbe [roundsPerSide]`.
   */
 object Bm25ShapeProbe {
-
-  /** The r15 shape, inlined verbatim (minus the maxTermDf arm — q141
-    * passes None): both the df branch and the contribution branch explode
-    * the FULL corpus.
-    */
-  private def oldShape(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tk = split(col("text"), " ")
-    val tokenRows = docs.select(
-      col("doc_id"),
-      size(tk).cast("double").as("__dl"),
-      explode(tk).as("__term"))
-    val postings = tokenRows
-      .groupBy("__term", "doc_id", "__dl")
-      .agg(count(lit(1)).cast("double").as("__tf"))
-    val df = postings.groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
-    val stats = docs
-      .select(size(split(col("text"), " ")).cast("double").as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
-    val qTerms = queries.select(
-      col("q_id"),
-      explode(array_distinct(split(col("q_text"), " "))).as("__term"))
-      .distinct()
-    val matched = broadcast(qTerms)
-      .join(postings.join(broadcast(df), Seq("__term")), Seq("__term"))
-    val contrib = matched
-      .crossJoin(broadcast(stats))
-      .select(
-        col("q_id"),
-        col("doc_id"),
-        round(
-          log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
-            (col("__tf") * lit(2.2)) /
-            (col("__tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl") / col("__avgdl"))),
-          6).cast("decimal(20,6)").as("__c"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
-    contrib
-      .groupBy("q_id", "doc_id")
-      .agg(sum(col("__c")).as("__s"))
-      .select(col("q_id"), col("doc_id"), col("__s").cast("double").as("score"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-  }
 
   def main(args: Array[String]): Unit = {
     val rounds = if (args.nonEmpty) args(0).toInt else 4
@@ -72,28 +34,54 @@ object Bm25ShapeProbe {
       col("doc_id").as("q_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("q_text"))
 
-    def force(df: DataFrame): Double = {
+    // BY-NAME so construction-time eager work is inside the timer —
+    // q142's report pins the rank table eagerly at CONSTRUCTION, which a
+    // by-value parameter would run before t0 and time as ~0
+    def force(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       val _ = df.queryExecution.toRdd.mapPartitions { it =>
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n)
       }.sum()
       (System.nanoTime() - t0) / 1e9
     }
-    def runOld(): Double = force(oldShape(docs, queries, 10).orderBy("q_id", "rn"))
-    def runNew(): Double = force(
+    def q141(semi: Boolean): DataFrame =
       graft.llm.Bm25
-        .topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 10)
-        .orderBy("q_id", "rn"))
+        .topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 10,
+          semiFilterTokens = semi)
+        .orderBy("q_id", "rn")
+    def q142(semi: Boolean): DataFrame = {
+      val results = graft.llm.Bm25.topKPerQuery(
+        docs, "doc_id", "text", queries, "q_id", "q_text", k = 10, semiFilterTokens = semi)
+      val gold = queries.select(col("q_id"), col("q_id").as("gold_id"))
+      graft.llm.RetrievalEval.report(results, gold, Seq(1, 5, 10)).orderBy("k")
+    }
 
-    runOld(); runNew() // warm both
-    val olds = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val news = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to rounds) { olds += runOld(); news += runNew() }
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+").take(1).mkString
+      catch { case _: Throwable => "-" }
+
+    // warm both sides of both paths
+    force(q141(semi = false)); force(q141(semi = true))
+    force(q142(semi = false)); force(q142(semi = true))
+    val a141 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val b141 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val a142 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val b142 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (r <- 1 to rounds) {
+      a141 += force(q141(semi = false))
+      b141 += force(q141(semi = true))
+      a142 += force(q142(semi = false))
+      b142 += force(q142(semi = true))
+      println(f"  round $r done (loadavg ${loadavg()})")
+    }
     def fmt(xs: Seq[Double]) =
       xs.map(x => f"$x%.3f").mkString("[", ", ", "]") +
         f" min=${xs.min}%.3f median=${xs.sorted.apply(xs.size / 2)}%.3f"
-    println(s"OLD (r15 two-explode)    ${fmt(olds.toSeq)}")
-    println(s"NEW (r16 semi-filtered)  ${fmt(news.toSeq)}")
+    println(s"q141 A (no token semi-filter, r17 default) ${fmt(a141.toSeq)}")
+    println(s"q141 B (r16 token semi-filter)             ${fmt(b141.toSeq)}")
+    println(s"q142 A (no token semi-filter, r17 default) ${fmt(a142.toSeq)}")
+    println(s"q142 B (r16 token semi-filter)             ${fmt(b142.toSeq)}")
     spark.stop()
   }
 }

@@ -774,4 +774,37 @@ class SketchRetrievalSpec extends AnyFunSuite {
         m = 2, k = 5)
     }
   }
+
+  test("semiFilterTokens hint never changes multi-query results (r17 gate)") {
+    val docs    = corpus.toDF("doc_id", "text")
+    val queries = Seq((1L, "new the"), (2L, "spark window"), (3L, "lazy dog")).toDF("q_id", "q_text")
+    def rows(semi: Boolean, cap: Option[Long]) = Bm25
+      .topKPerQuery(docs, "doc_id", "text", queries, "q_id", "q_text", k = 5,
+        maxTermDf = cap, semiFilterTokens = semi)
+      .select("q_id", "doc_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(rows(semi = true, None) == rows(semi = false, None),
+      "the token semi-filter is a physical hint — identical output required")
+    assert(rows(semi = true, Some(2L)) == rows(semi = false, Some(2L)),
+      "identical under the df cap too (df computed before the cap on both shapes)")
+  }
+
+  test("observed stats sidecar counts null/empty texts exactly like the standalone aggregate (r17)") {
+    // null text: counts toward N, contributes NO dl (the pre-explode
+    // observation must see the row, the explode must drop it);
+    // empty text: splits to [""], dl = 1 — both writers share the rule
+    val docs = Seq[(Long, String)]((1L, "a b a"), (2L, null), (3L, ""), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val expectN     = 4.0
+    val expectAvgdl = (3.0 + 1.0 + 2.0) / 3.0 // null text excluded from avg, not from N
+    val pDir = java.nio.file.Files.createTempDirectory("bm25_stats_obs").toString
+    Bm25.writePostings(docs, "doc_id", "text", pDir, nBuckets = 4)
+    val st = spark.read.parquet(s"$pDir/stats").as[(Double, Double)].collect().toSeq
+    assert(st == Seq((expectN, expectAvgdl)), s"build-once stats: $st")
+    val gDir = java.nio.file.Files.createTempDirectory("bm25_stats_obs_gen").toString
+    Bm25.writePostingsGen(docs, "doc_id", "text", gDir, nBuckets = 4)
+    val gt = spark.read.parquet(s"$gDir/stats")
+      .select("__n", "__dlsum").as[(Double, Double)].collect().toSeq
+    assert(gt == Seq((expectN, 6.0)), s"generational stats partial: $gt")
+  }
 }
