@@ -241,6 +241,39 @@ object Dedup {
       rowsPerBand: Int = 4,
       simTau: Double = 0.75,
       maxBandDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val n = bands * rowsPerBand
+    require(
+      index.columns.contains(s"sig${n - 1}"),
+      s"near-dup index is narrower than bands*rowsPerBand = $n signatures " +
+        s"(index columns: ${index.columns.filter(_.startsWith("sig")).length}) — " +
+        "bootstrap with writeNearDupIndex(nSigs = bands*rowsPerBand)")
+    // the new batch's signatures MUST be the index's family — detected
+    // from the index schema, so a family mismatch cannot silently verify.
+    // Pinned eagerly (r16): the lazy plan evaluated this projection 3×
+    // (band-candidate join, verification join, election anti-join) — one
+    // batch-bounded materialization replaces two repeats of the salted
+    // minhash work (the banded path does the same; the INDEX side is
+    // deliberately NOT pinned — it is history-sized). One-shot batch
+    // callers keep the localCheckpoint pin; loop callers that must
+    // release the pin per batch (the streaming ingest) pass a
+    // caller-managed persist through [[incrementalNearDupNewSigs]].
+    val newSigs = signatureProjection(newDocs, idCol, textCol, n, indexFamily(index))
+      .localCheckpoint(true)
+    incrementalNearDupNewSigs(newSigs, idCol, index, bands, rowsPerBand, simTau, maxBandDf)
+  }
+
+  /** [[incrementalNearDupNew]] over a PRE-MATERIALIZED signature frame
+    * (r17): the caller owns the pin's lifetime — see
+    * [[incrementalNearDupNewBandedSigs]] for why.
+    */
+  private[graft] def incrementalNearDupNewSigs(
+      newSigs: DataFrame,
+      idCol: String,
+      index: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      simTau: Double = 0.75,
+      maxBandDf: Option[Long] = Some(DefaultMaxShingleDf)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = bands * rowsPerBand
     require(
@@ -252,15 +285,6 @@ object Dedup {
     // integer (0.55*20 = 11.000000000000002) and silently raise the
     // effective threshold — the prefixFilteredPairs ceil guard
     val matchMin = math.ceil(simTau * n - 1e-9).toInt
-    // the new batch's signatures MUST be the index's family — detected
-    // from the index schema, so a family mismatch cannot silently verify.
-    // Pinned eagerly (r16): the lazy plan evaluated this projection 3×
-    // (band-candidate join, verification join, election anti-join) — one
-    // batch-bounded materialization replaces two repeats of the salted
-    // minhash work (the banded path does the same; the INDEX side is
-    // deliberately NOT pinned — it is history-sized).
-    val newSigs = signatureProjection(newDocs, idCol, textCol, n, indexFamily(index))
-      .localCheckpoint(true)
     val idx = index.select(
       col("digest").as("__idig") +:
         (0 until n).map(i => col(s"sig$i").as(s"__isig_$i")): _*)
@@ -501,22 +525,46 @@ object Dedup {
       simTau: Double = 0.75,
       maxBandDf: Option[Long] = Some(DefaultMaxShingleDf),
       beforeBatch: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark  = newDocs.sparkSession
     val meta   = readBandedMeta(spark, indexDir)
     val n      = meta.bands * meta.rowsPerBand
-    val idxAll = spark.read.parquet(s"$indexDir/bands")
-    val family = indexFamily(idxAll)
-    val matchMin = math.ceil(simTau * n - 1e-9).toInt
+    val family = indexFamily(spark.read.parquet(s"$indexDir/bands"))
     // the batch's signature projection (digest + n salted minhash mins —
     // the dominant per-row work) is pinned ONCE: lazily it re-ran up to
     // 4× per ingest — under the probe collect, the band-candidate join,
     // the verification join, and the election anti-join (r16 stage probe:
     // ingest ~5 s of which ~3 s was repeated signature work at sf0.1).
     // Batch-bounded by contract, so the pin holds batch rows, never
-    // history.
+    // history. One-shot batch callers keep the localCheckpoint pin; loop
+    // callers that must release the pin per batch ([[ingestAppendBanded]],
+    // the streaming ingest) pass a caller-managed persist through
+    // [[incrementalNearDupNewBandedSigs]] instead.
     val newSigs = signatureProjection(newDocs, idCol, textCol, n, family).localCheckpoint(true)
+    incrementalNearDupNewBandedSigs(newSigs, idCol, indexDir, meta, simTau, maxBandDf, beforeBatch)
+  }
 
+  /** [[incrementalNearDupNewBanded]] over a PRE-MATERIALIZED signature
+    * frame (r17): callers that also append the survivors reuse ONE
+    * materialization of the batch's signatures across the ingest joins
+    * and the append write, and own the pin's lifetime (the r16 ADVICE
+    * leak: an in-function localCheckpoint can never be released by the
+    * function, so a long-lived streaming loop accumulated one pinned
+    * batch per micro-batch until RDD GC). `newSigs` must be
+    * [[signatureProjection]] output in the index's own hash family.
+    */
+  private[graft] def incrementalNearDupNewBandedSigs(
+      newSigs: DataFrame,
+      idCol: String,
+      indexDir: String,
+      meta: BandedMeta,
+      simTau: Double,
+      maxBandDf: Option[Long],
+      beforeBatch: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark    = newSigs.sparkSession
+    val n        = meta.bands * meta.rowsPerBand
+    val idxAll   = spark.read.parquet(s"$indexDir/bands")
+    val matchMin = math.ceil(simTau * n - 1e-9).toInt
     val wBand = Window.partitionBy("band_idx", "band_val")
     def cut(df: DataFrame): DataFrame = maxBandDf match {
       case Some(cap) =>
@@ -559,6 +607,81 @@ object Dedup {
           .distinct()
       }
     electPerDigest(newSigs.join(dropped, Seq("__id"), "left_anti"), idCol)
+  }
+
+  /** Append pre-computed survivor signature rows to a banded index —
+    * the [[appendBandedNearDupIndex]] write over sigs the caller already
+    * materialized (r17): `sigs` is the batch's [[signatureProjection]]
+    * and `survivors` the elected (idCol, digest) rows; the appended set
+    * — sigs semi-joined to the survivor ids, id dropped, distinct — is
+    * row-for-row the set the doc-path append derives by re-running the
+    * salted-minhash projection over the survivor documents (the
+    * projection is deterministic per doc), without paying that
+    * projection a second time per ingest step.
+    */
+  private[graft] def appendBandedSigRows(
+      sigs: DataFrame,
+      survivors: DataFrame,
+      idCol: String,
+      indexDir: String,
+      meta: BandedMeta,
+      batchId: Long): Unit =
+    toBandRows(
+      sigs
+        .join(survivors.select(Cols.q(idCol).as("__id")), Seq("__id"), "left_semi")
+        .drop("__id")
+        .distinct(),
+      meta.bands, meta.rowsPerBand, meta.nBuckets)
+      .withColumn("src_batch", lit(batchId))
+      // one task → one file per written directory (see writeBandedNearDupIndex)
+      .repartition(col("band_idx"), col("band_bucket"))
+      .write
+      .partitionBy("src_batch", "band_idx", "band_bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$indexDir/bands")
+
+  /** One full banded ingest-and-append step — dedup `newDocs` against the
+    * index generations `< batchId` (exactly [[incrementalNearDupNewBanded]]
+    * with `beforeBatch = Some(batchId)`) and append the survivors'
+    * signatures as generation `batchId` — sharing ONE materialized
+    * signature projection across the candidate/verification joins AND the
+    * append write (r17: the separate ingest-then-append sequence paid the
+    * salted-minhash projection twice per step, once inside the ingest and
+    * once re-derived from the survivor docs). Both pins are batch-bounded
+    * persists, RELEASED before return; `use` runs while the survivors are
+    * still pinned, for callers that must consume them (e.g. the streaming
+    * loop's survivor-docs write) without re-executing the election.
+    */
+  def ingestAppendBanded(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      batchId: Long,
+      simTau: Double = 0.75,
+      maxBandDf: Option[Long] = Some(DefaultMaxShingleDf))(
+      use: DataFrame => Unit = _ => ()): Unit = {
+    val spark  = newDocs.sparkSession
+    val meta   = readBandedMeta(spark, indexDir)
+    val n      = meta.bands * meta.rowsPerBand
+    val family = indexFamily(spark.read.parquet(s"$indexDir/bands"))
+    val sigs = signatureProjection(newDocs, idCol, textCol, n, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val survivors =
+        incrementalNearDupNewBandedSigs(
+          sigs, idCol, indexDir, meta, simTau, maxBandDf, beforeBatch = Some(batchId))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // the caller's consumer runs FIRST (the streaming loop writes the
+        // survivor docs before touching the index — on a crash between
+        // the two writes the replayed batch sees the pre-append index via
+        // the beforeBatch guard and reproduces the same survivors)
+        use(survivors)
+        appendBandedSigRows(sigs, survivors, idCol, indexDir, meta, batchId)
+      } finally survivors.unpersist(false)
+    } finally sigs.unpersist(false)
   }
 
   /** Deterministic MinHash signatures: `nSigs` salted min-md5 hash
@@ -843,8 +966,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tau > 0.0 && tau <= 1.0, s"minJaccard must be in (0,1], got $tau")
     // flat retained rows with each shingle's df riding along (size of the
-    // member list the row was exploded from)
-    val rows = kept.select(col("s"), size(col("ms")).as("df"), explode(col("ms")).as("__id"))
+    // member list the row was exploded from). The EXPLICIT repartition by
+    // __id (r17) is the one id-keyed exchange BOTH downstream consumers
+    // need — the prefix-rank window and the verification-array aggregate
+    // below: each requires ClusteredDistribution(__id), which this
+    // HashPartitioning satisfies, so the window adds only its sort and
+    // the aggregate adds no exchange at all, and the two identical
+    // exchange subtrees dedup into ONE physical shuffle (exchange reuse).
+    // Without it the arrs branch paid its own full id-keyed shuffle of
+    // the same rows — Catalyst pruned the window out of that branch, so
+    // nothing was shared (the r16 attempt to reuse the window's exchange
+    // was a plan no-op, VERDICT r16 #4). collect_list partials don't
+    // shrink data, so aggregating post-shuffle moves no extra bytes.
+    val rows = kept
+      .select(col("s"), size(col("ms")).as("df"), explode(col("ms")).as("__id"))
+      .repartition(col("__id"))
     val byDoc  = Window.partitionBy("__id")
     val ranked = rows
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df").asc, col("s").asc)))
@@ -874,13 +1010,13 @@ object Dedup {
       .distinct()
     // per-doc retained-shingle arrays for exact verification (order-free;
     // the arrays are distinct by construction so array_intersect is the
-    // exact intersection count). Derived from `ranked` rather than `rows`
-    // (r16): the window above already shuffled the rows by __id, and a
-    // groupBy on the window's own partitioning key needs no new exchange
-    // — aggregating `rows` directly paid a second full id-keyed exchange
-    // of the same data (collect_list order differs, but only
-    // size/array_intersect are consumed, both order-free).
-    val arrs = ranked.groupBy(col("__id")).agg(collect_list(col("s")).as("arr"))
+    // exact intersection count). Derived from the repartitioned `rows`
+    // (r17): the aggregate's required clustering is satisfied by the
+    // shared repartition exchange above, so this branch re-reads that
+    // shuffle's output instead of paying its own id-keyed exchange
+    // (collect_list order differs from the window branch's sort, but only
+    // size/array_intersect consume the arrays — both order-free).
+    val arrs = rows.groupBy(col("__id")).agg(collect_list(col("s")).as("arr"))
     val verified = cand
       .join(arrs.select(col("__id").as("a_id"), col("arr").as("sa")), Seq("a_id"))
       .join(arrs.select(col("__id").as("b_id"), col("arr").as("sb")), Seq("b_id"))

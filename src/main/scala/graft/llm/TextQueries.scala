@@ -2340,10 +2340,11 @@ object TextQueries {
     Dedup.writeBandedNearDupIndex(
       old, "doc_id", "text", ixDir,
       bands = 4, rowsPerBand = 4, family = Dedup.Md5, nBuckets = 8)
-    val s0 = Dedup.incrementalNearDupNewBanded(
-      batch0, "doc_id", "text", ixDir, simTau = 0.75, beforeBatch = Some(0L))
-    Dedup.appendBandedNearDupIndex(
-      s0.select("doc_id").join(batch0, Seq("doc_id")), "doc_id", "text", ixDir, batchId = 0L)
+    // ingest + append share ONE materialized signature projection (r17);
+    // survivors and the appended generation are row-identical to the old
+    // ingest-then-append-from-docs sequence (the projection is
+    // deterministic per doc — oracle replays the whole decision contract)
+    Dedup.ingestAppendBanded(batch0, "doc_id", "text", ixDir, batchId = 0L, simTau = 0.75)()
     Dedup
       .incrementalNearDupNewBanded(
         batch1, "doc_id", "text", ixDir, simTau = 0.75, beforeBatch = Some(1L))

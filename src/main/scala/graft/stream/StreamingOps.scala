@@ -332,44 +332,64 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val nSigs = bands * rowsPerBand
-        val survivors =
-          if (banded)
-            graft.llm.Dedup.incrementalNearDupNewBanded(
-              batch.toDF(), idCol, textCol, indexDir, simTau, beforeBatch = Some(id))
-          else {
-            val index = spark.read.parquet(indexDir).where(col("src_batch") < id)
-            graft.llm.Dedup
-              .incrementalNearDupNew(batch.toDF(), idCol, textCol, index, bands, rowsPerBand, simTau)
+        if (banded)
+          // ONE materialized signature projection per batch, shared by the
+          // ingest joins AND the index append, with both pins RELEASED at
+          // the end of the step (r17 — the previous shape local-checkpointed
+          // the signatures inside the ingest call, where the loop could
+          // never free them: one batch-sized pin accumulated per
+          // micro-batch until RDD GC, the r12 lesson this file already
+          // records at the monitored-loop comment below). The survivor-docs
+          // write runs inside `use`, BEFORE the append — on a crash between
+          // the two writes the replayed batch sees the pre-append index via
+          // the beforeBatch guard and reproduces the same survivors.
+          graft.llm.Dedup.ingestAppendBanded(
+            batch.toDF(), idCol, textCol, indexDir, batchId = id, simTau = simTau) { survivors =>
+            batch.toDF()
+              .join(survivors.select(idCol), Seq(idCol), "left_semi")
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
           }
-        val survivorDocs = batch.toDF().join(survivors.select(idCol), Seq(idCol), "left_semi")
-        // materialize the decision ONCE: the survivor write and the index
-        // append must see the same rows even though the index they were
-        // computed against is about to change
-        val pinned = survivorDocs.persist()
-        try {
-          pinned.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
-          // dynamic-partition overwrite of THIS batch's src_batch partition(s):
-          // a crash-replayed batch rewrites the same directories instead of
-          // re-appending duplicate signature rows, so the index stays
-          // O(distinct survivors) across any number of replays
-          if (banded)
-            graft.llm.Dedup.appendBandedNearDupIndex(pinned, idCol, textCol, indexDir, id)
-          else {
-            val index = spark.read.parquet(indexDir)
-            graft.llm.Dedup
-              // append in the INDEX's hash family (schema-detected) so a
-              // loop over an md5-bootstrapped index stays md5 end to end
-              .signatureProjection(pinned, idCol, textCol, nSigs, graft.llm.Dedup.indexFamily(index))
-              .drop("__id")
-              .distinct()
-              .withColumn("src_batch", lit(id))
-              .write
-              .partitionBy("src_batch")
-              .option("partitionOverwriteMode", "dynamic")
-              .mode("overwrite")
-              .parquet(indexDir)
-          }
-        } finally pinned.unpersist(false)
+        else {
+          val index  = spark.read.parquet(indexDir)
+          // the batch's signatures, computed ONCE in the index's hash
+          // family (schema-detected, so a loop over an md5-bootstrapped
+          // index stays md5 end to end) and pinned with a loop-managed
+          // persist: the ingest joins, the survivor-docs write, and the
+          // index append all read this one materialization, and the pin is
+          // released per batch (same r17 lifetime fix as the banded arm)
+          val family = graft.llm.Dedup.indexFamily(index)
+          val sigs = graft.llm.Dedup
+            .signatureProjection(batch.toDF(), idCol, textCol, nSigs, family)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val survivors = graft.llm.Dedup
+              .incrementalNearDupNewSigs(
+                sigs, idCol, index.where(col("src_batch") < id), bands, rowsPerBand, simTau)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              batch.toDF()
+                .join(survivors.select(idCol), Seq(idCol), "left_semi")
+                .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+              // dynamic-partition overwrite of THIS batch's src_batch
+              // partition(s): a crash-replayed batch rewrites the same
+              // directories instead of re-appending duplicate signature
+              // rows, so the index stays O(distinct survivors) across any
+              // number of replays. Survivor signatures come from the pinned
+              // projection (semi-join on the elected ids), not a re-run
+              // over the survivor docs.
+              sigs
+                .join(survivors.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+                .drop("__id")
+                .distinct()
+                .withColumn("src_batch", lit(id))
+                .write
+                .partitionBy("src_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(indexDir)
+            } finally survivors.unpersist(false)
+          } finally sigs.unpersist(false)
+        }
         ()
       }
       .start()

@@ -68,6 +68,25 @@ object BandedIngestProbe {
       }
       println(f"round $r: bootstrap=$tBoot%.2f ingest0=$tIng0%.2f append=$tApp%.2f " +
         f"ingest1=$tIng1%.2f total=${tBoot + tIng0 + tApp + tIng1}%.2f")
+
+      // r17 A/B, same JVM: the r16 two-pass step (ingest above, append
+      // re-deriving signatures from survivor docs) vs the shared-signature
+      // ingestAppendBanded step, on a fresh bootstrap, same batch
+      val ixDir2 = graft.core.Scratch.tempDir("graft_probe_banded_r17")
+      val (_, tBoot2) = t(Dedup.writeBandedNearDupIndex(
+        old, "doc_id", "text", ixDir2, bands = 4, rowsPerBand = 4,
+        family = Dedup.Md5, nBuckets = 8))
+      val (_, tStep) = t(Dedup.ingestAppendBanded(
+        batch0, "doc_id", "text", ixDir2, batchId = 0L, simTau = 0.75)())
+      val (_, tIng1b) = t {
+        force(Dedup
+          .incrementalNearDupNewBanded(
+            batch1, "doc_id", "text", ixDir2, simTau = 0.75, beforeBatch = Some(1L))
+          .orderBy("doc_id"))
+      }
+      println(f"round $r NEW: bootstrap=$tBoot2%.2f ingest0+append=$tStep%.2f " +
+        f"(vs old ${tIng0 + tApp}%.2f) ingest1=$tIng1b%.2f " +
+        f"total=${tBoot2 + tStep + tIng1b}%.2f")
     }
     spark.stop()
   }

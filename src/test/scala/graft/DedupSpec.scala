@@ -421,4 +421,50 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (7L, 7L, true),
       (9L, 4L, false)))
   }
+
+  test("ingestAppendBanded equals the ingest-then-append-from-docs sequence (r17 sig sharing)") {
+    // two identical bootstraps; one stepped with the r16 two-pass sequence
+    // (ingest, then append re-deriving signatures from survivor docs), one
+    // with the r17 shared-signature step — index content and a follow-up
+    // ingest must agree row for row
+    val old = corpus.where(col("doc_id") <= 2)
+    val b0 = Seq(
+      (3L, base),                                        // exact dup of indexed 1
+      (6L, base.replace("bridge", "arch")),              // near-dup of indexed 1
+      (7L, "fresh tokens never indexed before today ok"),
+      (8L, "fresh tokens never indexed before today ok") // within-batch exact dup of 7
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (9L, base.replace("bridge", "arch").replace("town", "city")), // near-dup of a b0 survivor?
+      (10L, "fresh tokens never indexed before today ok"),          // exact dup of appended 7
+      (11L, "and one more entirely novel document snowflake")).toDF("doc_id", "text")
+    def bootstrap(): String = {
+      val d = java.nio.file.Files.createTempDirectory("banded_parity").toString
+      Dedup.writeBandedNearDupIndex(old, "doc_id", "text", d,
+        bands = 4, rowsPerBand = 2, family = Dedup.Md5, nBuckets = 4)
+      d
+    }
+    val dirA = bootstrap()
+    val sA = Dedup.incrementalNearDupNewBanded(b0, "doc_id", "text", dirA,
+      simTau = 0.5, beforeBatch = Some(0L))
+    Dedup.appendBandedNearDupIndex(
+      sA.select("doc_id").join(b0, Seq("doc_id")), "doc_id", "text", dirA, batchId = 0L)
+    val dirB = bootstrap()
+    var seen: Seq[(Long, String)] = Seq.empty
+    Dedup.ingestAppendBanded(b0, "doc_id", "text", dirB, batchId = 0L, simTau = 0.5) { surv =>
+      seen = surv.select("doc_id", "digest").as[(Long, String)].collect().toSeq.sorted
+    }
+    assert(seen == sA.select("doc_id", "digest").as[(Long, String)].collect().toSeq.sorted,
+      "survivors inside the shared-signature step must equal the two-pass sequence's")
+    def bands(d: String) = spark.read.parquet(s"$d/bands")
+      .collect().map(_.toString).toSeq.sorted
+    assert(bands(dirA) == bands(dirB), "appended index content must be row-identical")
+    def ingest1(d: String) = Dedup
+      .incrementalNearDupNewBanded(b1, "doc_id", "text", d, simTau = 0.5, beforeBatch = Some(1L))
+      .select("doc_id", "digest").as[(Long, String)].collect().toSeq.sorted
+    val r1 = ingest1(dirA)
+    assert(r1 == ingest1(dirB), "a follow-up ingest must decide identically over both indexes")
+    assert(r1.map(_._1).contains(11L) && !r1.map(_._1).contains(10L),
+      "sanity: the novel doc survives, the dup of an appended survivor is dropped")
+  }
 }
