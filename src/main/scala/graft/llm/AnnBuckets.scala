@@ -233,7 +233,7 @@ object AnnBuckets {
       nTables: Int,
       seed: Long,
       minSim: Option[Double] = None,
-      dedup: Boolean = true): DataFrame = {
+      allowDuplicatePairs: Boolean = false): DataFrame = {
     val unioned = (0 until nTables)
       .map { t =>
         val bucketed = withBucket(e, "emb", bits, dims, seed + t)
@@ -251,15 +251,17 @@ object AnnBuckets {
           minSim)
       }
       .reduce(_ unionByName _)
-    // `dedup = false` skips the cross-table duplicate-pair shuffle — the
-    // LARGEST exchange of the query for dense pair sets (r16, guide
-    // §2.4): legal exactly when the consumer is duplicate-INSENSITIVE
-    // (min/max-style aggregation over the pair multiset — a pair's
-    // cos_sim is functionally determined by (a_id, b_id), so every
-    // duplicate carries the identical value). Ranking consumers
-    // (row_number/top-k) MUST keep the dedup or cross-table repeats
-    // inflate their rank positions.
-    if (dedup) unioned.dropDuplicates("a_id", "b_id") else unioned
+    // `allowDuplicatePairs = true` skips the cross-table duplicate-pair
+    // shuffle — the LARGEST exchange of the query for dense pair sets
+    // (r16, guide §2.4): legal exactly when the consumer is
+    // duplicate-INSENSITIVE (min/max-style aggregation over the pair
+    // multiset — a pair's cos_sim is functionally determined by
+    // (a_id, b_id), so every duplicate carries the identical value).
+    // Ranking consumers (row_number/top-k) MUST keep the default or
+    // cross-table repeats inflate their rank positions. (Named for the
+    // hazard it opts into — ADVICE r16 — so a call site reading
+    // `allowDuplicatePairs = true` flags itself for exactly this check.)
+    if (allowDuplicatePairs) unioned else unioned.dropDuplicates("a_id", "b_id")
   }
 
   /** Threshold PUSHDOWN into the candidate stage: a consumer that will

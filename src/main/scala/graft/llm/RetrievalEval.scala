@@ -36,6 +36,13 @@ object RetrievalEval {
     * @param results (q_id, doc_id, rn) ranked rows, rn ≥ 1
     * @param gold    (q_id, gold_id) expected documents per query
     * @return one row per k: (k, recall, mrr), ordered by k
+    *
+    * @note EAGER: this method executes the caller's entire retrieval
+    *       plan AT CALL TIME (ADVICE r16) — the gold⋈results rank table
+    *       is pinned with an eager localCheckpoint so the upstream
+    *       retrieval runs exactly once instead of once per report branch.
+    *       Batch inputs only (a checkpoint cannot pin a stream), and the
+    *       cost is paid even if the returned report is never consumed.
     */
   def report(
       results: DataFrame,

@@ -126,12 +126,13 @@ object MultimodalQueries {
           s"array(${feat.mkString(", ")}) AS emb")
         .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       graft.llm.AnnBuckets
-        // dedup = false (r16): min/max over the pair MULTISET equals
+        // duplicates allowed (r16): min/max over the pair MULTISET equals
         // min/max over the deduped set — cos_sim is functionally
         // determined by (a_id, b_id) — so the cross-table duplicate-pair
         // shuffle (the query's largest exchange on this ~n²-dense
         // fixture) is pure overhead here
-        .candidatePairs(e, nBits, dims, nTables, seed, minSim = Some(tau), dedup = false)
+        .candidatePairs(e, nBits, dims, nTables, seed, minSim = Some(tau),
+          allowDuplicatePairs = true)
         .where(col("a_id") < col("b_id"))
         .groupBy(col("b_id").as("dup_id"))
         .agg(
